@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One registered operator: the Spark implementation plus (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle
+  * query over the same parquet tables. `bench = false` marks entries
+  * excluded from the headline benchmark set (e.g. O(n^2) correctness
+  * baselines that have a dedicated scale-path variant).
+  */
+final case class Q(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = true)
+
+/** Exact fixed-point aggregation helpers.
+  *
+  * All money/quantity columns in the test data are exact 2-decimal
+  * values. Casting them to DECIMAL(12,4) before aggregating makes
+  * sums exact and order-independent, so Spark and the DuckDB oracle
+  * produce bit-identical doubles — no float-summation-order drift.
+  * DECIMAL(12,4) is chosen so that a triple product still fits in 38
+  * digits of precision in BOTH engines (Spark: 12+12+1+12+1=38;
+  * DuckDB: 12+12+12=36).
+  */
+object Dec {
+  val D: DecimalType = DecimalType(12, 4)
+
+  /** Exact fixed-point view of a 2-decimal column. */
+  def d(c: Column): Column = c.cast(D)
+
+  /** Order-independent exact sum, surfaced as double. */
+  def dsum(c: Column): Column = sum(d(c)).cast("double")
+
+  /** Deterministic avg: exact decimal sum / count (IEEE division of
+    * identical operands is identical in both engines). */
+  def davg(c: Column): Column = sum(d(c)).cast("double") / count(lit(1))
+
+  def oneMinus(c: Column): Column = (lit(1) - d(c)).cast(D)
+  def onePlus(c: Column): Column = (lit(1) + d(c)).cast(D)
+}
+
+/** DuckDB-side SQL fragments mirroring [[Dec]]. */
+object Sql {
+  def d(c: String): String = s"CAST($c AS DECIMAL(12,4))"
+  def dsum(c: String): String = s"CAST(sum(${d(c)}) AS DOUBLE)"
+  def davg(c: String): String = s"(CAST(sum(${d(c)}) AS DOUBLE) / count(*))"
+  def oneMinus(c: String): String = s"CAST(1 - ${d(c)} AS DECIMAL(12,4))"
+  def onePlus(c: String): String = s"CAST(1 + ${d(c)} AS DECIMAL(12,4))"
+  /** sum(a * (1-b)) — the revenue pattern. */
+  def revenue(a: String, b: String): String =
+    s"CAST(sum(${d(a)} * ${oneMinus(b)}) AS DOUBLE)"
+}
