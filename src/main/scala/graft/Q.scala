@@ -28,11 +28,24 @@ final case class Q(
 object Dec {
   val D: DecimalType = DecimalType(12, 4)
 
+  /** Final-sum type before surfacing as double. Scale 6 covers the
+    * true precision of any 2dp x 2dp x 2dp product, and keeps
+    * unscaled sums under 2^53 so BOTH engines' decimal->double casts
+    * are exact — a decimal(38,12) sum cast straight to double is
+    * correctly rounded by Spark (BigDecimal) but off by 1 ulp in
+    * DuckDB (naive int128/10^12 divide).
+    */
+  val DOut: DecimalType = DecimalType(38, 6)
+
   /** Exact fixed-point view of a 2-decimal column. */
   def d(c: Column): Column = c.cast(D)
 
   /** Order-independent exact sum, surfaced as double. */
   def dsum(c: Column): Column = sum(d(c)).cast("double")
+
+  /** Exact sum of a decimal product expression, surfaced as double
+    * via a scale-6 rounding both engines convert exactly. */
+  def psum(c: Column): Column = sum(c).cast(DOut).cast("double")
 
   /** Deterministic avg: exact decimal sum / count (IEEE division of
     * identical operands is identical in both engines). */
@@ -49,7 +62,10 @@ object Sql {
   def davg(c: String): String = s"(CAST(sum(${d(c)}) AS DOUBLE) / count(*))"
   def oneMinus(c: String): String = s"CAST(1 - ${d(c)} AS DECIMAL(12,4))"
   def onePlus(c: String): String = s"CAST(1 + ${d(c)} AS DECIMAL(12,4))"
+  /** Mirrors [[Dec.psum]]: exact product sum surfaced as double. */
+  def psum(e: String): String =
+    s"CAST(CAST(sum($e) AS DECIMAL(38,6)) AS DOUBLE)"
   /** sum(a * (1-b)) — the revenue pattern. */
   def revenue(a: String, b: String): String =
-    s"CAST(sum(${d(a)} * ${oneMinus(b)}) AS DOUBLE)"
+    psum(s"${d(a)} * ${oneMinus(b)}")
 }

@@ -1,0 +1,269 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Dec._
+import graft.{Sql => S}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Group B of SURVEY.md §2 — ClickHouse MergeTree-engine semantics
+  * re-expressed as Spark aggregations.
+  *
+  * Each engine is a single hash aggregation on the table's ORDER BY
+  * key: one shuffle, map-side partial aggregation, no windows over
+  * the whole table. That is the shape that survives 100 TB — a
+  * window (row_number per key) formulation would sort every
+  * partition; `max_by`/`sum` aggregate states are O(1) per key and
+  * combine associatively across executors.
+  */
+object ClickHouse {
+
+  /** ReplacingMergeTree: keep the latest row per key, ordered by a
+    * version column (ties broken by the tiebreak column so the result
+    * is deterministic, which ClickHouse itself does not guarantee).
+    */
+  def replacingMergeTree(
+      df: DataFrame, keys: Seq[String], version: Column, tiebreak: Column): DataFrame = {
+    val payload = struct(df.columns.map(col).toIndexedSeq: _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(payload, struct(version, tiebreak)).as("__latest"))
+      .select(col("__latest.*"))
+  }
+
+  /** SummingMergeTree: additive rollup of the given columns per key. */
+  def summingMergeTree(
+      df: DataFrame, keys: Seq[String], sums: Map[String, Column]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sums.toSeq.sortBy(_._1).map { case (n, c) => c.as(n) }: _*)
+
+  /** CollapsingMergeTree: rows carry sign +1/-1; per key the signed
+    * contributions cancel and only keys with a net effect survive.
+    */
+  def collapsingMergeTree(
+      df: DataFrame, keys: Seq[String], sign: Column, measure: Column): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(sum(sign).as("net_sign"),
+        sum(sign * measure).cast("double").as("net_measure"),
+        count(lit(1)).as("n_rows"))
+      .filter(col("net_sign") =!= 0 || col("net_measure") =!= 0.0)
+
+  val all: Map[String, Q] = Map(
+    // ------------------------------------------------------------------
+    // Latest order per customer by (o_orderdate, o_orderkey).
+    "ch_replacing_mt" -> Q(
+      (s, dir) => {
+        replacingMergeTree(Tables.orders(s, dir), Seq("o_custkey"),
+          col("o_orderdate"), col("o_orderkey"))
+          .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus",
+            "o_totalprice")
+          .orderBy("o_custkey")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus, o_totalprice
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders)
+        WHERE rn = 1
+        ORDER BY o_custkey""")),
+
+    // ------------------------------------------------------------------
+    // Additive rollup per order: the SummingMergeTree a CH pipeline
+    // would keep for per-order totals.
+    "ch_summing_mt" -> Q(
+      (s, dir) => {
+        summingMergeTree(Tables.lineitem(s, dir), Seq("l_orderkey"), Map(
+          "sum_qty" -> dsum(col("l_quantity")),
+          "sum_price" -> dsum(col("l_extendedprice"))))
+          .orderBy("l_orderkey")
+      },
+      Some(s"""
+        SELECT l_orderkey, count(*) AS n_rows,
+               ${S.dsum("l_extendedprice")} AS sum_price,
+               ${S.dsum("l_quantity")} AS sum_qty
+        FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
+    // ------------------------------------------------------------------
+    // Sign collapse: returned lines (returnflag 'R') cancel kept lines
+    // per (part, supplier); only keys with a net effect survive.
+    "ch_collapsing_mt" -> Q(
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+          .withColumn("sign", when(col("l_returnflag") === "R", -1).otherwise(1))
+        collapsingMergeTree(l, Seq("l_partkey", "l_suppkey"),
+          col("sign"), d(col("l_quantity")))
+          .orderBy("l_partkey", "l_suppkey")
+      },
+      Some(s"""
+        SELECT l_partkey, l_suppkey,
+               CAST(sum(sign) AS BIGINT) AS net_sign,
+               CAST(sum(sign * ${S.d("l_quantity")}) AS DOUBLE) AS net_measure,
+               count(*) AS n_rows
+        FROM (SELECT *, CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END AS sign
+              FROM lineitem)
+        GROUP BY l_partkey, l_suppkey
+        HAVING sum(sign) <> 0 OR sum(sign * ${S.d("l_quantity")}) <> 0
+        ORDER BY l_partkey, l_suppkey""")),
+
+    // ------------------------------------------------------------------
+    // AggregatingMergeTree: the pre-aggregated materialized view a CH
+    // deployment would maintain — month x status partial aggregates.
+    "ch_agg_mt" -> Q(
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .groupBy(date_trunc("month", col("o_orderdate")).as("month"),
+            col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("sum_price"),
+            min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price"),
+            countDistinct(col("o_custkey")).as("n_customers"))
+          .orderBy("month", "o_orderstatus")
+      },
+      Some(s"""
+        SELECT date_trunc('month', o_orderdate) AS month, o_orderstatus,
+               count(*) AS n_orders,
+               ${S.dsum("o_totalprice")} AS sum_price,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price,
+               count(DISTINCT o_custkey) AS n_customers
+        FROM orders GROUP BY 1, 2 ORDER BY month, o_orderstatus""")),
+
+    // ------------------------------------------------------------------
+    // TTL expiry: rows older than the cutoff are dropped. On a real
+    // deployment this pairs with partition pruning — partition by month
+    // and whole partitions age out without a scan.
+    "ch_ttl" -> Q(
+      (s, dir) => {
+        Tables.events(s, dir)
+          .filter(col("ts") >= lit("2024-01-15").cast("timestamp"))
+          .select("event_id", "user_id", "event_type", "ts_us", "value")
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+        FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+        ORDER BY event_id""")),
+
+    // ------------------------------------------------------------------
+    // argMax / argMin as single-pass aggregates (max_by/min_by).
+    "ch_argmax" -> Q(
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(
+            max_by(col("c_name"), struct(col("c_acctbal"), col("c_custkey")))
+              .as("richest_customer"),
+            max(col("c_acctbal")).as("max_acctbal"),
+            min_by(col("c_name"), struct(col("c_acctbal"), col("c_custkey")))
+              .as("poorest_customer"),
+            min(col("c_acctbal")).as("min_acctbal"))
+          .orderBy("n_name")
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT n_name, c_name, c_acctbal,
+                 row_number() OVER (PARTITION BY n_name
+                   ORDER BY c_acctbal DESC, c_custkey DESC) AS rn_max,
+                 row_number() OVER (PARTITION BY n_name
+                   ORDER BY c_acctbal ASC, c_custkey ASC) AS rn_min
+          FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        SELECT n_name,
+               max(CASE WHEN rn_max = 1 THEN c_name END) AS richest_customer,
+               max(c_acctbal) AS max_acctbal,
+               max(CASE WHEN rn_min = 1 THEN c_name END) AS poorest_customer,
+               min(c_acctbal) AS min_acctbal
+        FROM ranked GROUP BY n_name ORDER BY n_name""")),
+
+    // ------------------------------------------------------------------
+    // topK: most frequent part brands. Exact count-based top-k is the
+    // scalable path for bounded-cardinality columns (partial agg then
+    // a k-row global sort); the oracle checks it exactly at test SF.
+    "ch_topk" -> Q(
+      (s, dir) => {
+        Tables.part(s, dir)
+          .groupBy("p_brand").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("p_brand").asc)
+          .limit(5)
+      },
+      Some("""
+        SELECT p_brand, count(*) AS cnt FROM part
+        GROUP BY p_brand ORDER BY cnt DESC, p_brand ASC LIMIT 5""")),
+
+    // ------------------------------------------------------------------
+    // quantile/quantiles: exact interpolated percentiles per group.
+    "ch_quantiles" -> Q(
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            percentile(col("l_extendedprice"), lit(0.25)).as("p25"),
+            percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+            percentile(col("l_extendedprice"), lit(0.75)).as("p75"),
+            percentile(col("l_extendedprice"), lit(0.9)).as("p90"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.25) AS p25,
+               quantile_cont(l_extendedprice, 0.5) AS p50,
+               quantile_cont(l_extendedprice, 0.75) AS p75,
+               quantile_cont(l_extendedprice, 0.9) AS p90
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ------------------------------------------------------------------
+    // uniqExact — the exact distinct count (oracled here). The HLL
+    // approximation (CH `uniq`) is ch_uniq_hll below, checked rows-only
+    // plus an error-bound ScalaTest spec.
+    "ch_uniq" -> Q(
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("uniq_users"),
+            count(lit(1)).as("n_events"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, count(DISTINCT user_id) AS uniq_users,
+               count(*) AS n_events
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ------------------------------------------------------------------
+    // uniq (HLL): approx_count_distinct next to the exact value.
+    // Not SQL-oracle-able (estimator-specific); spec bounds the error.
+    "ch_uniq_hll" -> Q(
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(approx_count_distinct(col("user_id"), 0.02).as("uniq_users_approx"),
+            countDistinct(col("user_id")).as("uniq_users_exact"))
+          .orderBy("event_type")
+      },
+      None),
+
+    // ------------------------------------------------------------------
+    // groupArray / groupUniqArray, sorted and string-joined so the
+    // result is deterministic and engine-portable.
+    "ch_grouparray" -> Q(
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .groupBy("o_custkey")
+          .agg(
+            concat_ws(",", sort_array(collect_list(col("o_orderstatus"))))
+              .as("statuses_all"),
+            concat_ws(",", sort_array(collect_set(col("o_orderstatus"))))
+              .as("statuses_uniq"),
+            count(lit(1)).as("n_orders"))
+          .orderBy("o_custkey")
+      },
+      Some("""
+        SELECT o_custkey,
+               array_to_string(list_sort(list(o_orderstatus)), ',') AS statuses_all,
+               array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+                 AS statuses_uniq,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+  )
+}

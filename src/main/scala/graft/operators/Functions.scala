@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Group C of SURVEY.md §2 — the scalar function surface (ClickHouse's
+  * date/string/JSON/conditional/array/hash functions on Spark's
+  * codegen'd built-ins — no UDFs anywhere, so every expression stays
+  * inside whole-stage codegen).
+  */
+object Functions {
+
+  val all: Map[String, Q] = Map(
+    // ------------------------------------------------------------------
+    // toStartOfMonth/Day/Hour + extract + date arithmetic.
+    "f_datetime" -> Q(
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            date_trunc("month", col("o_orderdate")).as("month_start"),
+            date_trunc("day", col("o_orderdate")).as("day_start"),
+            date_trunc("hour", col("o_orderdate")).as("hour_start"),
+            year(col("o_orderdate")).as("o_year"),
+            month(col("o_orderdate")).as("o_month"),
+            dayofmonth(col("o_orderdate")).as("o_day"),
+            date_add(col("o_orderdate"), 30).as("plus_30d"),
+            datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+              .as("days_since_95"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey,
+               date_trunc('month', o_orderdate) AS month_start,
+               date_trunc('day', o_orderdate) AS day_start,
+               date_trunc('hour', o_orderdate) AS hour_start,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(month(o_orderdate) AS INTEGER) AS o_month,
+               CAST(day(o_orderdate) AS INTEGER) AS o_day,
+               CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus_30d,
+               CAST(datediff('day', DATE '1995-01-01',
+                 CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_95
+        FROM orders ORDER BY o_orderkey""")),
+
+    // ------------------------------------------------------------------
+    "f_string" -> Q(
+      (s, dir) => {
+        Tables.part(s, dir)
+          .select(col("p_partkey"),
+            lower(col("p_name")).as("lower_name"),
+            upper(col("p_brand")).as("upper_brand"),
+            trim(col("p_name")).as("trimmed"),
+            substring(col("p_name"), 1, 5).as("prefix5"),
+            regexp_replace(col("p_name"), " ", "_").as("snake_name"),
+            concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+            col("p_name").like("%green%").cast("int").as("is_green"),
+            regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+            length(col("p_name")).as("name_len"))
+          .orderBy("p_partkey")
+      },
+      Some("""
+        SELECT p_partkey,
+               lower(p_name) AS lower_name,
+               upper(p_brand) AS upper_brand,
+               trim(p_name) AS trimmed,
+               substr(p_name, 1, 5) AS prefix5,
+               regexp_replace(p_name, ' ', '_', 'g') AS snake_name,
+               p_brand || '#' || p_type AS brand_type,
+               CAST(p_name LIKE '%green%' AS INTEGER) AS is_green,
+               regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+               CAST(length(p_name) AS INTEGER) AS name_len
+        FROM part ORDER BY p_partkey""")),
+
+    // ------------------------------------------------------------------
+    // JSON field extraction from events.props ({"k": <int>}).
+    "f_json" -> Q(
+      (s, dir) => {
+        Tables.events(s, dir)
+          .select(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("int").as("k_value"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id,
+               CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) AS k_value
+        FROM events ORDER BY event_id""")),
+
+    // ------------------------------------------------------------------
+    // if / multiIf / coalesce / nullif.
+    "f_conditional" -> Q(
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            when(col("l_discount") > 0.05, "discounted").otherwise("full")
+              .as("price_kind"),
+            when(col("l_quantity") < 10, "small")
+              .when(col("l_quantity") < 30, "mid")
+              .otherwise("big").as("qty_band"),
+            coalesce(nullif(col("l_returnflag"), lit("N")), lit("kept"))
+              .as("flag_or_kept"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_discount > 0.05 THEN 'discounted' ELSE 'full' END
+                 AS price_kind,
+               CASE WHEN l_quantity < 10 THEN 'small'
+                    WHEN l_quantity < 30 THEN 'mid'
+                    ELSE 'big' END AS qty_band,
+               coalesce(nullif(l_returnflag, 'N'), 'kept') AS flag_or_kept
+        FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // ------------------------------------------------------------------
+    // split / array ops / explode-equivalent counting on documents.
+    "f_array" -> Q(
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(toks).as("n_tokens"),
+            size(array_distinct(toks)).as("n_uniq_tokens"),
+            element_at(toks, 1).as("first_token"),
+            array_contains(toks, "spark").cast("int").as("has_spark"),
+            concat_ws(" ", slice(toks, 1, 3)).as("first3"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
+                 AS n_uniq_tokens,
+               string_split(text, ' ')[1] AS first_token,
+               CAST(list_contains(string_split(text, ' '), 'spark') AS INTEGER)
+                 AS has_spark,
+               array_to_string(string_split(text, ' ')[1:3], ' ') AS first3
+        FROM documents ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Content hashes (md5 / sha256 oracled; xxhash64 is Spark-internal
+    // and exercised by the dedup operators + specs).
+    "f_hash" -> Q(
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            md5(col("text").cast("binary")).as("md5_hash"),
+            sha2(col("text").cast("binary"), 256).as("sha256_hash"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, md5(text) AS md5_hash, sha256(text) AS sha256_hash
+        FROM documents ORDER BY doc_id"""))
+  )
+}

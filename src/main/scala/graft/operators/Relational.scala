@@ -30,10 +30,10 @@ object Relational {
           .agg(
             dsum(col("l_quantity")).as("sum_qty"),
             dsum(col("l_extendedprice")).as("sum_base_price"),
-            sum(d(col("l_extendedprice")) * oneMinus(col("l_discount")))
-              .cast("double").as("sum_disc_price"),
-            sum(d(col("l_extendedprice")) * oneMinus(col("l_discount"))
-              * onePlus(col("l_tax"))).cast("double").as("sum_charge"),
+            psum(d(col("l_extendedprice")) * oneMinus(col("l_discount")))
+              .as("sum_disc_price"),
+            psum(d(col("l_extendedprice")) * oneMinus(col("l_discount"))
+              * onePlus(col("l_tax"))).as("sum_charge"),
             davg(col("l_quantity")).as("avg_qty"),
             davg(col("l_extendedprice")).as("avg_price"),
             davg(col("l_discount")).as("avg_disc"),
@@ -45,8 +45,7 @@ object Relational {
                ${S.dsum("l_quantity")} AS sum_qty,
                ${S.dsum("l_extendedprice")} AS sum_base_price,
                ${S.revenue("l_extendedprice", "l_discount")} AS sum_disc_price,
-               CAST(sum(${S.d("l_extendedprice")} * ${S.oneMinus("l_discount")}
-                 * ${S.onePlus("l_tax")}) AS DOUBLE) AS sum_charge,
+               ${S.psum(s"${S.d("l_extendedprice")} * ${S.oneMinus("l_discount")} * ${S.onePlus("l_tax")}")} AS sum_charge,
                ${S.davg("l_quantity")} AS avg_qty,
                ${S.davg("l_extendedprice")} AS avg_price,
                ${S.davg("l_discount")} AS avg_disc,
@@ -65,8 +64,8 @@ object Relational {
         l.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .groupBy("l_orderkey", "o_orderdate")
-          .agg(sum(d(col("l_extendedprice")) * oneMinus(col("l_discount")))
-            .cast("double").as("revenue"))
+          .agg(psum(d(col("l_extendedprice")) * oneMinus(col("l_discount")))
+            .as("revenue"))
           .orderBy(col("revenue").desc, col("l_orderkey").asc)
           .limit(10)
       },
@@ -100,8 +99,8 @@ object Relational {
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy("n_name")
-          .agg(sum(d(col("l_extendedprice")) * oneMinus(col("l_discount")))
-            .cast("double").as("revenue"))
+          .agg(psum(d(col("l_extendedprice")) * oneMinus(col("l_discount")))
+            .as("revenue"))
           .orderBy(col("revenue").desc)
       },
       Some(s"""
@@ -123,12 +122,12 @@ object Relational {
             col("l_shipdate") < ts("1997-01-01") &&
             col("l_discount").between(0.03, 0.05) &&
             col("l_quantity") < 24)
-          .agg(sum(d(col("l_extendedprice")) * d(col("l_discount")))
-            .cast("double").as("revenue"),
+          .agg(psum(d(col("l_extendedprice")) * d(col("l_discount")))
+            .as("revenue"),
             count(lit(1)).as("n_items"))
       },
       Some(s"""
-        SELECT CAST(sum(${S.d("l_extendedprice")} * ${S.d("l_discount")}) AS DOUBLE)
+        SELECT ${S.psum(s"${S.d("l_extendedprice")} * ${S.d("l_discount")}")}
                  AS revenue,
                count(*) AS n_items
         FROM lineitem
@@ -151,8 +150,8 @@ object Relational {
           .join(o, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("n_name").as("nation"),
             year(col("o_orderdate")).as("o_year"))
-          .agg(sum(d(col("l_extendedprice")) * oneMinus(col("l_discount")))
-            .cast("double").as("amount"))
+          .agg(psum(d(col("l_extendedprice")) * oneMinus(col("l_discount")))
+            .as("amount"))
           .orderBy(col("nation"), col("o_year").desc)
       },
       Some(s"""
@@ -176,8 +175,8 @@ object Relational {
           .join(c, col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-          .agg(sum(d(col("l_extendedprice")) * oneMinus(col("l_discount")))
-            .cast("double").as("revenue"))
+          .agg(psum(d(col("l_extendedprice")) * oneMinus(col("l_discount")))
+            .as("revenue"))
           .orderBy(col("revenue").desc, col("c_custkey").asc)
           .limit(20)
       },

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Every SURVEY §2 operator in the registry must run, be non-empty,
+  * and (when oracled) expose exactly the column names its oracle SQL
+  * produces — the driver's compare hashes by sorted column name.
+  */
+class RegistrySpec extends SparkSpec {
+
+  for ((name, q) <- SparkEntry.registry.toSeq.sortBy(_._1)) {
+    test(s"$name runs and returns rows at sf0.001") {
+      val df = q.fn(spark, sf)
+      assert(df.columns.nonEmpty)
+      assert(df.count() > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every oracled query has an oracle mentioning its output columns") {
+    for ((name, q) <- SparkEntry.registry; sql <- q.oracle) {
+      val cols = q.fn(spark, sf).columns
+      val missing = cols.filterNot(c => sql.toLowerCase.contains(c.toLowerCase))
+      assert(missing.isEmpty,
+        s"$name: oracle SQL does not mention columns ${missing.mkString(",")}")
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("ch_uniq_hll approximation is within 5% of exact") {
+    val rows = SparkEntry.registry("ch_uniq_hll").fn(spark, sf).collect()
+    for (r <- rows) {
+      val approx = r.getAs[Long]("uniq_users_approx").toDouble
+      val exact = r.getAs[Long]("uniq_users_exact").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"approx $approx vs exact $exact drifts >5%")
+    }
+  }
+}
