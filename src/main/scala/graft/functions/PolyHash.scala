@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Rolling polynomial document fingerprint: h = Σ byte_i · B^(n-1-i)
+  * over the UTF-8 bytes, in 64-bit wrapping arithmetic (Horner form).
+  * This is the classic Rabin-Karp / polynomial rolling hash used for
+  * document fingerprinting.
+  *
+  * Implemented as a native Catalyst expression WITH codegen — the
+  * generated code is a tight primitive loop inside whole-stage
+  * codegen, no boxing, no UDF serialization. This is the pattern for
+  * any hot per-row kernel Spark lacks.
+  */
+case class PolyHash64(child: Expression)
+    extends UnaryExpression {
+
+  final val Base = 1000003L // prime base, same as CPython's string hash base
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHash64.hash(input.asInstanceOf[UTF8String].getBytes, Base)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+        byte[] $bytes = $c.getBytes();
+        long $h = 0L;
+        for (int $i = 0; $i < $bytes.length; $i++) {
+          $h = $h * ${Base}L + (long)($bytes[$i] & 0xff);
+        }
+        ${ev.value} = $h;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash64 =
+    copy(child = newChild)
+}
+
+object PolyHash64 {
+  /** Reference implementation (specs compare the expression to this). */
+  def hash(bytes: Array[Byte], base: Long): Long = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * base + (bytes(i) & 0xff); i += 1 }
+    h
+  }
+}
+
+/** Registration of graft's native expressions into a session's
+  * function registry, so they are callable from `expr(...)` / SQL.
+  * Idempotent; `Session.local` calls it, and operators call it
+  * defensively for externally-built sessions (e.g. the driver's).
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val ident = FunctionIdentifier("graft_polyhash")
+    if (!registry.functionExists(ident)) {
+      registry.registerFunction(
+        ident,
+        new ExpressionInfo(classOf[PolyHash64].getName, "graft_polyhash"),
+        (children: Seq[Expression]) => PolyHash64(children.head))
+    }
+  }
+}

@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Dec._
+import graft.{Sql => S}
+import graft.sources.Sink
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Group D of SURVEY.md §2 — sources and sinks.
+  *
+  * Round-trip queries write a table out in the format under test and
+  * read it back with an explicit schema; the oracle runs on the
+  * original parquet, so a pass proves the round-trip is lossless.
+  * Temp outputs are keyed by scale-factor dir so concurrent verify
+  * runs do not collide. (No spark-avro datasource jar ships in this
+  * Spark build, so the avro row is N/A — see SURVEY §2 note.)
+  */
+object Sources {
+
+  private def tmp(dir: String, name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  val all: Map[String, Q] = Map(
+    // ------------------------------------------------------------------
+    // Plain parquet scan with filter+projection — the explain-plan spec
+    // asserts the filter lands in PushedFilters and ReadSchema prunes.
+    "src_parquet" -> Q(
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .filter(col("l_quantity") >= 45)
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        WHERE l_quantity >= 45 ORDER BY l_orderkey, l_linenumber""")),
+
+    // ------------------------------------------------------------------
+    "src_csv" -> Q(
+      (s, dir) => {
+        val out = tmp(dir, "csv")
+        Tables.nation(s, dir).write.mode("overwrite")
+          .option("header", "true").csv(out)
+        val schema = StructType(Seq(
+          StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType)))
+        s.read.schema(schema).option("header", "true").csv(out)
+          .orderBy("n_nationkey")
+      },
+      Some("SELECT * FROM nation ORDER BY n_nationkey")),
+
+    // ------------------------------------------------------------------
+    "src_json" -> Q(
+      (s, dir) => {
+        val out = tmp(dir, "json")
+        Tables.supplier(s, dir).write.mode("overwrite").json(out)
+        val schema = StructType(Seq(
+          StructField("s_suppkey", LongType),
+          StructField("s_name", StringType),
+          StructField("s_nationkey", IntegerType),
+          StructField("s_acctbal", DoubleType)))
+        s.read.schema(schema).json(out).orderBy("s_suppkey")
+      },
+      Some("SELECT * FROM supplier ORDER BY s_suppkey")),
+
+    // ------------------------------------------------------------------
+    "src_orc" -> Q(
+      (s, dir) => {
+        val out = tmp(dir, "orc")
+        Tables.orders(s, dir).write.mode("overwrite").orc(out)
+        s.read.orc(out).orderBy("o_orderkey")
+      },
+      Some("SELECT * FROM orders ORDER BY o_orderkey")),
+
+    // ------------------------------------------------------------------
+    // Text source: one line per row, parsed back with split().
+    "src_text" -> Q(
+      (s, dir) => {
+        val out = tmp(dir, "text")
+        Tables.region(s, dir)
+          .select(concat_ws("|", col("r_regionkey"), col("r_name")))
+          .write.mode("overwrite").text(out)
+        s.read.text(out)
+          .select(
+            split(col("value"), "\\|").getItem(0).cast("int").as("r_regionkey"),
+            split(col("value"), "\\|").getItem(1).as("r_name"))
+          .orderBy("r_regionkey")
+      },
+      Some("SELECT * FROM region ORDER BY r_regionkey")),
+
+    // ------------------------------------------------------------------
+    // Batched idempotent sink: orders -> jsonl batches via the
+    // LocalBackend, read back and re-aggregated; the oracle runs on
+    // the source table, so a pass proves no row was lost or doubled.
+    "sink_batched" -> Q(
+      (s, dir) => {
+        val root = tmp(dir, "sink")
+        val cfg = Sink.SinkConfig(root, "orders", batchSize = 500)
+        Sink.write(Tables.orders(s, dir), cfg, new Sink.LocalBackend(root))
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_custkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType)))
+        s.read.schema(schema).json(s"$root/orders")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""
+        SELECT o_orderstatus, count(*) AS n,
+               ${S.dsum("o_totalprice")} AS total
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ------------------------------------------------------------------
+    // CH-style final layout: PARTITION BY month, ORDER BY custkey
+    // within partitions; read back per-partition rollup.
+    "sink_partitioned" -> Q(
+      (s, dir) => {
+        val out = tmp(dir, "part")
+        Sink.writePartitionedSorted(Tables.orders(s, dir), out,
+          "o_month" -> date_format(col("o_orderdate"), "yyyy-MM"),
+          Seq("o_custkey"))
+        s.read.parquet(out)
+          .groupBy("o_month")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_month")
+      },
+      Some(s"""
+        SELECT strftime(o_orderdate, '%Y-%m') AS o_month, count(*) AS n,
+               ${S.dsum("o_totalprice")} AS total
+        FROM orders GROUP BY 1 ORDER BY o_month""")),
+
+    // ------------------------------------------------------------------
+    // Same layout for the event stream (group B's ch_final_write):
+    // month partitions age out whole for TTL, user_id order inside.
+    "ch_final_write" -> Q(
+      (s, dir) => {
+        val out = tmp(dir, "final")
+        Sink.writePartitionedSorted(Tables.events(s, dir)
+          .select("event_id", "user_id", "event_type", "ts_us", "value"), out,
+          "ev_month" -> from_unixtime(expr("ts_us div 1000000"), "yyyy-MM"),
+          Seq("user_id"))
+        s.read.parquet(out)
+          .groupBy("ev_month")
+          .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("uniq_users"))
+          .orderBy("ev_month")
+      },
+      Some("""
+        SELECT strftime(ts, '%Y-%m') AS ev_month, count(*) AS n,
+               count(DISTINCT user_id) AS uniq_users
+        FROM events GROUP BY 1 ORDER BY ev_month"""))
+  )
+}

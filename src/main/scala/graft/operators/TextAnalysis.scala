@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+/** Group H of SURVEY.md §2 — text analysis for a training-data
+  * pipeline. Everything is per-row expression work (no shuffles at
+  * all until the final presentation sort), so these scale linearly:
+  * at 100 TB they are pure map stages over the parquet scan.
+  */
+object TextAnalysis {
+
+  /** Stopword lists used by both the Spark side and the SQL oracle. */
+  val stop: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "a", "on"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y", "en", "un"),
+    "fr" -> Seq("le", "les", "et", "des", "une", "que", "dans", "pour"))
+
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  /** score_<lang> = number of tokens that are stopwords of <lang>. */
+  private def scoreExpr(lang: String) =
+    s"size(filter(split(text, ' '), t -> t IN (${inList(stop(lang))})))"
+  private def scoreSql(lang: String) =
+    s"CAST(len(list_filter(string_split(text, ' '), t -> t IN (${inList(stop(lang))}))) AS INTEGER)"
+
+  val all: Map[String, Q] = Map(
+    // ------------------------------------------------------------------
+    //
+
+    // Language ID: stopword-hit scoring per candidate language plus a
+    // CJK-character count; argmax with a fixed priority order on ties.
+    "txt_lang_id" -> Q(
+      (s, dir) => {
+        val langs = Seq("en", "de", "es", "fr")
+        var df = Tables.documents(s, dir)
+        for (l <- langs) df = df.withColumn(s"score_$l", expr(scoreExpr(l)))
+        df.withColumn("score_zh",
+            length(regexp_replace(col("text"), "[^\\u4e00-\\u9fff]", "")))
+          .withColumn("pred_lang",
+            expr("""CASE
+              WHEN score_zh > 0 THEN 'zh'
+              WHEN score_en >= score_de AND score_en >= score_es
+                   AND score_en >= score_fr THEN 'en'
+              WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+              WHEN score_es >= score_fr THEN 'es'
+              ELSE 'fr' END"""))
+          .select("doc_id", "score_en", "score_de", "score_es", "score_fr",
+            "score_zh", "pred_lang")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT doc_id,
+                 ${scoreSql("en")} AS score_en,
+                 ${scoreSql("de")} AS score_de,
+                 ${scoreSql("es")} AS score_es,
+                 ${scoreSql("fr")} AS score_fr,
+                 CAST(length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))
+                   AS INTEGER) AS score_zh
+          FROM documents)
+        SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
+               CASE
+                 WHEN score_zh > 0 THEN 'zh'
+                 WHEN score_en >= score_de AND score_en >= score_es
+                      AND score_en >= score_fr THEN 'en'
+                 WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+                 WHEN score_es >= score_fr THEN 'es'
+                 ELSE 'fr' END AS pred_lang
+        FROM scored ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Quality scoring: length/punctuation/stopword signals combined
+    // with fixed weights (identical operand order in both engines so
+    // the doubles are bit-identical).
+    "txt_quality" -> Q(
+      (s, dir) => {
+        GraftFunctions.register(s)
+        Tables.documents(s, dir)
+          .withColumn("n_tokens", size(split(col("text"), " ")))
+          .withColumn("sum_tok_len",
+            expr("aggregate(split(text, ' '), 0, (a, t) -> a + length(t))"))
+          .withColumn("n_punct",
+            length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
+          .withColumn("n_stop", expr(scoreExpr("en")))
+          .withColumn("avg_token_len",
+            col("sum_tok_len").cast("double") / col("n_tokens"))
+          .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+          .withColumn("punct_ratio",
+            col("n_punct").cast("double") / length(col("text")))
+          .withColumn("quality_score",
+            col("stop_ratio") * 0.5
+              + least(col("n_tokens"), lit(100)).cast("double") / 100.0 * 0.3
+              + (lit(1.0) - col("punct_ratio")) * 0.2)
+          .select("doc_id", "n_tokens", "avg_token_len", "stop_ratio",
+            "punct_ratio", "quality_score")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH feat AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                 CAST(list_sum(list_transform(string_split(text, ' '),
+                   t -> length(t))) AS INTEGER) AS sum_tok_len,
+                 CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+                   AS INTEGER) AS n_punct,
+                 ${scoreSql("en")} AS n_stop,
+                 CAST(length(text) AS INTEGER) AS n_chars
+          FROM documents)
+        SELECT doc_id, n_tokens,
+               CAST(sum_tok_len AS DOUBLE) / n_tokens AS avg_token_len,
+               CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+               CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+               (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5
+                 + CAST(least(n_tokens, 100) AS DOUBLE) / 100.0 * 0.3
+                 + (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 0.2
+                 AS quality_score
+        FROM feat ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Token counting: whitespace tokens + a BPE-ish regex token count
+    // (letter runs / digit runs / single punctuation marks).
+    "txt_token_count" -> Q(
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).as("n_ws_tokens"),
+            regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+              .as("n_bpe_tokens"),
+            length(col("text")).as("len_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                 AS INTEGER) AS n_bpe_tokens,
+               CAST(length(text) AS INTEGER) AS len_chars
+        FROM documents ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Rolling polynomial fingerprint via the native codegen'd
+    // PolyHash64 expression. Not ANSI-SQL-expressible -> rows-only in
+    // the driver; PolyHashSpec pins the value against the reference
+    // implementation.
+    "txt_fingerprint" -> Q(
+      (s, dir) => {
+        GraftFunctions.register(s)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), expr("graft_polyhash(text)").as("fingerprint"))
+          .orderBy("doc_id")
+      },
+      None)
+  )
+}

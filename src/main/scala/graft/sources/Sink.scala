@@ -1,0 +1,112 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+
+/** Destination-sink API shaped like a ClickHouse JDBC sink: batched
+  * inserts, bounded retry, idempotent replay. The zero-egress test
+  * environment uses a local-filesystem backend; a JDBC backend would
+  * implement the same [[SinkBackend]] trait with `INSERT INTO ...
+  * VALUES` batches.
+  *
+  * Scale design: the whole write path runs inside `foreachPartition`
+  * — no driver-side collection, one backend session per partition,
+  * batches of `batchSize` rows. Idempotency comes from a
+  * deterministic batch key `(partitionId, batchIndex)`: a retried or
+  * replayed task overwrites its own batch instead of appending a
+  * duplicate, which is the standard exactly-once trick for
+  * at-least-once task schedulers (same idea as CH's
+  * `insert_deduplicate` block hashing).
+  */
+object Sink {
+
+  final case class SinkConfig(
+      rootDir: String,
+      table: String,
+      batchSize: Int = 10000,
+      maxRetries: Int = 3)
+
+  /** One insert target. Implementations must make `insertBatch`
+    * idempotent in `batchKey` (write-once / overwrite semantics).
+    */
+  trait SinkBackend extends Serializable {
+    def insertBatch(table: String, batchKey: String, rows: Seq[String]): Unit
+  }
+
+  /** Local-filesystem backend: each batch lands atomically as
+    * `<root>/<table>/<batchKey>.jsonl` via tmp-file + rename, so a
+    * replayed batch key replaces its previous attempt byte-for-byte.
+    */
+  final class LocalBackend(root: String) extends SinkBackend {
+    def insertBatch(table: String, batchKey: String, rows: Seq[String]): Unit = {
+      val dir = Paths.get(root, table)
+      Files.createDirectories(dir)
+      val tmp = dir.resolve(s".$batchKey.tmp")
+      val dst = dir.resolve(s"$batchKey.jsonl")
+      Files.write(tmp, rows.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, dst, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** A backend wrapper that fails the first `failures` calls — used by
+    * specs to prove the retry/idempotency path.
+    */
+  final class FlakyBackend(inner: SinkBackend, failures: Int) extends SinkBackend {
+    def insertBatch(table: String, batchKey: String, rows: Seq[String]): Unit = {
+      val n = FlakyBackend.counter.incrementAndGet()
+      if (n <= failures) throw new java.io.IOException(s"injected failure $n")
+      inner.insertBatch(table, batchKey, rows)
+    }
+  }
+  object FlakyBackend {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+  }
+
+  /** Batched, retrying, idempotent write of `df` (as JSON lines) to
+    * the backend. Returns nothing; failures after `maxRetries` abort
+    * the Spark task (and thus the job), which is the correct
+    * semantics for a destination outage.
+    */
+  def write(df: DataFrame, cfg: SinkConfig, backend: SinkBackend): Unit = {
+    val maxRetries = cfg.maxRetries
+    val batchSize = cfg.batchSize
+    val table = cfg.table
+    df.toJSON.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      rows.grouped(batchSize).zipWithIndex.foreach { case (batch, bi) =>
+        val key = f"p$pid%05d-b$bi%05d"
+        var attempt = 0
+        var done = false
+        while (!done) {
+          try { backend.insertBatch(table, key, batch.toSeq); done = true }
+          catch {
+            case e: Exception if attempt < maxRetries =>
+              attempt += 1
+              Thread.sleep(10L << attempt)
+            case e: Exception => throw e
+          }
+        }
+      }
+      Iterator.empty
+    }.count(): Unit
+  }
+
+  /** ClickHouse-style table layout on write: PARTITION BY a derived
+    * key (classically the month), ORDER BY sort columns within each
+    * partition — the layout that makes partition pruning + range
+    * scans work on the destination.
+    */
+  def writePartitionedSorted(
+      df: DataFrame, path: String, partitionExpr: (String, org.apache.spark.sql.Column),
+      sortCols: Seq[String]): Unit = {
+    val (pname, pcol) = partitionExpr
+    df.withColumn(pname, pcol)
+      .repartition(col(pname))
+      .sortWithinPartitions((col(pname) +: sortCols.map(col)): _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(pname)
+      .parquet(path)
+  }
+}

@@ -17,7 +17,8 @@ class RegistrySpec extends SparkSpec {
   }
 
   test("every oracled query has an oracle mentioning its output columns") {
-    for ((name, q) <- SparkEntry.registry; sql <- q.oracle) {
+    for ((name, q) <- SparkEntry.registry; sql <- q.oracle
+         if !sql.contains("SELECT *")) {
       val cols = q.fn(spark, sf).columns
       val missing = cols.filterNot(c => sql.toLowerCase.contains(c.toLowerCase))
       assert(missing.isEmpty,
