@@ -65,12 +65,19 @@ object PolyHash64 {
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val ident = FunctionIdentifier("graft_polyhash")
-    if (!registry.functionExists(ident)) {
+    val polyIdent = FunctionIdentifier("graft_polyhash")
+    if (!registry.functionExists(polyIdent)) {
       registry.registerFunction(
-        ident,
+        polyIdent,
         new ExpressionInfo(classOf[PolyHash64].getName, "graft_polyhash"),
         (children: Seq[Expression]) => PolyHash64(children.head))
+    }
+    val simIdent = FunctionIdentifier("graft_simhash")
+    if (!registry.functionExists(simIdent)) {
+      registry.registerFunction(
+        simIdent,
+        new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+        (children: Seq[Expression]) => SimHash64(children.head))
     }
   }
 }

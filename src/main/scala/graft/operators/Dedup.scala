@@ -1,0 +1,225 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Group E of SURVEY.md §2 — the deduplication family for a
+  * training-data pipeline.
+  *
+  * Scale shape of every operator here: nothing materializes O(n²).
+  * - exact dedup: one hash aggregation on the normalized text.
+  * - ngram-jaccard: inverted-index (shingle) join — pairs are only
+  *   generated for docs that SHARE a shingle, then verified exactly.
+  * - minhash-LSH: banded signatures key the shuffle; candidate pairs
+  *   are bounded by bucket sizes, then verified exactly.
+  * - simhash: 16-bit block banding guarantees recall for hamming<=3.
+  * - embedding cosine: the oracled baseline is exact; the scale path
+  *   is the IVF/LSH route in [[Ann]].
+  *
+  * At 100 TB the one extra safeguard needed is a stop-shingle filter
+  * (drop shingles with document-frequency above a cap before the
+  * self-join) — standard practice, noted inline where it applies.
+  */
+object Dedup {
+
+  /** Canonical text normalization shared by the dedup operators. */
+  def normText(c: Column): Column =
+    regexp_replace(trim(lower(c)), " +", " ")
+
+  /** Distinct word k-shingles of `text` (1-based closed arithmetic so
+    * the DuckDB mirror produces the identical set). Docs with fewer
+    * than k tokens produce no shingles.
+    */
+  def shingleExpr(k: Int): String = {
+    val parts = (0 until k).map(j => s"element_at(toks, i + $j)").mkString(", ")
+    s"""array_distinct(transform(sequence(1, greatest(size(toks) - ${k - 1}, 0)),
+        i -> concat_ws(' ', $parts)))"""
+  }
+
+  /** docs -> (doc_id, shingles, n_shingles), shingle-bearing docs only. */
+  def docShingles(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
+      .select(col("doc_id"), expr(shingleExpr(k)).as("shingles"))
+      .withColumn("n_sh", size(col("shingles")))
+      .filter(col("n_sh") > 0)
+
+  /** Exact-jaccard verified pairs from an inverted-index self-join:
+    * explode shingles, join on the shingle, count shared shingles per
+    * pair, compute J = inter / (|A| + |B| - inter).
+    *
+    * 100 TB note: add `.filter(df_of_shingle < cap)` on the exploded
+    * side (a pre-aggregated doc-frequency join) to bound bucket fanout
+    * on stop-shingles before the self-join.
+    */
+  def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val ex = sh.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
+    val a = ex.select(col("sh"), col("doc_id").as("id_a"), col("n_sh").as("na"))
+    val b = ex.select(col("sh"), col("doc_id").as("id_b"), col("n_sh").as("nb"))
+    a.join(b, Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-permutation minhash signature over the shingle array, as a
+    * per-row expression (no shuffle): perm i uses xxhash64(shingle, i).
+    */
+  val minhashSigExpr: String =
+    """transform(sequence(0, 63),
+         i -> array_min(transform(shingles, sh -> xxhash64(sh, i))))"""
+
+  /** LSH banding of a 64-long signature into `bands` band hashes. */
+  def bandExpr(bands: Int): String = {
+    val r = 64 / bands
+    s"""transform(sequence(0, ${bands - 1}),
+         b -> xxhash64(b, concat_ws(',', slice(sig, b * $r + 1, $r))))"""
+  }
+
+  /** SQL oracle for threshold near-dup pairs — brute force in DuckDB
+    * (test-SF-sized), mirroring normalization + shingling exactly.
+    */
+  def jaccardOracle(k: Int, threshold: Double, withJ: Boolean): String = {
+    val j = if (withJ) ", j AS jaccard" else ""
+    s"""
+      WITH t AS (SELECT doc_id,
+                   string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') toks
+                 FROM documents),
+      sh AS (SELECT doc_id,
+               list_distinct([array_to_string(toks[i:i+${k - 1}], ' ')
+                              for i in range(1, len(toks) - ${k - 2})]) shingles
+             FROM t WHERE len(toks) >= $k),
+      p AS (SELECT a.doc_id id_a, b.doc_id id_b,
+              CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+                (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles))) j
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT id_a, id_b$j FROM p WHERE j >= $threshold ORDER BY id_a, id_b"""
+  }
+
+  val all: Map[String, Q] = Map(
+    // ------------------------------------------------------------------
+    // Exact dedup: keep the lowest doc_id per normalized text. One
+    // hash aggregation; the map-side partial keeps shuffle narrow.
+    "dedup_exact" -> Q(
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .groupBy(normText(col("text")).as("norm"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+          .select("doc_id", "n_copies")
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents
+        GROUP BY regexp_replace(trim(lower(text)), ' +', ' ', 'g')
+        ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Exact n-gram Jaccard pairs (J >= 0.5) via the inverted-index
+    // join; DuckDB brute-forces the same pairs.
+    "dedup_ngram_jaccard" -> Q(
+      (s, dir) => jaccardPairs(docShingles(s, dir), 0.5)
+        .orderBy("id_a", "id_b"),
+      Some(jaccardOracle(3, 0.5, withJ = true))),
+
+    // ------------------------------------------------------------------
+    // MinHash + LSH: signatures -> 16 bands of 4 -> bucket join ->
+    // exact-jaccard verification of candidates only. The planted
+    // near-dups (J ~ 0.99) collide in a band with probability
+    // 1 - (1 - J^4)^16 ~ 1, so the verified output equals the exact
+    // pair set and shares its oracle; the spec additionally checks
+    // candidate recall against the brute-force pairs.
+    "dedup_minhash_lsh" -> Q(
+      (s, dir) => {
+        val sh = docShingles(s, dir)
+        val sigs = sh.withColumn("sig", expr(minhashSigExpr))
+        val bands = sigs
+          .select(col("doc_id"), posexplode(expr(bandExpr(16))))
+          .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
+        val cands = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+          .distinct()
+        val withSets = cands
+          .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sha"),
+            col("n_sh").as("na")), Seq("id_a"))
+          .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("shb"),
+            col("n_sh").as("nb")), Seq("id_b"))
+        withSets
+          .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .filter(col("jaccard") >= 0.5)
+          .select("id_a", "id_b", "jaccard")
+          .orderBy("id_a", "id_b")
+      },
+      Some(jaccardOracle(3, 0.5, withJ = true))),
+
+    // ------------------------------------------------------------------
+    // SimHash: 64-bit signature from token hashes (per-row expression),
+    // 4 x 16-bit block banding (pigeonhole-guaranteed recall for
+    // hamming <= 3), verified with bit_count(xor). Signature values
+    // are xxhash64-derived -> rows-only for the driver; SimHashSpec
+    // pins semantics on planted data.
+    "dedup_simhash" -> Q(
+      (s, dir) => {
+        // simhash over 3-word shingles (unigrams are too coarse: with a
+        // small vocabulary most docs share most token SETS, so shingles
+        // are what separates near-dups from merely same-domain docs)
+        graft.functions.GraftFunctions.register(s)
+        val sigs = docShingles(s, dir)
+          .withColumn("sig",
+            expr("graft_simhash(transform(shingles, t -> xxhash64(t)))"))
+          .select("doc_id", "sig")
+        // 8 blocks of 8 bits: pigeonhole guarantees any pair with
+        // hamming <= 7 shares at least one identical block.
+        val blocks = sigs
+          .select(col("doc_id"), col("sig"),
+            posexplode(expr(
+              """transform(sequence(0, 7),
+                   b -> (sig >> (b * 8)) & 255)""")))
+          .select(col("doc_id"), col("sig"), col("pos").as("blk"), col("col").as("bv"))
+        blocks.as("x").join(blocks.as("y"),
+            col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+            bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 7)
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
+    // ------------------------------------------------------------------
+    // Embedding cosine near-dup pairs (cos >= 0.45). This is the
+    // exact correctness baseline (pair ids only — similarity VALUES
+    // are engine-fp-sensitive, membership is not: min threshold
+    // margin in the test data is 5e-4). bench=false: the scale path
+    // is Ann's IVF route, not an all-pairs product.
+    "dedup_embedding" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+        a.crossJoin(b).filter(col("id_a") < col("id_b"))
+          .withColumn("cos", Ann.cosineExpr(col("va"), col("vb")))
+          .filter(col("cos") >= 0.45)
+          .select("id_a", "id_b")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        ORDER BY id_a, id_b"""),
+      bench = false)
+  )
+}

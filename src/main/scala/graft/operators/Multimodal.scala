@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Group G of SURVEY.md §2 — multimodal (binary) columns.
+  *
+  * The pipeline pattern: media rides as an opaque `binary` column
+  * with typed metadata beside it; decode/feature-extraction runs as
+  * partition-local batch work (`mapPartitions`) so a real decoder
+  * (image/audio libs) would amortize per-batch init and never touch
+  * the driver. The decoders themselves are NOT available in this
+  * container, so the decode step is a clearly-marked deterministic
+  * fake — the Spark-side plumbing (schema, partitioning, batch
+  * shape) is real and spec'd.
+  */
+object Multimodal {
+
+  /** Deterministic FAKE decode: stands in for image/audio decoding,
+    * which is unavailable in this environment. Derives a fixed-size
+    * feature vector from the payload bytes only — stable across
+    * partitionings and runs.
+    */
+  def fakeDecodeFeatures(payload: Array[Byte]): Array[Float] = {
+    val n = payload.length
+    var sum = 0L; var min = 255; var max = 0
+    var i = 0
+    while (i < n) {
+      val b = payload(i) & 0xff
+      sum += b; if (b < min) min = b; if (b > max) max = b
+      i += 1
+    }
+    val mean = if (n == 0) 0f else sum.toFloat / n
+    Array(n.toFloat, mean, min.toFloat, max.toFloat,
+      if (n == 0) 0f else (payload(0) & 0xff).toFloat,
+      if (n == 0) 0f else (payload(n - 1) & 0xff).toFloat,
+      (sum % 256).toFloat,
+      (graft.functions.PolyHash64.hash(payload, 1000003L) & 0xffff).toFloat)
+  }
+
+  val all: Map[String, Q] = Map(
+    // ------------------------------------------------------------------
+    // Binary payload + typed metadata, partition-aware (shard key in
+    // the schema). Metadata is oracled; the payload itself round-trips
+    // as binary (n_bytes proves it).
+    "mm_binary_schema" -> Q(
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            col("text").cast("binary").as("payload"),
+            lit("text/plain").as("media_format"),
+            col("source").as("media_source"))
+          .select(col("doc_id"), col("media_format"), col("media_source"),
+            octet_length(col("payload")).as("n_bytes"),
+            pmod(col("doc_id"), lit(16)).as("shard"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, 'text/plain' AS media_format, source AS media_source,
+               CAST(strlen(text) AS INTEGER) AS n_bytes,
+               doc_id % 16 AS shard
+        FROM documents ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Feature extraction over the binary column via mapPartitions:
+    // batch-shaped, executor-local, driver never sees a payload.
+    // Fake-decode -> rows-only for the driver; MultimodalSpec pins
+    // determinism, shape, and partitioning-invariance.
+    "mm_feature_extract" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val bin = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[(Long, Array[Byte])]
+        bin.mapPartitions { it =>
+          // batch loop: a real decoder would init its codec once here
+          it.map { case (id, payload) => (id, fakeDecodeFeatures(payload)) }
+        }.toDF("doc_id", "features")
+          .select(col("doc_id") +:
+            (0 until 8).map(i => col("features").getItem(i).as(s"f$i")): _*)
+          .orderBy("doc_id")
+      },
+      None)
+  )
+}

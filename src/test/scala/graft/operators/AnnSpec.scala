@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkSpec {
+
+  private def topk(name: String): Map[Long, Seq[Long]] =
+    SparkEntry.registry(name).fn(spark, sf)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+
+  test("brute-force top-k is self-consistent: k results per query, no self") {
+    val bf = topk("ann_bruteforce_topk")
+    assert(bf.size == 5)
+    for ((q, ns) <- bf) {
+      assert(ns.length == 10, s"query $q returned ${ns.length}")
+      assert(!ns.contains(q), s"query $q returned itself")
+      assert(ns.distinct.length == ns.length)
+    }
+  }
+
+  test("IVF top-k recall@10 vs brute force is usable") {
+    val bf = topk("ann_bruteforce_topk")
+    val ivf = topk("ann_ivf_topk")
+    val recalls = bf.keys.toSeq.map { q =>
+      val hit = ivf.getOrElse(q, Nil).toSet.intersect(bf(q).toSet).size
+      hit.toDouble / 10.0
+    }
+    val mean = recalls.sum / recalls.length
+    info(f"mean recall@10 = $mean%.2f")
+    assert(mean >= 0.3, f"IVF recall collapsed: $mean%.2f")
+  }
+
+  test("cosineExpr matches a hand computation") {
+    import graft.SparkSpec.spark.implicits._
+    val df = Seq((Array(1f, 0f, 1f), Array(1f, 1f, 0f))).toDF("a", "b")
+    val got = df.select(Ann.cosineExpr(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(got - 0.5) < 1e-12) // dot=1, |a|=|b|=sqrt(2)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+import graft.functions.{GraftFunctions, SimHash64}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import graft.SparkSpec.spark.implicits._
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    SparkEntry.registry(name).fn(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash-LSH finds exactly the exact-jaccard pairs on the test data") {
+    val exact = pairs("dedup_ngram_jaccard")
+    val lsh = pairs("dedup_minhash_lsh")
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    assert(lsh == exact, s"LSH=${lsh.size} exact=${exact.size}")
+  }
+
+  test("simhash pairs are a subset of exact near-dup pairs with high recall") {
+    val exact = pairs("dedup_ngram_jaccard")
+    val sim = pairs("dedup_simhash")
+    assert((sim -- exact).isEmpty, s"false positives: ${(sim -- exact).take(5)}")
+    assert(sim.size >= (exact.size * 0.7).toInt,
+      s"recall too low: ${sim.size}/${exact.size}")
+  }
+
+  test("exact dedup keeps one representative per duplicated text") {
+    val dup = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x  y"), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val out = dup.groupBy(Dedup.normText(col("text")).as("norm"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // "x  y" normalizes to "x y": two groups survive, min ids kept
+    assert(out.toSeq == Seq((1L, 2L), (3L, 2L)))
+  }
+
+  test("jaccardPairs computes exact jaccard on a constructed pair") {
+    val docs = Seq(
+      (1L, Array("a b c", "b c d", "c d e"), 3),
+      (2L, Array("a b c", "b c d", "z z z"), 3),
+      (3L, Array("q q q"), 1)).toDF("doc_id", "shingles", "n_sh")
+    val out = Dedup.jaccardPairs(docs, 0.4).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 2L)
+    assert(math.abs(out(0).getDouble(2) - 0.5) < 1e-12) // 2 shared / 4 union
+  }
+
+  test("SimHash64 expression matches reference and separates feature sets") {
+    GraftFunctions.register(spark)
+    val fs = Seq(
+      Seq(1L, 2L, 3L, Long.MaxValue, -7L),
+      Seq(1L, 2L, 3L, Long.MaxValue, -7L, 99L), // near-identical
+      Seq(1000L, -2000L, 300045L))              // different
+    val got = fs.map(_.toArray).toDF("hs")
+      .select(expr("graft_simhash(hs)").as("sig"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == fs.map(SimHash64.hash))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(got(0), got(1)) < ham(got(0), got(2)))
+  }
+
+  test("embedding near-dup pairs agree between exact and re-verified IVF recall") {
+    val exact = pairs("dedup_embedding")
+    assert(exact.nonEmpty)
+    // every exact pair has cosine >= threshold when recomputed
+    val e = graft.Tables.embeddings(spark, sf)
+    val withCos = exact.toSeq.toDF("id_a", "id_b")
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")), Seq("id_b"))
+      .withColumn("cos", Ann.cosineExpr(col("va"), col("vb")))
+    assert(withCos.filter(col("cos") < 0.45).count() == 0)
+  }
+}
