@@ -1,0 +1,112 @@
+package graft.streaming
+
+import graft.{SparkEntry, SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The genuinely-streaming executions: each one runs a real
+  * readStream -> transform -> memory-sink query over the events
+  * table (staged as files) and must reproduce the batch-path rows.
+  */
+class StreamingSpec extends SparkSpec {
+  import graft.SparkSpec.spark.implicits._
+
+  private lazy val stageDir: String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_stage"
+    // Stage events as multiple files in TIME order (quartile buckets,
+    // appended oldest-first with distinct mod-times): a real stream
+    // delivers roughly in event-time order, and the file source picks
+    // up files oldest-first. Hash-partitioned staging would make the
+    // first micro-batch span the whole time range and push the
+    // watermark past everything else.
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val e = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts_us", "value")
+    val qs = e.stat.approxQuantile("ts_us", Array(0.25, 0.5, 0.75), 0.0)
+    val bounds = (Long.MinValue +: qs.map(_.toLong)) :+ Long.MaxValue
+    for (i <- 0 until 4) {
+      e.filter(col("ts_us") > bounds(i) && col("ts_us") <= bounds(i + 1))
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1100) // distinct file mod-times => stable pickup order
+    }
+    dir
+  }
+
+  private val schema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("ts_us", LongType),
+    StructField("value", DoubleType)))
+
+  private def streamedEvents: DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+
+  private def runToCompletion(df: DataFrame, name: String,
+      mode: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  private def canon(df: DataFrame): Seq[Seq[Any]] = {
+    val cols = df.columns.sorted.toIndexedSeq
+    df.select(cols.map(col): _*).collect().map(_.toSeq.toIndexedSeq)
+      .sortBy(_.mkString("|")).toIndexedSeq
+  }
+
+  test("streaming windowed agg equals the batch window query") {
+    val streamed = runToCompletion(
+      streamedEvents
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.Dec.dsum(col("value")).as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("total_value")),
+      "stream_window_agg_t", "complete")
+    val batch = SparkEntry.registry("stream_window_agg").fn(spark, sf)
+    assert(canon(streamed) == canon(batch))
+  }
+
+  test("streaming dropDuplicates within watermark equals batch dedup") {
+    val s = streamedEvents
+    val streamed = runToCompletion(
+      s.union(s)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("event_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), graft.Dec.dsum(col("value")).as("total")),
+      "stream_dedup_t", "complete")
+    val batch = SparkEntry.registry("stream_dedup").fn(spark, sf)
+    assert(canon(streamed) == canon(batch))
+  }
+
+  test("streaming sessionization (flatMapGroupsWithState) equals batch") {
+    val streamed = runToCompletion(
+      Sessionize.streaming(
+        streamedEvents
+          .withWatermark("ts", "2 hours")
+          .select("user_id", "event_id", "ts_us", "value", "ts")
+          .as[Sessionize.Ev]),
+      "stream_session_t", "append")
+    val batch = SparkEntry.registry("stream_session").fn(spark, sf)
+    // the stream never sees end-of-input, so sessions still open at
+    // the final watermark are not emitted; every emitted session must
+    // match the batch result, and coverage must be high.
+    val sRows = canon(streamed)
+    val bRows = canon(batch)
+    val bSet = bRows.toSet
+    assert(sRows.nonEmpty, "stream emitted nothing")
+    assert(sRows.forall(bSet.contains),
+      s"stream emitted a session not in batch: ${sRows.find(r => !bSet.contains(r))}")
+    assert(sRows.size >= (bRows.size * 0.8).toInt,
+      s"stream emitted only ${sRows.size} of ${bRows.size} sessions")
+  }
+}
