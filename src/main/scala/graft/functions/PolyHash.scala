@@ -79,5 +79,12 @@ object GraftFunctions {
         new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
         (children: Seq[Expression]) => SimHash64(children.head))
     }
+    val mhIdent = FunctionIdentifier("graft_minhash")
+    if (!registry.functionExists(mhIdent)) {
+      registry.registerFunction(
+        mhIdent,
+        new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+        (children: Seq[Expression]) => MinHashSig(children.head))
+    }
   }
 }

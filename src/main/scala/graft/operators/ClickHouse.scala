@@ -196,13 +196,16 @@ object ClickHouse {
     // quantile/quantiles: exact interpolated percentiles per group.
     "ch_quantiles" -> Q(
       (s, dir) => {
+        // one percentile aggregate with an array of fractions: four
+        // separate percentile() calls would each build their own
+        // per-group value map (4x the state and time)
         Tables.lineitem(s, dir)
           .groupBy("l_returnflag")
-          .agg(
-            percentile(col("l_extendedprice"), lit(0.25)).as("p25"),
-            percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
-            percentile(col("l_extendedprice"), lit(0.75)).as("p75"),
-            percentile(col("l_extendedprice"), lit(0.9)).as("p90"))
+          .agg(percentile(col("l_extendedprice"),
+            array(lit(0.25), lit(0.5), lit(0.75), lit(0.9))).as("ps"))
+          .select(col("l_returnflag"),
+            col("ps").getItem(0).as("p25"), col("ps").getItem(1).as("p50"),
+            col("ps").getItem(2).as("p75"), col("ps").getItem(3).as("p90"))
           .orderBy("l_returnflag")
       },
       Some("""

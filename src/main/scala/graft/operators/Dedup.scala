@@ -27,20 +27,34 @@ object Dedup {
   def normText(c: Column): Column =
     regexp_replace(trim(lower(c)), " +", " ")
 
-  /** Distinct word k-shingles of `text` (1-based closed arithmetic so
-    * the DuckDB mirror produces the identical set). Docs with fewer
-    * than k tokens produce no shingles.
+  /** Distinct word k-shingles of `text`, HASHED to 64-bit longs: each
+    * token is xxhash64'd once, then k consecutive token hashes combine
+    * into one shingle key. Long keys make the distinct, the explode,
+    * and the self-join shuffle dramatically cheaper than string
+    * shingles, and a 64-bit collision between distinct shingles is
+    * negligible at any realistic corpus size (the jaccard values are
+    * then identical to string-shingle jaccard). 1-based closed
+    * arithmetic mirrors the DuckDB oracle's shingle count; docs with
+    * fewer than k tokens produce no shingles.
     */
   def shingleExpr(k: Int): String = {
-    val parts = (0 until k).map(j => s"element_at(toks, i + $j)").mkString(", ")
-    s"""array_distinct(transform(sequence(1, greatest(size(toks) - ${k - 1}, 0)),
-        i -> concat_ws(' ', $parts)))"""
+    val parts = (0 until k).map(j => s"element_at(th, i + $j)").mkString(", ")
+    s"""array_distinct(transform(sequence(1, greatest(size(th) - ${k - 1}, 0)),
+        i -> xxhash64($parts)))"""
   }
 
-  /** docs -> (doc_id, shingles, n_shingles), shingle-bearing docs only. */
+  /** docs -> (doc_id, shingles: array<long>, n_sh), shingle-bearing
+    * docs only. The repartition spreads the CPU-bound hashing across
+    * cores: a small-but-expression-heavy table often arrives as one
+    * input split (one task), and this stage is compute-bound, not
+    * IO-bound. At 100 TB the scan itself yields enough partitions and
+    * AQE coalesces this to a no-op-ish exchange.
+    */
   def docShingles(s: SparkSession, dir: String, k: Int = 3): DataFrame =
     Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
+      .select(col("doc_id"), expr("transform(toks, t -> xxhash64(t))").as("th"))
       .select(col("doc_id"), expr(shingleExpr(k)).as("shingles"))
       .withColumn("n_sh", size(col("shingles")))
       .filter(col("n_sh") > 0)
@@ -54,7 +68,10 @@ object Dedup {
     * on stop-shingles before the self-join.
     */
   def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    // persist the exploded index: both self-join legs read it, and
+    // alias divergence defeats Spark's exchange reuse otherwise
     val ex = sh.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = ex.select(col("sh"), col("doc_id").as("id_a"), col("n_sh").as("na"))
     val b = ex.select(col("sh"), col("doc_id").as("id_b"), col("n_sh").as("nb"))
     a.join(b, Seq("sh"))
@@ -67,18 +84,17 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-permutation minhash signature over the shingle array, as a
-    * per-row expression (no shuffle): perm i uses xxhash64(shingle, i).
+  /** 64-permutation minhash signature over the (hashed) shingle
+    * array — the native codegen MinHashSig expression, one tight
+    * primitive loop per row, no shuffle.
     */
-  val minhashSigExpr: String =
-    """transform(sequence(0, 63),
-         i -> array_min(transform(shingles, sh -> xxhash64(sh, i))))"""
+  val minhashSigExpr: String = "graft_minhash(shingles)"
 
   /** LSH banding of a 64-long signature into `bands` band hashes. */
   def bandExpr(bands: Int): String = {
     val r = 64 / bands
-    s"""transform(sequence(0, ${bands - 1}),
-         b -> xxhash64(b, concat_ws(',', slice(sig, b * $r + 1, $r))))"""
+    val parts = (1 to r).map(j => s"element_at(sig, b * $r + $j)").mkString(", ")
+    s"""transform(sequence(0, ${bands - 1}), b -> xxhash64(b, $parts))"""
   }
 
   /** SQL oracle for threshold near-dup pairs — brute force in DuckDB
@@ -137,7 +153,10 @@ object Dedup {
     // candidate recall against the brute-force pairs.
     "dedup_minhash_lsh" -> Q(
       (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        // shingles are read three times (signatures + two verify legs)
         val sh = docShingles(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val sigs = sh.withColumn("sig", expr(minhashSigExpr))
         val bands = sigs
           .select(col("doc_id"), posexplode(expr(bandExpr(16))))
@@ -175,8 +194,7 @@ object Dedup {
         // are what separates near-dups from merely same-domain docs)
         graft.functions.GraftFunctions.register(s)
         val sigs = docShingles(s, dir)
-          .withColumn("sig",
-            expr("graft_simhash(transform(shingles, t -> xxhash64(t)))"))
+          .withColumn("sig", expr("graft_simhash(shingles)"))
           .select("doc_id", "sig")
         // 8 blocks of 8 bits: pigeonhole guarantees any pair with
         // hamming <= 7 shares at least one identical block.
@@ -186,6 +204,7 @@ object Dedup {
               """transform(sequence(0, 7),
                    b -> (sig >> (b * 8)) & 255)""")))
           .select(col("doc_id"), col("sig"), col("pos").as("blk"), col("col").as("bv"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         blocks.as("x").join(blocks.as("y"),
             col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&
               col("x.doc_id") < col("y.doc_id"))

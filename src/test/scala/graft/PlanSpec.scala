@@ -1,0 +1,41 @@
+package graft
+
+/** Explain-plan audits: the physical plans must keep the properties
+  * that make these queries viable at 100 TB — filters reaching the
+  * parquet scan, column pruning, broadcast joins for dimensions, and
+  * map-side partial aggregation.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.registry(name).fn(spark, sf).queryExecution.executedPlan.toString
+
+  test("src_parquet pushes the filter into the scan and prunes columns") {
+    val p = plan("src_parquet")
+    assert(p.contains("PushedFilters:") && p.contains("l_quantity"),
+      s"no pushed filter in:\n$p")
+    assert(!p.contains("l_extendedprice"), "scan reads pruned-away columns")
+  }
+
+  test("q06 scan-filter query pushes all range predicates") {
+    val p = plan("q06_forecast_revenue")
+    val pushedLine = p.linesIterator.find(_.contains("PushedFilters:")).getOrElse("")
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushedLine.contains(c), s"$c not pushed: $pushedLine")
+  }
+
+  test("star joins broadcast their dimension sides") {
+    for (q <- Seq("q03_shipping_priority", "q05_revenue_by_nation",
+        "q09_profit_by_nation_year")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q has no broadcast join:\n$p")
+    }
+  }
+
+  test("q01 aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("HashAggregate"), s"q01 not hash-aggregated:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial + final aggregation stages")
+  }
+}
