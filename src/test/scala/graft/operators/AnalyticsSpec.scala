@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec, Tables}
+import graft.sources.Bucketing
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+  import graft.SparkSpec.spark.implicits._
+
+  test("bucketed fact-fact join plans without a join-side shuffle") {
+    val (ot, lt) = Bucketing.ensureOrdersLineitem(spark, sf)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table(ot)
+        .join(spark.table(lt), col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("windowFunnel depth distribution is sane and matches a recompute") {
+    val rows = SparkEntry.registry("ch_windowfunnel").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val depths = rows.map(_.getInt(1))
+    assert(depths.forall(d => d >= 0 && d <= 3))
+  }
+
+  test("approx quantiles are within 5% of exact") {
+    val exact = SparkEntry.registry("ch_quantiles").fn(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val approx = SparkEntry.registry("ch_quantiles_approx").fn(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    for ((k, ex) <- exact; (a, e) <- approx(k).zip(ex))
+      assert(math.abs(a - e) / e <= 0.05, s"$k: approx $a vs exact $e")
+  }
+
+  test("salted join returns exactly the rows of the plain join") {
+    val left = Seq.tabulate(1000)(i => (if (i < 900) 1L else i.toLong, i))
+      .toDF("k", "payload") // 90% of rows share key 1 — heavy skew
+    val right = Seq((1L, "hot"), (950L, "cold"), (999L, "tail")).toDF("k", "name")
+    val plain = left.join(right, Seq("k"))
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(left, right, "k", 8, col("payload"))
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    assert(salted == plain && plain.size == 902)
+  }
+}
