@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Dec._
+import graft.{Sql => S}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Additional query-surface coverage: math/bitwise scalars, IN
+  * subqueries, the rank window family, deterministic sampling, and a
+  * range (interval) join.
+  */
+object Extra {
+
+  val all: Map[String, Q] = Map(
+    // ------------------------------------------------------------------
+    // Math scalars restricted to operations that are correctly-rounded
+    // IEEE in both engines (sqrt yes; exp/log/pow differ by libm).
+    "f_math" -> Q(
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round(col("l_extendedprice"), 1).as("rounded1"),
+            floor(col("l_extendedprice")).cast("long").as("floored"),
+            ceil(col("l_extendedprice")).cast("long").as("ceiled"),
+            abs(col("l_extendedprice") - 1000.0).as("abs_delta"),
+            signum(col("l_discount") - 0.05).cast("int").as("disc_sign"),
+            sqrt(col("l_quantity")).as("sqrt_qty"),
+            greatest(col("l_quantity"), col("l_discount") * 100).as("gr"),
+            least(col("l_quantity"), col("l_tax") * 100).as("ls"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice, 1) AS rounded1,
+               CAST(floor(l_extendedprice) AS BIGINT) AS floored,
+               CAST(ceil(l_extendedprice) AS BIGINT) AS ceiled,
+               abs(l_extendedprice - 1000.0) AS abs_delta,
+               CAST(sign(l_discount - 0.05) AS INTEGER) AS disc_sign,
+               sqrt(l_quantity) AS sqrt_qty,
+               greatest(l_quantity, l_discount * 100) AS gr,
+               least(l_quantity, l_tax * 100) AS ls
+        FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // ------------------------------------------------------------------
+    // Bitwise ops (exact integer semantics in both engines).
+    "f_bitwise" -> Q(
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            (col("o_orderkey").bitwiseAND(255L)).as("band"),
+            (col("o_orderkey").bitwiseOR(16L)).as("bor"),
+            (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("bxor"),
+            shiftright(col("o_orderkey"), 4).as("shr"),
+            shiftleft(col("o_orderkey").bitwiseAND(15L), 2).as("shl"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey,
+               o_orderkey & 255 AS band,
+               o_orderkey | 16 AS bor,
+               xor(o_orderkey, o_custkey) AS bxor,
+               o_orderkey >> 4 AS shr,
+               (o_orderkey & 15) << 2 AS shl
+        FROM orders ORDER BY o_orderkey""")),
+
+    // ------------------------------------------------------------------
+    // IN-subquery (uncorrelated): customers in nations that have
+    // suppliers with high balances.
+    "q_in_subquery" -> Q(
+      (s, dir) => {
+        val rich = Tables.supplier(s, dir)
+          .filter(col("s_acctbal") > 5000)
+          .select(col("s_nationkey")).distinct()
+        Tables.customer(s, dir)
+          .join(broadcast(rich), col("c_nationkey") === col("s_nationkey"), "left_semi")
+          .select("c_custkey", "c_name", "c_nationkey")
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_name, c_nationkey FROM customer
+        WHERE c_nationkey IN (SELECT s_nationkey FROM supplier
+                              WHERE s_acctbal > 5000)
+        ORDER BY c_custkey""")),
+
+    // ------------------------------------------------------------------
+    // The rank window family (rank / dense_rank / ntile / percent_rank
+    // / cume_dist; the fractional ones are exact IEEE divisions of the
+    // same integers in both engines).
+    "q_window_ranks" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("p_brand"))
+          .orderBy(col("p_retailprice").asc, col("p_partkey").asc)
+        Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("prnk"),
+            cume_dist().over(w).as("cdist"))
+          .orderBy("p_partkey")
+      },
+      Some("""
+        SELECT p_partkey, p_brand, p_retailprice,
+               CAST(rank() OVER w AS INTEGER) AS rnk,
+               CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+               percent_rank() OVER w AS prnk,
+               cume_dist() OVER w AS cdist
+        FROM part
+        WINDOW w AS (PARTITION BY p_brand
+                     ORDER BY p_retailprice ASC, p_partkey ASC)
+        ORDER BY p_partkey""")),
+
+    // ------------------------------------------------------------------
+    // Deterministic sampling (CH SAMPLE-clause shape): a stable
+    // key-hash band, not rand() — reproducible across runs/engines
+    // and cluster layouts.
+    "q_sample" -> Q(
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""
+        SELECT o_orderstatus, count(*) AS n,
+               ${S.dsum("o_totalprice")} AS total
+        FROM orders WHERE o_orderkey % 10 = 0
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ------------------------------------------------------------------
+    // Range (interval) join: lineitem rows banded by a quantity-range
+    // dimension. The interval table is tiny -> broadcast nested-loop
+    // is the right plan; for a LARGE interval set the technique is
+    // bin-explode + equi-join on bin + residual filter.
+    "q_range_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val bands = Seq(
+          ("tiny", 0.0, 10.0), ("small", 10.0, 20.0), ("mid", 20.0, 35.0),
+          ("large", 35.0, 45.0), ("huge", 45.0, 1e9))
+          .toDF("band", "lo", "hi")
+        Tables.lineitem(s, dir)
+          .join(broadcast(bands),
+            col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .orderBy("band")
+      },
+      Some(s"""
+        WITH bands(band, lo, hi) AS (VALUES
+          ('tiny', 0.0, 10.0), ('small', 10.0, 20.0), ('mid', 20.0, 35.0),
+          ('large', 35.0, 45.0), ('huge', 45.0, 1e9))
+        SELECT band, count(*) AS n, ${S.dsum("l_quantity")} AS qty
+        FROM lineitem JOIN bands
+          ON l_quantity >= lo AND l_quantity < hi
+        GROUP BY band ORDER BY band"""))
+  )
+}
