@@ -32,6 +32,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("month-partitioned layout prunes partitions on a month filter") {
+    import org.apache.spark.sql.functions._
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_prune_test"
+    sources.Sink.writePartitionedSorted(Tables.orders(spark, sf), out,
+      "o_month" -> date_format(col("o_orderdate"), "yyyy-MM"), Seq("o_custkey"))
+    val read = spark.read.parquet(out).filter(col("o_month") === "1996-03")
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("o_month"),
+      s"no partition pruning:\n$p")
+    assert(read.count() > 0)
+  }
+
   test("q01 aggregation is partial (map-side combine) before the shuffle") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("HashAggregate"), s"q01 not hash-aggregated:\n$p")

@@ -88,6 +88,34 @@ class StreamingSpec extends SparkSpec {
     assert(canon(streamed) == canon(batch))
   }
 
+  test("stream-stream interval self-join equals the batch join") {
+    // purchases joined to the same user's clicks in the preceding hour
+    def shape(df: org.apache.spark.sql.DataFrame) = {
+      val p = df.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("ts").as("p_ts"))
+      val c = df.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"),
+          col("ts").as("c_ts"))
+      (p, c)
+    }
+    val (sp, sc) = shape(streamedEvents)
+    val joined = sp.withWatermark("p_ts", "2 hours")
+      .join(sc.withWatermark("c_ts", "2 hours"),
+        sp("user_id") === sc("user_id") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+      .select(sp("user_id"), col("p_id"), col("c_id"))
+    val streamed = runToCompletion(joined, "stream_join_t", "append")
+    val (bp, bc) = shape(Tables.events(spark, sf))
+    val batch = bp.join(bc,
+        bp("user_id") === bc("user_id") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+      .select(bp("user_id"), col("p_id"), col("c_id"))
+    assert(canon(streamed) == canon(batch))
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) equals batch") {
     val streamed = runToCompletion(
       Sessionize.streaming(
