@@ -63,14 +63,23 @@ object Dedup {
     * explode shingles, join on the shingle, count shared shingles per
     * pair, compute J = inter / (|A| + |B| - inter).
     *
-    * 100 TB note: add `.filter(df_of_shingle < cap)` on the exploded
-    * side (a pre-aggregated doc-frequency join) to bound bucket fanout
-    * on stop-shingles before the self-join.
+    * `dfCap` is the stop-shingle guard: a shingle appearing in more
+    * than `dfCap` docs contributes df² candidate pairs to the join,
+    * which is what blows an inverted-index join up at corpus scale —
+    * so those shingles are dropped from the index before the
+    * self-join. Pairs whose similarity rests only on such
+    * ubiquitous-boilerplate shingles are exactly the ones a near-dup
+    * pipeline wants to ignore. The default cap is far above any
+    * doc-frequency in the test data, so test-SF results are exact.
     */
-  def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairs(sh: DataFrame, threshold: Double, dfCap: Int = 1000): DataFrame = {
     // persist the exploded index: both self-join legs read it, and
     // alias divergence defeats Spark's exchange reuse otherwise
-    val ex = sh.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
+    val raw = sh.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
+    val hot = raw.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
+      .select("sh")
+    val ex = raw.join(broadcast(hot), Seq("sh"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = ex.select(col("sh"), col("doc_id").as("id_a"), col("n_sh").as("na"))
     val b = ex.select(col("sh"), col("doc_id").as("id_b"), col("n_sh").as("nb"))
