@@ -131,6 +131,66 @@ object Extra {
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     // ------------------------------------------------------------------
+    // arrayJoin / explode as a row-generating operator: corpus word
+    // frequencies, top 20.
+    "q_word_freq" -> Q(
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .groupBy("word")
+          .agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("word").asc)
+          .limit(20)
+      },
+      Some("""
+        SELECT word, count(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word ORDER BY freq DESC, word ASC LIMIT 20""")),
+
+    // ------------------------------------------------------------------
+    // CH any()/anyLast() made deterministic: first/last order row per
+    // customer by (date, key) — min_by/max_by aggregates, one pass.
+    "ch_any" -> Q(
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .groupBy("o_custkey")
+          .agg(
+            min_by(col("o_orderkey"), struct(col("o_orderdate"), col("o_orderkey")))
+              .as("first_orderkey"),
+            max_by(col("o_orderkey"), struct(col("o_orderdate"), col("o_orderkey")))
+              .as("last_orderkey"),
+            count(lit(1)).as("n_orders"))
+          .orderBy("o_custkey")
+      },
+      Some("""
+        SELECT o_custkey,
+               first(o_orderkey ORDER BY o_orderdate, o_orderkey) AS first_orderkey,
+               last(o_orderkey ORDER BY o_orderdate, o_orderkey) AS last_orderkey,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_custkey ORDER BY o_custkey""")),
+
+    // ------------------------------------------------------------------
+    // Correlated scalar subquery: orders above their own customer's
+    // average, decorrelated into an aggregate + equi-join (which is
+    // exactly what Catalyst does to the subquery form).
+    "q_correlated_subquery" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val avgs = o.groupBy(col("o_custkey").as("ck"))
+          .agg(davg(col("o_totalprice")).as("cust_avg"))
+        o.join(avgs, col("o_custkey") === col("ck"))
+          .filter(col("o_totalprice") > col("cust_avg"))
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some(s"""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > (SELECT ${S.davg("o_totalprice")}
+                              FROM orders i WHERE i.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")),
+
+    // ------------------------------------------------------------------
     // Range (interval) join: lineitem rows banded by a quantity-range
     // dimension. The interval table is tiny -> broadcast nested-loop
     // is the right plan; for a LARGE interval set the technique is
