@@ -24,5 +24,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_polyhash", classOf[PolyHash64], es => PolyHash64(es.head))
     inject("graft_simhash", classOf[SimHash64], es => SimHash64(es.head))
     inject("graft_minhash", classOf[MinHashSig], es => MinHashSig(es.head))
+    ext.injectOptimizerRule(_ => graft.plans.RewriteIntersectCount)
   }
 }

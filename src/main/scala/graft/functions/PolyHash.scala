@@ -86,5 +86,12 @@ object GraftFunctions {
         new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
         (children: Seq[Expression]) => MinHashSig(children.head))
     }
+    // optimizer rule for sessions built without GraftExtensions (the
+    // driver's): experimental.extraOptimizations applies post-hoc
+    if (!spark.experimental.extraOptimizations.contains(
+        graft.plans.RewriteIntersectCount)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteIntersectCount
+    }
   }
 }

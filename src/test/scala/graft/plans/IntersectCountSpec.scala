@@ -1,0 +1,36 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IntersectCountSpec extends SparkSpec {
+  import graft.SparkSpec.spark.implicits._
+
+  test("rule rewrites size(array_intersect) over long arrays") {
+    graft.functions.GraftFunctions.register(spark)
+    // non-foldable input (range), or constant folding evaluates the
+    // whole expression before the assertion can see the plan node
+    val df = spark.range(5)
+      .select(array(col("id"), col("id") + 1).as("a"),
+        array(col("id") + 1, col("id") + 2).as("b"))
+      .select(size(array_intersect(col("a"), col("b"))).as("n"))
+    val optimized = df.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(optimized.contains("intersectcount"), s"not rewritten:\n$optimized")
+    assert(df.collect().forall(_.getInt(0) == 1))
+  }
+
+  test("IntersectCount matches size(array_intersect) semantics incl. dupes") {
+    graft.functions.GraftFunctions.register(spark)
+    val cases = Seq(
+      (Array(1L, 2L, 3L), Array(2L, 3L, 4L)),         // plain overlap
+      (Array(1L, 1L, 2L), Array(1L, 2L, 2L)),          // duplicates count once
+      (Array.empty[Long], Array(1L, 2L)),              // empty side
+      (Array(5L), Array(5L)),                          // exact
+      (Array(1L, 2L), Array(3L, 4L)))                  // disjoint
+    val df = cases.toDF("a", "b")
+      .select(size(array_intersect(col("a"), col("b"))).as("n"))
+    // the rewritten plan must produce exactly what the builtin does
+    val builtin = cases.map { case (a, b) => a.toSet.intersect(b.toSet).size }
+    assert(df.collect().map(_.getInt(0)).toSeq == builtin)
+  }
+}
