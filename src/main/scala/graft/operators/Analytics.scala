@@ -127,6 +127,53 @@ object Analytics {
       None),
 
     // ------------------------------------------------------------------
+    // End-to-end pipeline composition: raw events -> stateful
+    // sessionization -> dimension enrichment -> per-nation rollup.
+    // Exercises the stream-capable sessionizer, a broadcast dim join,
+    // and exact-decimal aggregation in one flow.
+    "pipeline_e2e" -> Q(
+      (s, dir) => {
+        val sessions = graft.streaming.Sessionize.batch(Tables.events(s, dir))
+        val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+        val n = Tables.nation(s, dir)
+        sessions
+          .join(broadcast(c), col("user_id") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("n_events")).as("n_events"),
+            dsum(col("session_value")).as("total_value"))
+          .orderBy("n_name")
+      },
+      Some(s"""
+        WITH gaps AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+                 CASE WHEN lag(ts, 1) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w)
+                           > CAST(1800000000 AS BIGINT)
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)
+        ), sessions AS (
+          SELECT user_id, value,
+                 CAST(sum(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts_us ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_seq
+          FROM gaps
+        ), per_session AS (
+          SELECT user_id, session_seq, count(*) AS n_ev,
+                 ${S.dsum("value")} AS session_value
+          FROM sessions GROUP BY user_id, session_seq)
+        SELECT n_name, count(*) AS n_sessions,
+               CAST(sum(n_ev) AS BIGINT) AS n_events,
+               ${S.dsum("session_value")} AS total_value
+        FROM per_session
+        JOIN customer ON user_id = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name""")),
+
+    // ------------------------------------------------------------------
     // Fact-fact join on bucketed twins: both sides pre-bucketed by the
     // join key, so the join itself needs no shuffle (BucketingSpec
     // asserts the exchange-free plan). Result oracled against the
