@@ -24,22 +24,38 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
 
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => None }
     }
 
     val qs = SparkEntry.benchQueries.toSeq.sortBy(_._1)
     // Best-of-2 per query: the first run pays one-time plan costs
     // (whole-stage-codegen Janino compilation, file listing, JIT);
     // the second run measures steady-state throughput, which is what
-    // a resident engine delivers.
-    val results = qs.map { case (name, fn) => name -> math.min(run(fn), run(fn)) }
-    val json = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$json,"sf":"$sfDir"}""")
+    // a resident engine delivers. The min is taken over SUCCESSFUL
+    // runs only — a query that succeeded once still reports a time;
+    // a query that failed both runs is listed in "failed".
+    val results = qs.map { case (name, fn) =>
+      name -> Seq(run(fn), run(fn)).flatten.minOption
+    }
+    val json = results.collect { case (k, Some(v)) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, None) => s""""$k"""" }
+      .mkString("[", ",", "]")
+    val total = results.flatMap(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$json,"failed":$failed,"sf":"$sfDir"}"""
+    // The driver extracts the JSON numerically from this process's
+    // output; sbt appends [success] chatter to stdout AFTER us, so the
+    // line also lands in a file (argv(0) or ./bench_out.json) that
+    // survives any stdout mangling.
+    val outFile = args.headOption.getOrElse("bench_out.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     spark.stop()
+    println(line)
   }
 }

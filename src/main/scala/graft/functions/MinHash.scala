@@ -33,8 +33,15 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    new GenericArrayData(MinHashSig.sig(
-      Array.tabulate(arr.numElements())(i => arr.getLong(i))))
+    // null elements are skipped (same policy as SimHash64): a null
+    // feature contributes nothing to the signature
+    val feats = Array.newBuilder[Long]
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) feats += arr.getLong(i)
+      i += 1
+    }
+    new GenericArrayData(MinHashSig.sig(feats.result()))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -48,6 +55,7 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
         long[] $mins = new long[64];
         java.util.Arrays.fill($mins, Long.MAX_VALUE);
         for (int $i = 0; $i < $c.numElements(); $i++) {
+          if ($c.isNullAt($i)) continue;
           long $h = $c.getLong($i);
           for (int $p = 0; $p < 64; $p++) {
             long $z = $h ^ (0x9E3779B97F4A7C15L * ($p + 1));

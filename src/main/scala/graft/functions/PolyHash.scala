@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,12 +18,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * any hot per-row kernel Spark lacks.
   */
 case class PolyHash64(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   final val Base = 1000003L // prime base, same as CPython's string hash base
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
+  // declared input types make graft_polyhash(<non-string>) a clean
+  // analysis-time error (or an implicit cast) instead of a codegen
+  // compile failure at runtime
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override protected def nullSafeEval(input: Any): Any =
     PolyHash64.hash(input.asInstanceOf[UTF8String].getBytes, Base)

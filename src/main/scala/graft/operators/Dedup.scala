@@ -39,8 +39,14 @@ object Dedup {
     */
   def shingleExpr(k: Int): String = {
     val parts = (0 until k).map(j => s"element_at(th, i + $j)").mkString(", ")
-    s"""array_distinct(transform(sequence(1, greatest(size(th) - ${k - 1}, 0)),
-        i -> xxhash64($parts)))"""
+    // The short-doc branch must be explicit: sequence(1, 0) is the
+    // DESCENDING sequence [1, 0], so an unguarded transform would
+    // evaluate element_at(th, 0) (always an error) for any doc with
+    // fewer than k tokens.
+    s"""IF(size(th) >= $k,
+        array_distinct(transform(sequence(1, size(th) - ${k - 1}),
+          i -> xxhash64($parts))),
+        CAST(array() AS array<bigint>))"""
   }
 
   /** docs -> (doc_id, shingles: array<long>, n_sh), shingle-bearing

@@ -15,7 +15,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * exactly the shape of every set-similarity verification
   * (jaccard = inter / (|A|+|B|-inter)).
   *
-  * Set semantics match array_intersect's: duplicates count once.
+  * Set semantics match array_intersect's exactly: duplicates count
+  * once, and a null element present in BOTH arrays counts as one
+  * shared element (array_intersect keeps it in the intersection).
   */
 case class IntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -55,15 +57,20 @@ object IntersectCount {
   def count(a: ArrayData, b: ArrayData): Int = {
     val (small, big) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
     val set = new java.util.HashSet[Long](small.numElements() * 2)
+    var smallHasNull = false
     var i = 0
     while (i < small.numElements()) {
-      if (!small.isNullAt(i)) set.add(small.getLong(i)); i += 1
+      if (small.isNullAt(i)) smallHasNull = true else set.add(small.getLong(i))
+      i += 1
     }
     var n = 0
     i = 0
     while (i < big.numElements()) {
-      // remove-on-hit so duplicates in `big` count once (set semantics)
-      if (!big.isNullAt(i) && set.remove(big.getLong(i))) n += 1
+      // remove-on-hit so duplicates in `big` count once (set semantics);
+      // a null shared by both sides counts once, like array_intersect
+      if (big.isNullAt(i)) {
+        if (smallHasNull) { n += 1; smallHasNull = false }
+      } else if (set.remove(big.getLong(i))) n += 1
       i += 1
     }
     n

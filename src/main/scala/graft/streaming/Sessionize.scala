@@ -7,11 +7,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Gap-based sessionization shared by the batch and streaming paths.
   *
   * State is one open session per user — O(1) per key, evicted by
-  * event-time timeout in streaming. The same
-  * `flatMapGroupsWithState` function runs in batch mode (Spark feeds
-  * each group once, no timeouts), which is how the driver's oracle
-  * checks it: batch output must equal the window-function
-  * formulation (q_sessionize).
+  * event-time timeout in streaming. Both paths run the same O(1)
+  * session fold over time-ordered events; they differ only in where
+  * the ordering comes from: batch gets it from Spark's spillable
+  * shuffle sort (`flatMapSortedGroups`), streaming sorts each
+  * micro-batch's slice of the group (bounded by micro-batch size,
+  * not by a user's full history). The driver's oracle checks the
+  * batch output against the window-function formulation
+  * (q_sessionize).
   */
 object Sessionize {
 
@@ -43,6 +46,8 @@ object Sessionize {
   def fn(flushOpen: Boolean)(
       userId: Long, rows: Iterator[Ev], state: GroupState[OpenSession])
       : Iterator[SessionOut] = {
+    // per-micro-batch slice of one key — bounded by the batch, not by
+    // the user's history, so sorting in heap is safe here
     val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
     // n == 0 marks a closed-session marker: no open session, but the
     // seq counter must carry over.
@@ -55,7 +60,11 @@ object Sessionize {
     for (e <- sorted) {
       open match {
         case Some(s) if e.ts_us - s.endUs <= GapUs =>
-          open = Some(s.copy(endUs = e.ts_us, n = s.n + 1,
+          // min/max, not assignment: a late event from a LATER
+          // micro-batch (within the watermark) can be older than the
+          // restored session's bounds, and must not move them backwards
+          open = Some(s.copy(startUs = math.min(s.startUs, e.ts_us),
+            endUs = math.max(s.endUs, e.ts_us), n = s.n + 1,
             value = s.value + BigDecimal(e.value).setScale(4)))
         case Some(s) =>
           close(s)
@@ -95,14 +104,57 @@ object Sessionize {
     out.result().iterator
   }
 
-  /** Batch sessionization through the same stateful function. */
+  /** One streaming pass over a user's time-sorted events: O(1) state,
+    * sessions emitted as soon as they close. Used by the batch path,
+    * where Spark's shuffle sort (flatMapSortedGroups) provides the
+    * ordering — a power user's full history is never materialized in
+    * heap, unlike a toSeq.sortBy of the group.
+    */
+  def sortedIter(userId: Long, rows: Iterator[Ev]): Iterator[SessionOut] =
+    new Iterator[SessionOut] {
+      private var open: Option[OpenSession] = None
+      private var pending: Option[SessionOut] = None
+      private var flushed = false
+      private def emit(s: OpenSession): SessionOut =
+        SessionOut(userId, s.seq, s.startUs, s.endUs, s.n, s.value.toDouble)
+      private def advance(): Unit = {
+        while (pending.isEmpty && rows.hasNext) {
+          val e = rows.next()
+          val v = BigDecimal(e.value).setScale(4)
+          open = open match {
+            case Some(s) if e.ts_us - s.endUs <= GapUs =>
+              Some(s.copy(endUs = math.max(s.endUs, e.ts_us), n = s.n + 1,
+                value = s.value + v))
+            case Some(s) =>
+              pending = Some(emit(s))
+              Some(OpenSession(s.seq + 1, e.ts_us, e.ts_us, 1, v))
+            case None =>
+              Some(OpenSession(1L, e.ts_us, e.ts_us, 1, v))
+          }
+        }
+        if (pending.isEmpty && !rows.hasNext && !flushed) {
+          flushed = true
+          pending = open.map(emit)
+          open = None
+        }
+      }
+      override def hasNext: Boolean = { advance(); pending.nonEmpty }
+      override def next(): SessionOut = {
+        advance(); val r = pending.get; pending = None; r
+      }
+    }
+
+  /** Batch sessionization: shuffle-sorted groups + the O(1) streaming
+    * fold — the sort happens in Spark's spillable shuffle machinery,
+    * not in task heap.
+    */
   def batch(events: DataFrame): DataFrame = {
     val s = events.sparkSession
     import s.implicits._
     events.select("user_id", "event_id", "ts_us", "value", "ts").as[Ev]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        fn(flushOpen = true))
+      .flatMapSortedGroups(col("ts_us"), col("event_id"))(
+        (k, rows) => sortedIter(k, rows))
       .toDF()
   }
 

@@ -29,4 +29,24 @@ class PolyHashSpec extends SparkSpec {
     assert(uniqHashes == uniqTexts, s"hash collisions: $uniqHashes of $uniqTexts")
     assert(n > 0)
   }
+
+  test("graft_polyhash rejects non-castable input at analysis time") {
+    GraftFunctions.register(spark)
+    val df = Seq(Seq(1L, 2L)).toDF("arr")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(expr("graft_polyhash(arr)")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("graft_polyhash") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+
+  test("graft_minhash skips null elements instead of crashing") {
+    GraftFunctions.register(spark)
+    val withNulls = Seq(Tuple1(Seq(Option(1L), None, Option(2L)))).toDF("hs")
+      .select(expr("graft_minhash(hs)").as("sig")).head().getSeq[Long](0)
+    val without = Seq(Tuple1(Seq(Option(1L), Option(2L)))).toDF("hs")
+      .select(expr("graft_minhash(hs)").as("sig")).head().getSeq[Long](0)
+    assert(withNulls == without)
+    assert(withNulls == MinHashSig.sig(Array(1L, 2L)).toSeq)
+  }
 }

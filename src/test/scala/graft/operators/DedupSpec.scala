@@ -38,6 +38,19 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L), (3L, 2L)))
   }
 
+  test("shingleExpr yields an empty array for docs shorter than k tokens") {
+    // sequence(1, 0) is DESCENDING in Spark; an unguarded transform
+    // would index element_at(th, 0) and throw for any short doc
+    val docs = Seq((1L, "a"), (2L, "a b"), (3L, ""), (4L, "a b c d"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), split(Dedup.normText(col("text")), " ").as("toks"))
+      .select(col("doc_id"), expr("transform(toks, t -> xxhash64(t))").as("th"))
+      .select(col("doc_id"), expr(Dedup.shingleExpr(3)).as("shingles"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).length).toMap
+    assert(docs(1L) == 0 && docs(2L) == 0 && docs(3L) == 0)
+    assert(docs(4L) == 2) // "a b c", "b c d"
+  }
+
   test("jaccardPairs computes exact jaccard on a constructed pair") {
     val docs = Seq(
       (1L, Array("a b c", "b c d", "c d e"), 3),

@@ -33,4 +33,24 @@ class IntersectCountSpec extends SparkSpec {
     val builtin = cases.map { case (a, b) => a.toSet.intersect(b.toSet).size }
     assert(df.collect().map(_.getInt(0)).toSeq == builtin)
   }
+
+  test("IntersectCount matches array_intersect on null elements") {
+    graft.functions.GraftFunctions.register(spark)
+    // array_intersect keeps a null shared by both sides in the
+    // intersection: size counts it once. The rewrite must agree.
+    // Built over range so constant folding can't pre-evaluate it.
+    val df = spark.range(4)
+      .select(
+        array(lit(null).cast("long"), col("id")).as("a"),
+        array(lit(null).cast("long"), col("id") * 2).as("b"),
+        array(col("id"), col("id")).as("c"))
+      .select(
+        size(array_intersect(col("a"), col("b"))).as("n_ab"),
+        size(array_intersect(col("a"), col("c"))).as("n_ac"))
+    val optimized = df.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(optimized.contains("intersectcount"), s"not rewritten:\n$optimized")
+    val got = df.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    // id=0: {null,0}∩{null,0}=2, {null,0}∩{0}=1; id>0: shared null only
+    assert(got == Seq((2, 1), (1, 1), (1, 1), (1, 1)))
+  }
 }
