@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   *   generated for docs that SHARE a shingle, then verified exactly.
   * - minhash-LSH: banded signatures key the shuffle; candidate pairs
   *   are bounded by bucket sizes, then verified exactly.
-  * - simhash: 16-bit block banding guarantees recall for hamming<=3.
+  * - simhash: block-PAIR banding (28 bands of 16-bit-entropy keys)
+  *   guarantees recall for hamming<=6 and bounds bucket sizes with a
+  *   per-bucket candidate cap against skew.
   * - embedding cosine: the oracled baseline is exact; the scale path
   *   is the IVF/LSH route in [[Ann]].
   *
@@ -112,6 +114,51 @@ object Dedup {
     s"""transform(sequence(0, ${bands - 1}), b -> xxhash64(b, $parts))"""
   }
 
+  /** SimHash near-dup pairs from (doc_id, sig), banded by PAIRS of
+    * 8-bit blocks: the 64-bit signature splits into 8 byte-blocks,
+    * and each of the C(8,2) = 28 block pairs hashes to one 16-bit-
+    * entropy band key. By pigeonhole, any signature pair with
+    * hamming <= 6 leaves at least two of the 8 blocks untouched, so
+    * recall at hamming <= 6 is EXACT; at hamming == 7 a pair escapes
+    * only if all 7 flipped bits land in 7 distinct blocks
+    * (8!/8^7 ~ 2% of random flip patterns). Single 8-bit blocks as
+    * keys (the naive layout) give only 256 bucket values — every
+    * bucket holds ~n/256 docs at corpus scale and the self-join
+    * degenerates to ~8·(n/256)² candidates, quadratic; 16-bit pair
+    * keys give 65,536 values per band, the same key space as 4x16
+    * banding but with recall to hamming 7 instead of 3.
+    *
+    * `bucketCap` is the skew guard, same idea as the stop-shingle df
+    * cap: a band bucket of b docs contributes b² candidate pairs, so
+    * buckets above the cap are dropped before the self-join. A bucket
+    * that hot is either boilerplate (near-dups still caught via the
+    * other 27 bands) or a hash pathology; either way it must not blow
+    * up the shuffle. The default cap is far above any bucket size in
+    * the test data, so test-SF results are unaffected.
+    */
+  def simhashPairs(sigs: DataFrame, maxHamming: Int = 7,
+      bucketCap: Int = 1000): DataFrame = {
+    val bandKeys = (for {
+      i <- 0 until 8; j <- (i + 1) until 8
+    } yield s"xxhash64(${i * 8 + j}, shiftright(sig, ${i * 8}) & 255, shiftright(sig, ${j * 8}) & 255)")
+      .mkString("array(", ", ", ")")
+    val bands = sigs
+      .select(col("doc_id"), col("sig"), posexplode(expr(bandKeys)))
+      .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bv"))
+    val hot = bands.groupBy("band", "bv").agg(count(lit(1)).as("df"))
+      .filter(col("df") > bucketCap)
+      .select("band", "bv")
+    val idx = bands.join(broadcast(hot), Seq("band", "bv"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    idx.as("x").join(idx.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** SQL oracle for threshold near-dup pairs — brute force in DuckDB
     * (test-SF-sized), mirroring normalization + shingling exactly.
     */
@@ -198,9 +245,9 @@ object Dedup {
 
     // ------------------------------------------------------------------
     // SimHash: 64-bit signature from token hashes (per-row expression),
-    // 4 x 16-bit block banding (pigeonhole-guaranteed recall for
-    // hamming <= 3), verified with bit_count(xor). Signature values
-    // are xxhash64-derived -> rows-only for the driver; SimHashSpec
+    // block-pair banding (pigeonhole-guaranteed recall for
+    // hamming <= 6), verified with bit_count(xor). Signature values
+    // are xxhash64-derived -> rows-only for the driver; DedupSpec
     // pins semantics on planted data.
     "dedup_simhash" -> Q(
       (s, dir) => {
@@ -211,23 +258,7 @@ object Dedup {
         val sigs = docShingles(s, dir)
           .withColumn("sig", expr("graft_simhash(shingles)"))
           .select("doc_id", "sig")
-        // 8 blocks of 8 bits: pigeonhole guarantees any pair with
-        // hamming <= 7 shares at least one identical block.
-        val blocks = sigs
-          .select(col("doc_id"), col("sig"),
-            posexplode(expr(
-              """transform(sequence(0, 7),
-                   b -> (sig >> (b * 8)) & 255)""")))
-          .select(col("doc_id"), col("sig"), col("pos").as("blk"), col("col").as("bv"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        blocks.as("x").join(blocks.as("y"),
-            col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-            bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
-          .distinct()
-          .filter(col("hamming") <= 7)
-          .orderBy("id_a", "id_b")
+        simhashPairs(sigs).orderBy("id_a", "id_b")
       },
       None),
 

@@ -27,6 +27,34 @@ class DedupSpec extends SparkSpec {
       s"recall too low: ${sim.size}/${exact.size}")
   }
 
+  test("simhashPairs finds all hamming<=7 pairs and caps hot buckets") {
+    val base = 0x0123456789ABCDEFL
+    val near = Seq(
+      base,
+      base ^ 1L,
+      base ^ ((1L << 5) | (1L << 20)),
+      base ^ ((1L << 1) | (1L << 17) | (1L << 40)),
+      base ^ (1L << 63)).zipWithIndex.map { case (s, i) => (i.toLong + 1, s) }
+    // 50 docs whose signatures differ only inside byte-block 2: every
+    // band NOT involving block 2 (21 of 28) holds all 50 docs — the
+    // hot-bucket shape the cap must drop
+    val crowd = (100 until 150).map(i => (i.toLong, i.toLong << 16))
+    val sigs = (near ++ crowd).toDF("doc_id", "sig")
+    def expected(docs: Seq[(Long, Long)]): Set[(Long, Long)] = (for {
+      (a, sa) <- docs; (b, sb) <- docs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 7
+    } yield (a, b)).toSet
+    def got(cap: Int): Set[(Long, Long)] =
+      Dedup.simhashPairs(sigs, bucketCap = cap).select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // roomy cap: every hamming<=7 pair found (all these pairs confine
+    // their flips to <=3 blocks, so a clean block pair always exists)
+    assert(got(1000) == expected(near ++ crowd))
+    // cap=10 drops the 50-doc buckets: crowd pairs (which share only
+    // hot bands) disappear, small-bucket pairs are untouched
+    assert(got(10) == expected(near))
+  }
+
   test("exact dedup keeps one representative per duplicated text") {
     val dup = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x  y"), (4L, "x y"))
       .toDF("doc_id", "text")
