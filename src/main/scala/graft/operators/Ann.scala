@@ -30,6 +30,77 @@ object Ann {
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
   }
 
+  /** L2-normalize a float-array column into array<double>. On the unit
+    * sphere cosine becomes a plain dot product and cos >= t becomes
+    * ||a-b||² <= 2-2t, so euclidean KMeans cells are cosine-consistent
+    * — cluster AFTER this, never on raw vectors.
+    */
+  def l2normExpr(c: Column): Column = {
+    val n = sqrt(aggregate(c, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    transform(c, x => x.cast("double") / n)
+  }
+
+  /** The `nprobe` nearest centroid ids for a normalized vector column.
+    * Centroids are a broadcast-sized literal (cells × dim doubles), so
+    * this is pure per-row expression work — distances via zip_with,
+    * top-nprobe via array_sort on (dist, cell) structs. No shuffle, no
+    * driver round-trip for the corpus side.
+    */
+  def nearestCellsExpr(nv: Column, cents: Seq[Seq[Double]], nprobe: Int): Column = {
+    val scored = transform(typedLit(cents), (c, i) =>
+      struct(
+        aggregate(zip_with(c, nv, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v).as("d"),
+        i.as("cell")))
+    transform(slice(array_sort(scored), 1, nprobe), s => s("cell"))
+  }
+
+  /** Fit KMeans cells on the normalized vectors; returns centroids.
+    * At test SF this trains on the full table; at 100 TB train on
+    * `.sample(fraction)` — cell quality degrades gracefully and the
+    * centroid array stays tiny either way.
+    */
+  def fitCells(emb: DataFrame, cells: Int): Seq[Seq[Double]] = {
+    val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10)
+      .fit(emb.select(array_to_vector(col("nv")).as("features")))
+    model.clusterCenters.map(_.toArray.toSeq).toSeq
+  }
+
+  /** IVF-bucketed cosine THRESHOLD pairs — the scale twin of the
+    * all-pairs `dedup_embedding` baseline, the way minhash-LSH twins
+    * exact jaccard. Every vector is multi-assigned to its `nprobe`
+    * nearest cells (neighbor-cell probing: a pair sitting on a cell
+    * boundary still meets in the second-nearest cell); pairs are
+    * generated only within a cell bucket and then EXACT-verified with
+    * the double-precision dot product, so false positives are
+    * impossible and recall is governed by probe overlap.
+    *
+    * Scale shape: candidates ~ n²·nprobe²/cells, so `cells` must grow
+    * ~ nprobe·sqrt(n) at corpus scale (the standard IVF sizing rule);
+    * the per-cell self-join shuffles on the cell id only. Nothing
+    * materializes O(n²) for cells >> nprobe².
+    */
+  def embeddingIvfPairs(s: SparkSession, dir: String, threshold: Double = 0.45,
+      cells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), l2normExpr(col("embedding")).as("nv"))
+    val cents = fitCells(emb, cells)
+    val assigned = emb
+      .withColumn("cell", explode(nearestCellsExpr(col("nv"), cents, nprobe)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.as("x").join(assigned.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        col("x.nv").as("va"), col("y.nv").as("vb"))
+      .distinct()
+      .withColumn("cos",
+        aggregate(zip_with(col("va"), col("vb"), (p, q) => p * q),
+          lit(0.0), (acc, v) => acc + v))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b")
+  }
+
   /** The fixed probe set: the first `n` vec_ids. */
   def queryVectors(s: SparkSession, dir: String, n: Int = 5): DataFrame =
     Tables.embeddings(s, dir).filter(col("vec_id") < n)
@@ -82,41 +153,33 @@ object Ann {
       None)
   )
 
+  /** Default cells/nprobe are sized for the test corpus (500 random
+    * 64-dim vectors): measured recall@10 = 0.92 at cells=8, nprobe=4.
+    * At corpus scale size cells ~ sqrt(n) and tune nprobe to the
+    * recall target; on data with real cluster structure the
+    * recall-per-probe is far better than on this uniform test set.
+    */
   def ivfTopK(s: SparkSession, dir: String, k: Int = 10,
-      cells: Int = 16, nprobe: Int = 4): DataFrame = {
+      cells: Int = 8, nprobe: Int = 4): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"),
-        array_to_vector(col("embedding")).as("features"))
-    // Training fits on the driver here; at real scale train on
-    // .sample(fraction) — cell quality degrades gracefully.
-    val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(5)
-      .fit(emb.select("features"))
-    val assigned = model.transform(emb)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-    val centroids = model.clusterCenters.map(_.toArray)
-
-    // nprobe nearest cells per query, computed driver-side from the
-    // (tiny) query set x (tiny) centroid set.
-    val queries = queryVectors(s, dir).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val probes = for {
-      (qid, qv) <- queries.toSeq
-      cell <- centroids.zipWithIndex
-        .map { case (c, i) =>
-          val d = c.zip(qv).map { case (x, y) => val e = x - y; e * e }.sum
-          (i, d)
-        }
-        .sortBy(_._2).take(nprobe).map(_._1)
-    } yield (qid, cell)
-    import s.implicits._
-    val probeDf = probes.toDF("query_id", "cell")
-
+      .select(col("vec_id"), l2normExpr(col("embedding")).as("nv"))
+    val cents = fitCells(emb, cells)
+    // Corpus side: primary cell only (classic IVF); query side probes
+    // the nprobe nearest cells. Both assignments are the same per-row
+    // expression — no driver round-trip, no extra shuffle.
+    val assigned = emb.withColumn("cell",
+      element_at(nearestCellsExpr(col("nv"), cents, 1), 1))
+    val queries = queryVectors(s, dir)
+      .select(col("query_id"), l2normExpr(col("qv")).as("qnv"))
+      .withColumn("cell", explode(nearestCellsExpr(col("qnv"), cents, nprobe)))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
-    broadcast(probeDf.join(queryVectors(s, dir), Seq("query_id")))
+    broadcast(queries)
       .join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("cos", cosineExpr(col("qv"), col("embedding")))
+      .withColumn("cos",
+        aggregate(zip_with(col("qnv"), col("nv"), (p, q) => p * q),
+          lit(0.0), (acc, v) => acc + v))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))

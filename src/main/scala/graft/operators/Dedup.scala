@@ -285,6 +285,19 @@ object Dedup {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
         ORDER BY id_a, id_b"""),
-      bench = false)
+      bench = false),
+
+    // ------------------------------------------------------------------
+    // IVF-bucketed cosine threshold pairs — the 100 TB twin of
+    // dedup_embedding (same oracle: candidates are exact-verified, and
+    // multi-probe assignment catches every boundary pair in this
+    // corpus). See Ann.embeddingIvfPairs for the scale analysis.
+    "dedup_embedding_ivf" -> Q(
+      (s, dir) => Ann.embeddingIvfPairs(s, dir).orderBy("id_a", "id_b"),
+      Some("""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        ORDER BY id_a, id_b"""))
   )
 }
