@@ -115,6 +115,32 @@ object Sources {
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     // ------------------------------------------------------------------
+    // JDBC destination sink: typed INSERT...VALUES batches into
+    // embedded Derby with per-batch-key transactional overwrite
+    // (delete+insert in one txn), then read back through Spark's JDBC
+    // source and re-aggregated per month. The oracle runs on the
+    // source parquet, so a pass proves the typed round-trip is
+    // lossless and the idempotent replay added no duplicates.
+    "sink_jdbc" -> Q(
+      (s, dir) => {
+        val url = s"jdbc:derby:${tmp(dir, "derby")}/db;create=true"
+        val cfg = Sink.SinkConfig("", "orders_agg", batchSize = 16)
+        val agg = Tables.orders(s, dir)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("o_month"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        Sink.writeTyped(agg, cfg, new graft.sources.JdbcBackend(url))
+        s.read.format("jdbc")
+          .option("url", url).option("dbtable", "orders_agg").load()
+          .select(col("o_month").as("o_month"), col("n").as("n"),
+            col("total").as("total"))
+          .orderBy("o_month")
+      },
+      Some(s"""
+        SELECT strftime(o_orderdate, '%Y-%m') AS o_month, count(*) AS n,
+               ${S.dsum("o_totalprice")} AS total
+        FROM orders GROUP BY 1 ORDER BY o_month""")),
+
+    // ------------------------------------------------------------------
     // CH-style final layout: PARTITION BY month, ORDER BY custkey
     // within partitions; read back per-partition rollup.
     "sink_partitioned" -> Q(

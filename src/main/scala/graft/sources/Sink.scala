@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.nio.charset.StandardCharsets
 
@@ -51,6 +52,17 @@ object Sink {
     }
   }
 
+  /** Typed twin of [[SinkBackend]] for destinations with real column
+    * types (JDBC): rows arrive as Spark [[Row]]s plus their schema, so
+    * the backend can issue typed `INSERT ... VALUES` batches instead
+    * of JSON lines. Same contract: `insertBatch` must be idempotent in
+    * `batchKey`.
+    */
+  trait TypedSinkBackend extends Serializable {
+    def insertBatch(table: String, batchKey: String,
+        schema: StructType, rows: Seq[Row]): Unit
+  }
+
   /** A backend wrapper that fails the first `failures` calls — used by
     * specs to prove the retry/idempotency path.
     */
@@ -65,11 +77,42 @@ object Sink {
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
   }
 
+  /** [[FlakyBackend]] for the typed seam; shares the same counter so
+    * specs assert injected failures the same way.
+    */
+  final class FlakyTypedBackend(inner: TypedSinkBackend, failures: Int)
+      extends TypedSinkBackend {
+    def insertBatch(table: String, batchKey: String,
+        schema: StructType, rows: Seq[Row]): Unit = {
+      val n = FlakyBackend.counter.incrementAndGet()
+      if (n <= failures) throw new java.io.IOException(s"injected failure $n")
+      inner.insertBatch(table, batchKey, schema, rows)
+    }
+  }
+
   /** Batched, retrying, idempotent write of `df` (as JSON lines) to
     * the backend. Returns nothing; failures after `maxRetries` abort
     * the Spark task (and thus the job), which is the correct
     * semantics for a destination outage.
     */
+  /** Bounded-retry wrapper shared by both write paths: transient
+    * destination failures back off exponentially; exhaustion rethrows
+    * and aborts the Spark task (correct semantics for an outage).
+    */
+  private def retrying(maxRetries: Int)(body: => Unit): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try { body; done = true }
+      catch {
+        case _: Exception if attempt < maxRetries =>
+          attempt += 1
+          Thread.sleep(10L << attempt)
+        case e: Exception => throw e
+      }
+    }
+  }
+
   def write(df: DataFrame, cfg: SinkConfig, backend: SinkBackend): Unit = {
     val maxRetries = cfg.maxRetries
     val batchSize = cfg.batchSize
@@ -77,17 +120,27 @@ object Sink {
     df.toJSON.rdd.mapPartitionsWithIndex { (pid, rows) =>
       rows.grouped(batchSize).zipWithIndex.foreach { case (batch, bi) =>
         val key = f"p$pid%05d-b$bi%05d"
-        var attempt = 0
-        var done = false
-        while (!done) {
-          try { backend.insertBatch(table, key, batch.toSeq); done = true }
-          catch {
-            case e: Exception if attempt < maxRetries =>
-              attempt += 1
-              Thread.sleep(10L << attempt)
-            case e: Exception => throw e
-          }
-        }
+        retrying(maxRetries) { backend.insertBatch(table, key, batch.toSeq) }
+      }
+      Iterator.empty
+    }.count(): Unit
+  }
+
+  /** Typed write path: identical batching/retry/idempotency contract
+    * as [[write]], but rows reach the backend as Spark [[Row]]s so a
+    * JDBC destination can bind real column types. Runs entirely in
+    * `mapPartitionsWithIndex` — one backend session per partition, no
+    * driver-side collection.
+    */
+  def writeTyped(df: DataFrame, cfg: SinkConfig, backend: TypedSinkBackend): Unit = {
+    val maxRetries = cfg.maxRetries
+    val batchSize = cfg.batchSize
+    val table = cfg.table
+    val schema = df.schema
+    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      rows.grouped(batchSize).zipWithIndex.foreach { case (batch, bi) =>
+        val key = f"p$pid%05d-b$bi%05d"
+        retrying(maxRetries) { backend.insertBatch(table, key, schema, batch.toSeq) }
       }
       Iterator.empty
     }.count(): Unit

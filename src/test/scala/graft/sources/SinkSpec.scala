@@ -43,4 +43,87 @@ class SinkSpec extends SparkSpec {
     val content = Files.readString(Paths.get(s"$root/t/p00000-b00000.jsonl"))
     assert(content.trim == """{"x":9}""")
   }
+
+  // ---------------------------------------------------------------- JDBC
+
+  private def derbyUrl(tag: String): String =
+    s"jdbc:derby:${freshRoot(s"derby_$tag")}/db;create=true"
+
+  private def jdbcCount(url: String, table: String): Long = {
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery(s"SELECT count(*) FROM $table")
+      rs.next(); rs.getLong(1)
+    } finally c.close()
+  }
+
+  test("JDBC sink retries through transient failures without data loss") {
+    val url = derbyUrl("flaky")
+    Sink.FlakyBackend.counter.set(0)
+    val backend = new Sink.FlakyTypedBackend(new JdbcBackend(url), failures = 3)
+    val df = Tables.nation(spark, sf)
+    Sink.writeTyped(df, Sink.SinkConfig("", "nation", batchSize = 7), backend)
+    assert(jdbcCount(url, "nation") == df.count(),
+      "rows lost or duplicated through the JDBC retry path")
+    assert(Sink.FlakyBackend.counter.get() > 3, "injected failures never hit")
+  }
+
+  test("JDBC sink aborts when failures exceed maxRetries") {
+    val url = derbyUrl("fatal")
+    Sink.FlakyBackend.counter.set(0)
+    val backend = new Sink.FlakyTypedBackend(new JdbcBackend(url), failures = 1000)
+    val df = Tables.region(spark, sf).coalesce(1)
+    val e = intercept[Exception] {
+      Sink.writeTyped(df, Sink.SinkConfig("", "region", maxRetries = 2), backend)
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("JDBC replaying a batch key transactionally overwrites") {
+    import org.apache.spark.sql.types._
+    val url = derbyUrl("replay")
+    val backend = new JdbcBackend(url)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    def row(id: Long, v: String) = org.apache.spark.sql.Row(id, v)
+    backend.insertBatch("t", "p00000-b00000", schema,
+      Seq(row(1, "a"), row(2, "b")))
+    backend.insertBatch("t", "p00001-b00000", schema, Seq(row(3, "c")))
+    // Replay of the first key with different content replaces only it.
+    backend.insertBatch("t", "p00000-b00000", schema, Seq(row(9, "z")))
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement()
+        .executeQuery("SELECT id FROM t ORDER BY id")
+      val ids = Iterator.continually(rs)
+        .takeWhile(_.next()).map(_.getLong(1)).toList
+      assert(ids == List(3L, 9L))
+    } finally c.close()
+  }
+
+  test("JDBC sink round-trips nulls and typed columns") {
+    import org.apache.spark.sql.types._
+    val url = derbyUrl("types")
+    val backend = new JdbcBackend(url)
+    val schema = StructType(Seq(
+      StructField("i", IntegerType), StructField("d", DoubleType),
+      StructField("b", BooleanType), StructField("s", StringType),
+      StructField("m", DecimalType(12, 4))))
+    backend.insertBatch("typed", "p00000-b00000", schema, Seq(
+      org.apache.spark.sql.Row(1, 2.5, true, "x",
+        new java.math.BigDecimal("12.3400")),
+      org.apache.spark.sql.Row(null, null, null, null, null)))
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery(
+        "SELECT i, d, b, s, m FROM typed ORDER BY i NULLS LAST")
+      assert(rs.next())
+      assert(rs.getInt(1) == 1 && rs.getDouble(2) == 2.5 && rs.getBoolean(3)
+        && rs.getString(4) == "x"
+        && rs.getBigDecimal(5).compareTo(new java.math.BigDecimal("12.34")) == 0)
+      assert(rs.next())
+      rs.getInt(1); assert(rs.wasNull())
+      assert(!rs.next())
+    } finally c.close()
+  }
 }
