@@ -193,6 +193,31 @@ object ClickHouse {
         GROUP BY p_brand ORDER BY cnt DESC, p_brand ASC LIMIT 5""")),
 
     // ------------------------------------------------------------------
+    // topK as CH actually computes it for UNBOUNDED key spaces: the
+    // space-saving heavy-hitter sketch. Partition-local sketches merge
+    // up a tree, so no stage ever holds the full key space — the exact
+    // ch_topk's partial-agg state is the whole key domain, this one's
+    // is `capacity` entries, period. At test SF the cardinality is
+    // under capacity, so the sketch degenerates to exact counts and
+    // the same oracle as ch_topk applies; SpaceSavingSpec pins the
+    // overflow behavior (overestimates + guaranteed heavy hitters).
+    "ch_topk_sketch" -> Q(
+      (s, dir) => {
+        val top = Tables.part(s, dir).select(col("p_brand")).rdd
+          .map(_.getString(0))
+          .treeAggregate(new graft.functions.SpaceSaving(256))(
+            (sk, v) => sk.add(v), (a, b) => a.merge(b))
+          .topK(5)
+        import s.implicits._
+        top.map { case (brand, cnt, _) => (brand, cnt) }
+          .toDF("p_brand", "cnt").select(col("p_brand"), col("cnt"))
+          .orderBy(col("cnt").desc, col("p_brand").asc)
+      },
+      Some("""
+        SELECT p_brand, count(*) AS cnt FROM part
+        GROUP BY p_brand ORDER BY cnt DESC, p_brand ASC LIMIT 5""")),
+
+    // ------------------------------------------------------------------
     // quantile/quantiles: exact interpolated percentiles per group.
     "ch_quantiles" -> Q(
       (s, dir) => {

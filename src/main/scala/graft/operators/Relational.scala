@@ -323,6 +323,35 @@ object Relational {
         ORDER BY c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""")),
 
     // ------------------------------------------------------------------
+    // Arbitrary (non-hierarchical) GROUPING SETS — the general form
+    // ROLLUP/CUBE specialize. Same SQL front-end route as q_rollup
+    // (Spark expands to a single Expand + one aggregate: one pass,
+    // one shuffle, grouping-id partial aggregation — same scale shape
+    // as a plain groupBy).
+    "q_grouping_sets" -> Q(
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .select("c_mktsegment", "o_orderstatus", "o_totalprice")
+          .createOrReplaceTempView("graft_q_gsets_src")
+        s.sql(s"""
+          SELECT c_mktsegment, o_orderstatus, count(*) AS n,
+                 ${S.dsum("o_totalprice")} AS total
+          FROM graft_q_gsets_src
+          GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus),
+                                  (o_orderstatus), ())
+          ORDER BY c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""")
+      },
+      Some(s"""
+        SELECT c_mktsegment, o_orderstatus, count(*) AS n,
+               ${S.dsum("o_totalprice")} AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus),
+                                (o_orderstatus), ())
+        ORDER BY c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""")),
+
+    // ------------------------------------------------------------------
     "q_cube" -> Q(
       (s, dir) => {
         Tables.lineitem(s, dir)

@@ -115,6 +115,40 @@ object Sources {
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     // ------------------------------------------------------------------
+    // Declarative schema-mapping ingest: supplier written as an
+    // all-string CSV, two corrupt rows injected, then coerced back to
+    // the typed target schema via SchemaMap. Strict cast failures land
+    // in the bad-row side channel; the oracle runs on the original
+    // parquet, so a pass proves (a) typed coercion is lossless and
+    // (b) exactly the corrupt rows were quarantined.
+    "src_schema_map" -> Q(
+      (s, dir) => {
+        import graft.sources.SchemaMap
+        import graft.sources.SchemaMap.FieldMap
+        val out = tmp(dir, "schemamap")
+        Tables.supplier(s, dir)
+          .selectExpr("CAST(s_suppkey AS STRING) AS k", "s_name AS nm",
+            "CAST(s_nationkey AS STRING) AS nk", "CAST(s_acctbal AS STRING) AS bal")
+          .write.mode("overwrite").option("header", "true").csv(out)
+        val loose = s.read.option("header", "true").csv(out) // all strings
+        import s.implicits._
+        val corrupt = Seq(
+          ("not_a_number", "BAD SUPPLIER", "7", "1.5"),
+          ("424242", "WORSE SUPPLIER", "7", "abc"))
+          .toDF("k", "nm", "nk", "bal")
+        val mapped = SchemaMap(loose.unionByName(corrupt), Seq(
+          FieldMap("k", "s_suppkey", LongType),
+          FieldMap("nm", "s_name", StringType),
+          FieldMap("nk", "s_nationkey", IntegerType),
+          FieldMap("bal", "s_acctbal", DoubleType)))
+        // Exactly the two injected rows must be quarantined.
+        assert(mapped.bad.count() == 2,
+          s"schema-map bad-row channel caught ${mapped.bad.count()} rows, expected 2")
+        mapped.good.orderBy("s_suppkey")
+      },
+      Some("SELECT * FROM supplier ORDER BY s_suppkey")),
+
+    // ------------------------------------------------------------------
     // JDBC destination sink: typed INSERT...VALUES batches into
     // embedded Derby with per-batch-key transactional overwrite
     // (delete+insert in one txn), then read back through Spark's JDBC
