@@ -194,6 +194,32 @@ object Sources {
         FROM orders GROUP BY 1 ORDER BY o_month""")),
 
     // ------------------------------------------------------------------
+    // TTL as partition DROP (CH `ALTER TABLE ... DROP PARTITION`):
+    // events land day-partitioned, expiry deletes whole partition
+    // directories by their VALUE — no data file is opened, so the
+    // operation is O(partitions) metadata work at any table size
+    // (the scale mechanism ch_ttl's row filter only approximates).
+    // Oracle = the same day cutoff on the source table.
+    "ch_ttl_drop" -> Q(
+      (s, dir) => {
+        val out = tmp(dir, "ttldrop")
+        Sink.writePartitionedSorted(Tables.events(s, dir)
+          .select("event_id", "user_id", "event_type", "ts_us", "value"), out,
+          "ev_day" -> from_unixtime(expr("ts_us div 1000000"), "yyyy-MM-dd"),
+          Seq("user_id"))
+        Sink.dropExpiredPartitions(s, out, "ev_day", _ < "2024-01-15")
+        s.read.parquet(out)
+          .groupBy(col("ev_day").cast("string").as("ev_day"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+          .orderBy("ev_day")
+      },
+      Some(s"""
+        SELECT strftime(ts, '%Y-%m-%d') AS ev_day, count(*) AS n,
+               ${S.dsum("value")} AS total
+        FROM events WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-15'
+        GROUP BY 1 ORDER BY ev_day""")),
+
+    // ------------------------------------------------------------------
     // Same layout for the event stream (group B's ch_final_write):
     // month partitions age out whole for TTL, user_id order inside.
     "ch_final_write" -> Q(

@@ -23,11 +23,16 @@ import java.nio.charset.StandardCharsets
   */
 object Sink {
 
+  /** `keyPrefix` namespaces batch keys — the streaming path sets it to
+    * the micro-batch epoch so an epoch replay overwrites its own
+    * batches (exactly-once), and distinct epochs never collide.
+    */
   final case class SinkConfig(
       rootDir: String,
       table: String,
       batchSize: Int = 10000,
-      maxRetries: Int = 3)
+      maxRetries: Int = 3,
+      keyPrefix: String = "")
 
   /** One insert target. Implementations must make `insertBatch`
     * idempotent in `batchKey` (write-once / overwrite semantics).
@@ -117,9 +122,10 @@ object Sink {
     val maxRetries = cfg.maxRetries
     val batchSize = cfg.batchSize
     val table = cfg.table
+    val prefix = cfg.keyPrefix
     df.toJSON.rdd.mapPartitionsWithIndex { (pid, rows) =>
       rows.grouped(batchSize).zipWithIndex.foreach { case (batch, bi) =>
-        val key = f"p$pid%05d-b$bi%05d"
+        val key = f"${prefix}p$pid%05d-b$bi%05d"
         retrying(maxRetries) { backend.insertBatch(table, key, batch.toSeq) }
       }
       Iterator.empty
@@ -137,13 +143,49 @@ object Sink {
     val batchSize = cfg.batchSize
     val table = cfg.table
     val schema = df.schema
+    val prefix = cfg.keyPrefix
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       rows.grouped(batchSize).zipWithIndex.foreach { case (batch, bi) =>
-        val key = f"p$pid%05d-b$bi%05d"
+        val key = f"${prefix}p$pid%05d-b$bi%05d"
         retrying(maxRetries) { backend.insertBatch(table, key, schema, batch.toSeq) }
       }
       Iterator.empty
     }.count(): Unit
+  }
+
+  /** One micro-batch of a streaming query into the sink — the body of
+    * a `writeStream.foreachBatch(batchToSink(cfg, backend))` call.
+    * Exactly-once composition with Structured Streaming's
+    * at-least-once foreachBatch: batch keys are namespaced by the
+    * epoch id, so when a failed epoch is re-run after restart, its
+    * batches overwrite their previous attempt instead of appending.
+    */
+  def batchToSink(cfg: SinkConfig, backend: SinkBackend)
+      : (DataFrame, Long) => Unit = (batch, epochId) =>
+    write(batch, cfg.copy(keyPrefix = f"e$epochId%06d-"), backend)
+
+  /** Whole expired partitions of a [[writePartitionedSorted]] layout
+    * are dropped by DIRECTORY listing + delete — the decision reads
+    * only partition VALUES from directory names, never a data file, so
+    * TTL on 100 TB costs a metadata listing regardless of table size
+    * (CH's `ALTER TABLE DROP PARTITION` semantics). Survivor files are
+    * untouched (asserted byte-for-byte in TtlDropSpec).
+    * Returns the dropped partition values.
+    */
+  def dropExpiredPartitions(spark: org.apache.spark.sql.SparkSession,
+      path: String, partitionCol: String,
+      expired: String => Boolean): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith(s"$partitionCol="))
+      .flatMap { p =>
+        val value = java.net.URLDecoder.decode(
+          p.getName.stripPrefix(s"$partitionCol="), "UTF-8")
+        if (expired(value)) { fs.delete(p, true); Some(value) } else None
+      }
   }
 
   /** ClickHouse-style table layout on write: PARTITION BY a derived
