@@ -101,6 +101,75 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over the near-dup pair graph by iterative
+    * min-label propagation — the canonicalization step a dedup
+    * pipeline ends with: pairs say "a duplicates b", clusters say
+    * "keep exactly one of {a,b,c}". Each doc's cluster_id becomes the
+    * smallest doc_id reachable from it; singletons keep their own id.
+    *
+    * Scale shape: each round is one join + one aggregation shuffled
+    * on doc_id, and converges in O(cluster diameter) rounds — dup
+    * groups are near-cliques (diameter 1-2) at corpus scale.
+    * `localCheckpoint` truncates lineage per round so the plan does
+    * not grow with iterations. For adversarial long-chain graphs the
+    * same join shapes extend to large-star/small-star (O(log n)
+    * rounds, public Kiveris et al. "Connected Components in
+    * MapReduce"); plain propagation is the right default here.
+    */
+  def componentLabels(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges.join(labels,
+          edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("nmin"))
+        .withColumnRenamed("src", "doc_id")
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .as("next_id"),
+          col("cluster_id"))
+        .localCheckpoint(true)
+      changed = next.filter(col("next_id") =!= col("cluster_id")).count()
+      labels = next.select(col("doc_id"), col("next_id").as("cluster_id"))
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  /** DuckDB oracle for [[componentLabels]] over the exact jaccard
+    * pair set: transitive closure via a recursive CTE, cluster_id =
+    * min reachable doc_id.
+    */
+  def clustersOracle(k: Int, threshold: Double): String = s"""
+    WITH RECURSIVE t AS (SELECT doc_id,
+           string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') toks
+         FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+${k - 1}], ' ')
+                            for i in range(1, len(toks) - ${k - 2})]) shingles
+           FROM t WHERE len(toks) >= $k),
+    p AS (SELECT a.doc_id id_a, b.doc_id id_b,
+            CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+              (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) j
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+    pair AS (SELECT id_a, id_b FROM p WHERE j >= $threshold),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pair
+              UNION SELECT id_b, id_a FROM pair),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+    mn AS (SELECT s AS doc_id, min(d) AS mn FROM reach GROUP BY s)
+    SELECT doc.doc_id, least(doc.doc_id, coalesce(mn.mn, doc.doc_id)) AS cluster_id
+    FROM documents doc LEFT JOIN mn ON doc.doc_id = mn.doc_id
+    ORDER BY doc.doc_id"""
+
   /** 64-permutation minhash signature over the (hashed) shingle
     * array — the native codegen MinHashSig expression, one tight
     * primitive loop per row, no shuffle.
@@ -205,6 +274,18 @@ object Dedup {
       (s, dir) => jaccardPairs(docShingles(s, dir), 0.5)
         .orderBy("id_a", "id_b"),
       Some(jaccardOracle(3, 0.5, withJ = true))),
+
+    // ------------------------------------------------------------------
+    // Near-dup CLUSTERS: connected components over the exact jaccard
+    // pair graph, cluster_id = min doc_id of the component — the
+    // keep-one-representative step after pair finding. Oracle walks
+    // the same pair set transitively with a recursive CTE.
+    "dedup_clusters" -> Q(
+      (s, dir) => componentLabels(
+        jaccardPairs(docShingles(s, dir), 0.5).select("id_a", "id_b"),
+        Tables.documents(s, dir).select("doc_id"))
+        .orderBy("doc_id"),
+      Some(clustersOracle(3, 0.5))),
 
     // ------------------------------------------------------------------
     // MinHash + LSH: signatures -> 16 bands of 4 -> bucket join ->

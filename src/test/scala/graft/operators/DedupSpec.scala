@@ -12,6 +12,18 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("componentLabels resolves chains, merges, and singletons") {
+    // Components: {1,2,3,4} via a chain 1-2, 2-3, 3-4 (needs >1
+    // propagation round), {10,11}, and singletons 20, 21.
+    val pairEdges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val got = Dedup.componentLabels(pairEdges, docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
+  }
+
   test("minhash-LSH finds exactly the exact-jaccard pairs on the test data") {
     val exact = pairs("dedup_ngram_jaccard")
     val lsh = pairs("dedup_minhash_lsh")
