@@ -216,6 +216,41 @@ object Extra {
         SELECT band, count(*) AS n, ${S.dsum("l_quantity")} AS qty
         FROM lineitem JOIN bands
           ON l_quantity >= lo AND l_quantity < hi
-        GROUP BY band ORDER BY band"""))
+        GROUP BY band ORDER BY band""")),
+
+    // ------------------------------------------------------------------
+    // INTERSECT: customers with a finished order AND a high-value
+    // order. Spark plans set-intersection as a left-semi join over
+    // distinct keys — one shuffle per side, no row explosion.
+    "q_intersect" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.filter(col("o_orderstatus") === "F").select("o_custkey")
+          .intersect(
+            o.filter(col("o_totalprice") > 150000).select("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      Some("""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+        ORDER BY o_custkey""")),
+
+    // ------------------------------------------------------------------
+    // EXCEPT: customers with a finished order and NO high-value order
+    // (left-anti join over distinct keys).
+    "q_except" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.filter(col("o_orderstatus") === "F").select("o_custkey")
+          .except(
+            o.filter(col("o_totalprice") > 300000).select("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      Some("""
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        ORDER BY o_custkey"""))
   )
 }

@@ -50,4 +50,28 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       "expected partial + final aggregation stages")
   }
+
+  test("grouping sets plan is a single Expand + one aggregation pass") {
+    val p = plan("q_grouping_sets")
+    assert(p.contains("Expand"), s"no Expand in grouping-sets plan:\n$p")
+    // one pass over the source: exactly one scan of the orders table
+    assert("Scan parquet".r.findAllIn(p).size <= 2, // orders + customer
+      s"grouping sets re-scans inputs:\n$p")
+  }
+
+  test("set operations plan as semi/anti joins, not row explosion") {
+    assert(plan("q_intersect").contains("LeftSemi"),
+      "INTERSECT should plan as a left-semi join")
+    assert(plan("q_except").contains("LeftAnti"),
+      "EXCEPT should plan as a left-anti join")
+  }
+
+  test("ball-bound embedding pairs never plan a cartesian product") {
+    val p = SparkEntry.registry("dedup_embedding_ivf").fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"embedding pairs degenerated to a cartesian product:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"admissible cell-pair list should broadcast:\n$p")
+  }
 }
