@@ -251,6 +251,29 @@ object Extra {
         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         EXCEPT
         SELECT o_custkey FROM orders WHERE o_totalprice > 300000
-        ORDER BY o_custkey"""))
+        ORDER BY o_custkey""")),
+
+    // ------------------------------------------------------------------
+    // Salted join as a registry citizen: the static skew answer when
+    // AQE cannot re-plan (streaming, or a key so hot one reducer
+    // still drowns). Row-level results are identical to the plain
+    // join — proven here by sharing the plain join's oracle.
+    "q_salted_join" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(col("o_custkey").as("custkey"), col("o_totalprice"),
+            col("o_orderkey"))
+        val c = Tables.customer(s, dir)
+          .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+        Skew.saltedJoin(o, c, "custkey", salts = 8, saltBy = col("o_orderkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""
+        SELECT c_mktsegment, count(*) AS n,
+               ${S.dsum("o_totalprice")} AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }

@@ -80,6 +80,42 @@ object Multimodal {
             (0 until 8).map(i => col("features").getItem(i).as(s"f$i")): _*)
           .orderBy("doc_id")
       },
-      None)
+      None),
+
+    // ------------------------------------------------------------------
+    // Frame sampling over a video-like binary container: the payload
+    // splits into fixed-size frames and every SampleEvery-th frame is
+    // selected — the standard shape for video preprocessing (decode
+    // only sampled frames, never the whole stream). The framing
+    // arithmetic (offsets, lengths, sampled indices) is fully oracled;
+    // a real decoder would receive payload.slice(off, off+len) inside
+    // the same mapPartitions batch loop.
+    "mm_frame_sample" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val FrameBytes = 64L
+        val SampleEvery = 4
+        val bin = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[(Long, Array[Byte])]
+        bin.mapPartitions { it =>
+          it.flatMap { case (id, payload) =>
+            val n = payload.length.toLong
+            val nFrames = ((n + FrameBytes - 1) / FrameBytes).toInt
+            (0 until nFrames by SampleEvery).iterator.map { fi =>
+              val off = fi * FrameBytes
+              (id, fi.toLong, off, math.min(FrameBytes, n - off))
+            }
+          }
+        }.toDF("doc_id", "frame_idx", "byte_offset", "n_bytes")
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""
+        SELECT doc_id, fi AS frame_idx, fi * 64 AS byte_offset,
+               least(64, n - fi * 64) AS n_bytes
+        FROM (SELECT doc_id, strlen(text) AS n,
+                     unnest(range(0, (strlen(text) + 63) // 64, 4)) AS fi
+              FROM documents)
+        ORDER BY doc_id, frame_idx"""))
   )
 }
