@@ -242,6 +242,79 @@ object ClickHouse {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ------------------------------------------------------------------
+    // sequenceMatch('(?1).*(?2).*(?3)'): does a strictly time-ordered
+    // view -> click -> purchase subsequence exist per user? Greedy
+    // stepping is both correct (earliest-first never hurts existence)
+    // and the scale shape: three keyed aggregations + joins, no
+    // per-user event buffering, no window sort over whole histories.
+    "ch_sequencematch" -> Q(
+      (s, dir) => {
+        val e = Tables.events(s, dir).select("user_id", "event_type", "ts_us")
+        def step(evType: String, prev: DataFrame, prevCol: String, out: String) =
+          e.filter(col("event_type") === evType)
+            .join(prev, Seq("user_id"))
+            .filter(col("ts_us") > col(prevCol))
+            .groupBy("user_id").agg(min("ts_us").as(out))
+        val t1 = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts_us").as("t1"))
+        val t2 = step("click", t1, "t1", "t2")
+        val t3 = step("purchase", t2, "t2", "t3")
+        e.select("user_id").distinct()
+          .join(t3, Seq("user_id"), "left")
+          .select(col("user_id"),
+            col("t3").isNotNull.cast("int").as("matched"))
+          .orderBy("user_id")
+      },
+      Some("""
+        SELECT u.user_id, CAST(EXISTS (
+          SELECT 1 FROM events e1, events e2, events e3
+          WHERE e1.user_id = u.user_id AND e2.user_id = u.user_id
+            AND e3.user_id = u.user_id
+            AND e1.event_type = 'view' AND e2.event_type = 'click'
+            AND e3.event_type = 'purchase'
+            AND e2.ts > e1.ts AND e3.ts > e2.ts) AS INTEGER) AS matched
+        FROM (SELECT DISTINCT user_id FROM events) u
+        ORDER BY u.user_id""")),
+
+    // ------------------------------------------------------------------
+    // groupBitAnd / groupBitOr / groupBitXor: single-pass bitwise
+    // aggregates (O(1) state per group).
+    "ch_groupbit" -> Q(
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .groupBy("o_orderstatus")
+          .agg(bit_and(col("o_orderkey")).as("band"),
+            bit_or(col("o_orderkey")).as("bor"),
+            bit_xor(col("o_orderkey")).as("bxor"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""
+        SELECT o_orderstatus, bit_and(o_orderkey) AS band,
+               bit_or(o_orderkey) AS bor, bit_xor(o_orderkey) AS bxor,
+               count(*) AS n
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ------------------------------------------------------------------
+    // histogram as fixed-width buckets: one hash aggregation on the
+    // bucket id (CH's adaptive histogram() serves the same purpose;
+    // fixed buckets are deterministic and cross-engine exact).
+    "ch_histogram" -> Q(
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy(floor(col("l_extendedprice") / 10000).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("l_extendedprice")).as("lo"),
+            max(col("l_extendedprice")).as("hi"))
+          .orderBy("bucket")
+      },
+      Some("""
+        SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
+               count(*) AS n, min(l_extendedprice) AS lo,
+               max(l_extendedprice) AS hi
+        FROM lineitem GROUP BY 1 ORDER BY bucket""")),
+
+    // ------------------------------------------------------------------
     // uniqExact — the exact distinct count (oracled here). The HLL
     // approximation (CH `uniq`) is ch_uniq_hll below, checked rows-only
     // plus an error-bound ScalaTest spec.
