@@ -282,6 +282,55 @@ object Relational {
         FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""")),
 
     // ------------------------------------------------------------------
+    // RANGE frame over event time: per-user rolling 1-hour event
+    // count — the frame is VALUE-based (ts within [t-1h, t]), not
+    // row-count-based, which rows-between cannot express.
+    "q_window_range" -> Q(
+      (s, dir) => {
+        val hourUs = 3600L * 1000000L
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"))
+          .rangeBetween(-hourUs, 0)
+        Tables.events(s, dir)
+          .withColumn("events_last_hour", count(lit(1)).over(w))
+          .select("user_id", "event_id", "ts_us", "events_last_hour")
+          .orderBy("user_id", "ts_us", "event_id")
+      },
+      Some("""
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                 AS events_last_hour
+        FROM events ORDER BY user_id, ts_us, event_id""")),
+
+    // ------------------------------------------------------------------
+    // first_value / last_value / nth_value with an explicit full-
+    // partition frame (last_value over the default frame is the
+    // classic silent-wrong-answer; the full frame is the useful one).
+    "q_window_firstlast" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"),
+            first(col("o_orderkey")).over(w).as("first_key"),
+            last(col("o_orderkey")).over(w).as("last_key"),
+            nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               first_value(o_orderkey) OVER w AS first_key,
+               last_value(o_orderkey) OVER w AS last_key,
+               nth_value(o_orderkey, 2) OVER w AS second_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ------------------------------------------------------------------
     "q_window_lag" -> Q(
       (s, dir) => {
         val w = Window.partitionBy(col("user_id"))

@@ -194,6 +194,43 @@ object Sources {
         FROM orders GROUP BY 1 ORDER BY o_month""")),
 
     // ------------------------------------------------------------------
+    // Upsert as append + merge-on-read (ReplacingMergeTree FINAL over
+    // a multi-batch layout): the base load and an update batch land
+    // as separate APPENDS (no rewrite of existing files — the only
+    // write pattern that scales for continuous ingest), and readers
+    // collapse to latest-version rows with one argMax aggregation.
+    // The oracle recomputes the expected post-upsert state from the
+    // source table, so a pass proves no row was lost, duplicated, or
+    // left stale.
+    "sink_upsert" -> Q(
+      (s, dir) => {
+        val out = tmp(dir, "upsert")
+        val base = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .withColumn("version", lit(1L))
+        base.write.mode("overwrite").parquet(out)
+        base.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .withColumn("o_orderstatus", lit("X"))
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .withColumn("version", lit(2L))
+          .write.mode("append").parquet(out)
+        ClickHouse.replacingMergeTree(s.read.parquet(out),
+            Seq("o_orderkey"), col("version"), col("version"))
+          .select("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "version")
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 10 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice,
+               CAST(CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END
+                 AS BIGINT) AS version
+        FROM orders ORDER BY o_orderkey""")),
+
+    // ------------------------------------------------------------------
     // TTL as partition DROP (CH `ALTER TABLE ... DROP PARTITION`):
     // events land day-partitioned, expiry deletes whole partition
     // directories by their VALUE — no data file is opened, so the
