@@ -164,6 +164,29 @@ object Sink {
       : (DataFrame, Long) => Unit = (batch, epochId) =>
     write(batch, cfg.copy(keyPrefix = f"e$epochId%06d-"), backend)
 
+  /** Typed twin of [[batchToSink]]: foreachBatch into a JDBC (or any
+    * typed) destination with the same epoch-namespaced exactly-once
+    * batch keys.
+    */
+  def batchToTypedSink(cfg: SinkConfig, backend: TypedSinkBackend)
+      : (DataFrame, Long) => Unit = (batch, epochId) =>
+    writeTyped(batch, cfg.copy(keyPrefix = f"e$epochId%06d-"), backend)
+
+  /** CH-style background merge for a fragmented partitioned layout
+    * (continuous appends leave many small files per partition):
+    * rewrite with one sorted file per partition value — the
+    * value-keyed repartition in [[writePartitionedSorted]] puts each
+    * partition value in exactly one task. The compacted copy goes to
+    * a NEW path: at scale the publish step is a manifest/metastore
+    * pointer flip, never an in-place rewrite of files readers hold
+    * open.
+    */
+  def compactPartitioned(spark: org.apache.spark.sql.SparkSession,
+      from: String, to: String, partitionCol: String,
+      sortCols: Seq[String]): Unit =
+    writePartitionedSorted(spark.read.parquet(from), to,
+      partitionCol -> col(partitionCol), sortCols)
+
   /** Whole expired partitions of a [[writePartitionedSorted]] layout
     * are dropped by DIRECTORY listing + delete — the decision reads
     * only partition VALUES from directory names, never a data file, so

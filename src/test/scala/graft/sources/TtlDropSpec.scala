@@ -46,6 +46,34 @@ class TtlDropSpec extends SparkSpec {
     assert(got == want, s"read-back $got rows, want $want")
   }
 
+  test("compaction rewrites a fragmented layout to one sorted file per partition") {
+    val frag = s"${System.getProperty("java.io.tmpdir")}/graft_compact_in"
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_compact_out"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(frag))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    // Fragment: four append batches, several files per day partition.
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        from_unixtime(expr("ts_us div 1000000"), "yyyy-MM-dd").as("ev_day"))
+    for (i <- 0 until 4)
+      e.filter(pmod(col("event_id"), lit(4)) === i)
+        .write.mode("append").partitionBy("ev_day").parquet(frag)
+    def filesPerPartition(root: String): Map[String, Int] =
+      new java.io.File(root).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("ev_day="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(filesPerPartition(frag).values.exists(_ > 1),
+      "staging did not fragment the layout")
+
+    Sink.compactPartitioned(spark, frag, out, "ev_day", Seq("user_id", "ts_us"))
+    val after = filesPerPartition(out)
+    assert(after.nonEmpty && after.values.forall(_ == 1),
+      s"compaction left multi-file partitions: $after")
+    assert(spark.read.parquet(out).count() == spark.read.parquet(frag).count(),
+      "compaction lost or duplicated rows")
+  }
+
   test("queries on the post-drop layout still partition-prune") {
     val out = layout("prune")
     Sink.dropExpiredPartitions(spark, out, "ev_day", _ < "2024-01-15")

@@ -161,6 +161,54 @@ class StreamingSpec extends SparkSpec {
       "epoch replay changed the sink contents (duplicates or loss)")
   }
 
+  test("foreachBatch -> typed JDBC sink lands sessions exactly-once") {
+    import graft.sources.{JdbcBackend, Sink}
+    val dbDir = s"${System.getProperty("java.io.tmpdir")}/graft_stream_jdbc"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dbDir))
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val backend = new JdbcBackend(url)
+    val cfg = Sink.SinkConfig("", "sessions", batchSize = 10000)
+    val sinkFn = Sink.batchToTypedSink(cfg, backend)
+
+    val captured = scala.collection.mutable.Map
+      .empty[Long, Array[Array[org.apache.spark.sql.Row]]]
+    var schema: org.apache.spark.sql.types.StructType = null
+    val q = Sessionize.streaming(
+        streamedEvents
+          .withWatermark("ts", "2 hours")
+          .select("user_id", "event_id", "ts_us", "value", "ts")
+          .as[Sessionize.Ev])
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, epoch: Long) =>
+        schema = b.schema
+        captured(epoch) = b.rdd.glom().collect()
+        sinkFn(b, epoch)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    def jdbcCount: Long = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement()
+          .executeQuery("SELECT count(*) FROM sessions")
+        rs.next(); rs.getLong(1)
+      } finally c.close()
+    }
+    val n = jdbcCount
+    assert(n > 0, "stream wrote no sessions to JDBC")
+
+    // Epoch replay, as a restarted query would re-run it.
+    val (epoch, parts) = captured.filter(_._2.exists(_.nonEmpty)).maxBy(_._1)
+    val rdd = spark.sparkContext
+      .parallelize(0 until parts.length, math.max(parts.length, 1))
+      .mapPartitionsWithIndex((i, _) => parts(i).iterator)
+    sinkFn(spark.createDataFrame(rdd, schema), epoch)
+    assert(jdbcCount == n,
+      "JDBC epoch replay changed the row count (duplicates or loss)")
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) equals batch") {
     val streamed = runToCompletion(
       Sessionize.streaming(
