@@ -135,6 +135,50 @@ object Functions {
         FROM documents ORDER BY doc_id""")),
 
     // ------------------------------------------------------------------
+    // arrayMap/arrayFilter/arrayReduce (CH's array lambdas) as Spark
+    // higher-order functions — transform/filter/aggregate evaluate
+    // per row with no shuffle; the DuckDB oracle mirrors them with
+    // list_transform/list_filter/list_sum.
+    "f_array_hof" -> Q(
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(filter(split(col("text"), " "), t => length(t) > 5))
+              .as("n_long"),
+            aggregate(split(col("text"), " "), lit(0),
+              (a, t) => a + length(t)).as("total_chars"),
+            size(array_distinct(transform(split(col("text"), " "),
+              t => lower(t)))).as("n_uniq_lower"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '),
+                 x -> strlen(x) > 5)) AS INTEGER) AS n_long,
+               CAST(list_sum(list_transform(string_split(text, ' '),
+                 x -> strlen(x))) AS INTEGER) AS total_chars,
+               CAST(len(list_distinct(list_transform(string_split(text, ' '),
+                 x -> lower(x)))) AS INTEGER) AS n_uniq_lower
+        FROM documents ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // base64 / hex encode + decode round-trip.
+    "f_encoding" -> Q(
+      (s, dir) => {
+        Tables.nation(s, dir)
+          .select(col("n_nationkey"),
+            base64(col("n_name").cast("binary")).as("b64"),
+            hex(col("n_name").cast("binary")).as("hx"),
+            unbase64(base64(col("n_name").cast("binary"))).cast("string")
+              .as("roundtrip"))
+          .orderBy("n_nationkey")
+      },
+      Some("""
+        SELECT n_nationkey, base64(encode(n_name)) AS b64,
+               hex(encode(n_name)) AS hx, n_name AS roundtrip
+        FROM nation ORDER BY n_nationkey""")),
+
+    // ------------------------------------------------------------------
     // Content hashes (md5 / sha256 oracled; xxhash64 is Spark-internal
     // and exercised by the dedup operators + specs).
     "f_hash" -> Q(

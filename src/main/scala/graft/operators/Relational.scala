@@ -439,6 +439,27 @@ object Relational {
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
     // ------------------------------------------------------------------
+    // UNPIVOT (wide -> long), the inverse of q_pivot.
+    "q_unpivot" -> Q(
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            col("o_totalprice").cast("double").as("total"),
+            col("o_custkey").cast("double").as("custkey"))
+          .unpivot(Array(col("o_orderkey")),
+            Array(col("total"), col("custkey")), "metric", "val")
+          .orderBy("o_orderkey", "metric")
+      },
+      Some("""
+        SELECT o_orderkey, metric, val
+        FROM (UNPIVOT (SELECT o_orderkey,
+                              CAST(o_totalprice AS DOUBLE) AS total,
+                              CAST(o_custkey AS DOUBLE) AS custkey
+                       FROM orders)
+              ON total, custkey INTO NAME metric VALUE val)
+        ORDER BY o_orderkey, metric""")),
+
+    // ------------------------------------------------------------------
     "q_distinct_agg" -> Q(
       (s, dir) => {
         Tables.orders(s, dir)
