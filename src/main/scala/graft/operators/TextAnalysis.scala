@@ -152,6 +152,51 @@ object TextAnalysis {
           .select(col("doc_id"), expr("graft_polyhash(text)").as("fingerprint"))
           .orderBy("doc_id")
       },
-      None)
+      None),
+
+    // ------------------------------------------------------------------
+    // TF-IDF keyword extraction: top-3 terms per doc by tf * (N/df).
+    // The raw-ratio idf (no log) keeps the score a product/quotient of
+    // exact integers — bit-identical across engines, same ranking
+    // monotonicity as log-idf. Shape: two hash aggregations (tf keyed
+    // by (doc, term), df keyed by term) + one equi-join on term + a
+    // per-doc top-k window — every shuffle is on a natural key, no
+    // all-pairs anything.
+    "txt_tfidf" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(split(Dedup.normText(col("text")), " ")).as("term"))
+        val n = Tables.documents(s, dir).count()
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term").asc)
+        tf.join(df, Seq("term"))
+          .withColumn("score",
+            col("tf").cast("double") * (lit(n.toDouble) / col("df")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+          .orderBy("doc_id", "rank")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id,
+               unnest(string_split(regexp_replace(trim(lower(text)),
+                 ' +', ' ', 'g'), ' ')) AS term
+             FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               CAST(tf.tf AS DOUBLE) * ((SELECT n FROM nn) / df.df) AS score
+             FROM tf JOIN df USING (term)),
+        ranked AS (SELECT doc_id, term, tf, df,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, term ASC) AS INTEGER) AS rank
+             FROM scored)
+        SELECT doc_id, rank, term, tf, df FROM ranked
+        WHERE rank <= 3 ORDER BY doc_id, rank"""))
   )
 }
