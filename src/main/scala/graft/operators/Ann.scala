@@ -135,9 +135,12 @@ object Ann {
     graft.functions.GraftFunctions.register(s)
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), l2normExpr(col("embedding")).as("nv"))
+    // sizing count on the RAW table: parquet answers it from footer
+    // metadata, where emb.count() would re-run the l2norm projection
     val nCells =
       if (cells > 0) cells
-      else math.max(16, math.sqrt(emb.count().toDouble).toInt)
+      else math.max(16,
+        math.sqrt(Tables.embeddings(s, dir).count().toDouble).toInt)
     val cents = fitCellsCached(dir, nCells, emb)
     val assigned = emb
       .withColumn("sc", nearestCellStruct(col("nv"), cents))

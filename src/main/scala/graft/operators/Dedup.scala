@@ -195,17 +195,24 @@ object Dedup {
     * bucket holds ~n/256 docs at corpus scale and the self-join
     * degenerates to ~8·(n/256)² candidates, quadratic; 16-bit pair
     * keys give 65,536 values per band, the same key space as 4x16
-    * banding but with recall to hamming 7 instead of 3.
+    * banding but with exact recall to hamming 6 instead of 3.
     *
     * `bucketCap` is the skew guard, same idea as the stop-shingle df
     * cap: a band bucket of b docs contributes b² candidate pairs, so
-    * buckets above the cap are dropped before the self-join. A bucket
-    * that hot is either boilerplate (near-dups still caught via the
-    * other 27 bands) or a hash pathology; either way it must not blow
-    * up the shuffle. The default cap is far above any bucket size in
-    * the test data, so test-SF results are unaffected.
+    * buckets above the cap are dropped before the self-join. NOTE the
+    * cap weakens the recall guarantee: a pair whose every clean band
+    * is hot loses all its candidate paths (DedupSpec demonstrates
+    * this deliberately with a 50-doc crowd). That trade is the point
+    * — such crowds are boilerplate a near-dup pipeline wants capped —
+    * but the hamming bound above is only exact while no shared band
+    * overflows. The default cap is far above any bucket size in the
+    * test data, so test-SF results are unaffected.
+    *
+    * The default `maxHamming = 6` matches the banding's exactness
+    * bound, so the returned set is COMPLETE by construction; pass 7
+    * to widen the net at a documented ~2% miss rate for 7-bit pairs.
     */
-  def simhashPairs(sigs: DataFrame, maxHamming: Int = 7,
+  def simhashPairs(sigs: DataFrame, maxHamming: Int = 6,
       bucketCap: Int = 1000): DataFrame = {
     val bandKeys = (for {
       i <- 0 until 8; j <- (i + 1) until 8

@@ -159,6 +159,10 @@ object Sources {
       (s, dir) => {
         val url = s"jdbc:derby:${tmp(dir, "derby")}/db;create=true"
         val cfg = Sink.SinkConfig("", "orders_agg", batchSize = 16)
+        // Full reload into a persistent destination: clear first —
+        // batch-key overwrite alone would leave stale batches if a
+        // previous run produced more partitions than this one.
+        graft.sources.Jdbc.truncate(url, "orders_agg")
         val agg = Tables.orders(s, dir)
           .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("o_month"))
           .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))

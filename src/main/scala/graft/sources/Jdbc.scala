@@ -96,6 +96,26 @@ final class JdbcBackend(url: String) extends Sink.TypedSinkBackend {
 
 object Jdbc {
 
+  /** Best-effort delete of every row in `table` (absent table is
+    * fine). Callers that reuse a persistent destination across runs
+    * need this before a full reload: batch-key idempotency only
+    * overwrites the keys the CURRENT run produces, so a previous run
+    * with more partitions would leave stale batches behind.
+    */
+  def truncate(url: String, table: String): Unit = {
+    quietDerby()
+    val c = DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      try st.executeUpdate(s"DELETE FROM $table")
+      catch {
+        // 42X05 = Derby "table does not exist"; 42S02 the ANSI state
+        case e: SQLException
+            if e.getSQLState == "42X05" || e.getSQLState == "42S02" => ()
+      } finally st.close()
+    } finally c.close()
+  }
+
   /** Keep embedded Derby's log out of the working directory. */
   private[sources] def quietDerby(): Unit =
     if (System.getProperty("derby.stream.error.file") == null)

@@ -205,8 +205,11 @@ object Sink {
       .map(_.getPath)
       .filter(_.getName.startsWith(s"$partitionCol="))
       .flatMap { p =>
-        val value = java.net.URLDecoder.decode(
-          p.getName.stripPrefix(s"$partitionCol="), "UTF-8")
+        // Spark writes partition dirs with Hive-style escaping
+        // (percent-escapes only); URLDecoder would also turn a
+        // literal '+' into a space.
+        val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(p.getName.stripPrefix(s"$partitionCol="))
         if (expired(value)) { fs.delete(p, true); Some(value) } else None
       }
   }

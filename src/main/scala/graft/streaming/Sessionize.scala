@@ -59,6 +59,16 @@ object Sessionize {
       out += SessionOut(userId, s.seq, s.startUs, s.endUs, s.n, s.value.toDouble)
     for (e <- sorted) {
       open match {
+        case Some(s) if e.ts_us < s.startUs - GapUs =>
+          // Beyond the mergeable horizon: in batch order this event
+          // would belong to a SEPARATE session that closed before the
+          // open one, which O(1) single-session state cannot renumber
+          // retroactively. Dropping it is the bounded-state trade-off
+          // (production: widen the watermark so such events are
+          // excluded upstream, or keep multi-session state). Merging
+          // it — the old behavior — silently glued two sessions that
+          // the batch path reports separately.
+          ()
         case Some(s) if e.ts_us - s.endUs <= GapUs =>
           // min/max, not assignment: a late event from a LATER
           // micro-batch (within the watermark) can be older than the

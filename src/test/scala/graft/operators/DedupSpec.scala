@@ -39,7 +39,7 @@ class DedupSpec extends SparkSpec {
       s"recall too low: ${sim.size}/${exact.size}")
   }
 
-  test("simhashPairs finds all hamming<=7 pairs and caps hot buckets") {
+  test("simhashPairs finds all hamming<=6 pairs and caps hot buckets") {
     val base = 0x0123456789ABCDEFL
     val near = Seq(
       base,
@@ -52,15 +52,19 @@ class DedupSpec extends SparkSpec {
     // hot-bucket shape the cap must drop
     val crowd = (100 until 150).map(i => (i.toLong, i.toLong << 16))
     val sigs = (near ++ crowd).toDF("doc_id", "sig")
+    // <= 6: the default maxHamming matches the banding's pigeonhole
+    // exactness bound, so completeness below it is guaranteed (the
+    // crowd contains hamming-7 pairs, e.g. 127^129, which the banding
+    // may legitimately miss and the default therefore excludes)
     def expected(docs: Seq[(Long, Long)]): Set[(Long, Long)] = (for {
       (a, sa) <- docs; (b, sb) <- docs
-      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 7
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 6
     } yield (a, b)).toSet
     def got(cap: Int): Set[(Long, Long)] =
       Dedup.simhashPairs(sigs, bucketCap = cap).select("id_a", "id_b")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // roomy cap: every hamming<=7 pair found (all these pairs confine
-    // their flips to <=3 blocks, so a clean block pair always exists)
+    // roomy cap: every hamming<=6 pair found (pigeonhole: <=6 flips
+    // leave at least one block pair untouched)
     assert(got(1000) == expected(near ++ crowd))
     // cap=10 drops the 50-doc buckets: crowd pairs (which share only
     // hot bands) disappear, small-bucket pairs are untouched
