@@ -277,6 +277,42 @@ object ClickHouse {
         ORDER BY u.user_id""")),
 
     // ------------------------------------------------------------------
+    // deltaSum: total of the POSITIVE increments of a per-user value
+    // ordered by event time (counter-reset-tolerant rate totals). The
+    // lag runs inside the per-user window sort; deltas are exact
+    // decimals so the final sum is order-independent and cross-engine
+    // exact.
+    "ch_deltasum" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_us").asc, col("event_id").asc)
+        Tables.events(s, dir)
+          .withColumn("prev", lag(d(col("value")), 1).over(w))
+          .withColumn("delta",
+            when(col("prev").isNotNull && d(col("value")) > col("prev"),
+              d(col("value")) - col("prev")).otherwise(lit(0).cast(graft.Dec.D)))
+          .groupBy("user_id")
+          .agg(sum(col("delta")).cast("double").as("delta_sum"),
+            count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT user_id,
+                 ${S.d("value")} AS v,
+                 lag(${S.d("value")}, 1) OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev
+          FROM events)
+        SELECT user_id,
+               CAST(sum(CASE WHEN prev IS NOT NULL AND v > prev
+                             THEN v - prev
+                             ELSE CAST(0 AS DECIMAL(12,4)) END) AS DOUBLE)
+                 AS delta_sum,
+               count(*) AS n_events
+        FROM d GROUP BY user_id ORDER BY user_id""")),
+
+    // ------------------------------------------------------------------
     // groupBitAnd / groupBitOr / groupBitXor: single-pass bitwise
     // aggregates (O(1) state per group).
     "ch_groupbit" -> Q(
