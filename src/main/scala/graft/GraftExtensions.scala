@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, MinHashSig, NearestCells, PolyHash64, SimHash64}
+import graft.functions.{DotProduct, HllEstimate, MinHashSig, NearestCells, PolyHash64, SimHash64}
 
 /** SparkSessionExtensions entry point: lets a deployment enable
   * graft's native expressions declaratively —
@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_minhash", classOf[MinHashSig], es => MinHashSig(es.head))
     inject("graft_dot", classOf[DotProduct], es => DotProduct(es(0), es(1)))
     inject("graft_cells", classOf[NearestCells], es => NearestCells.build(es))
+    inject("graft_hll_estimate", classOf[HllEstimate], es => HllEstimate(es.head))
     ext.injectOptimizerRule(_ => graft.plans.RewriteIntersectCount)
   }
 }

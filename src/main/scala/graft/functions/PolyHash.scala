@@ -97,6 +97,13 @@ object GraftFunctions {
         new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
         (children: Seq[Expression]) => DotProduct(children(0), children(1)))
     }
+    val hllIdent = FunctionIdentifier("graft_hll_estimate")
+    if (!registry.functionExists(hllIdent)) {
+      registry.registerFunction(
+        hllIdent,
+        new ExpressionInfo(classOf[HllEstimate].getName, "graft_hll_estimate"),
+        (children: Seq[Expression]) => HllEstimate(children.head))
+    }
     val cellsIdent = FunctionIdentifier("graft_cells")
     if (!registry.functionExists(cellsIdent)) {
       registry.registerFunction(

@@ -277,6 +277,32 @@ object ClickHouse {
         ORDER BY u.user_id""")),
 
     // ------------------------------------------------------------------
+    // AggregateFunction-STATE column (CH `uniqState`/`uniqMerge`): the
+    // incremental-materialized-view pattern. Each ingest batch (here:
+    // events split by event_id parity) aggregates its own HLL register
+    // state per group; saved states then MERGE — elementwise register
+    // max, associative/commutative/idempotent — into exactly the state
+    // one pass over the union produces (HllSpec asserts bit equality).
+    // approx_count_distinct cannot do this: its state dies with the
+    // job. Estimator-valued -> rows-only; HllSpec pins the merge law
+    // and a 5% accuracy bound vs exact.
+    "ch_agg_state" -> Q(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = Tables.events(s, dir)
+          .select(col("event_type"), xxhash64(col("user_id")).as("h"),
+            pmod(col("event_id"), lit(2)).as("batch"))
+        val batchStates = e.groupBy("event_type", "batch")
+          .agg(graft.functions.Hll.state(col("h")).as("state"))
+        batchStates.groupBy("event_type")
+          .agg(graft.functions.Hll.mergeStates(col("state")).as("merged"))
+          .select(col("event_type"),
+            expr("graft_hll_estimate(merged)").as("uniq_users_est"))
+          .orderBy("event_type")
+      },
+      None),
+
+    // ------------------------------------------------------------------
     // deltaSum: total of the POSITIVE increments of a per-user value
     // ordered by event time (counter-reset-tolerant rate totals). The
     // lag runs inside the per-user window sort; deltas are exact
