@@ -32,7 +32,11 @@ object Bench {
       } catch { case _: Throwable => None }
     }
 
+    // Optional trailing args restrict the run to named queries —
+    // targeted measurement while iterating (mirrors Verify's filter).
+    val only = args.drop(1).toSet
     val qs = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+      .filter(kv => only.isEmpty || only(kv._1))
     // Best-of-2 per query: the first run pays one-time plan costs
     // (whole-stage-codegen Janino compilation, file listing, JIT);
     // the second run measures steady-state throughput, which is what

@@ -1,0 +1,49 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.DataFrame
+
+/** Centralized memoization for PERSISTED index DataFrames (exploded
+  * shingle indexes, LSH band indexes, IVF cell assignments).
+  *
+  * Why this exists: those indexes are persisted because several legs
+  * of one query read them, but the building functions are re-entered
+  * on every registry call — naively each call would persist a fresh
+  * copy and leak the previous one's cached blocks in a long-lived
+  * session. Memoizing per (session, corpus, params) gives each index
+  * exactly ONE resident copy that later calls reuse — the
+  * "build the index once, serve it many times" shape a resident
+  * engine wants (same pattern as Ann.fitCellsCached for centroids).
+  *
+  * Keys include the owning SparkContext's applicationId, so entries
+  * from a stopped session are never handed to a new one (their cached
+  * blocks died with the session; the map entry itself is a few words).
+  * `clear()` drops and unpersists everything for tests / manual reset.
+  */
+object DfCache {
+  private val cache = new ConcurrentHashMap[String, DataFrame]()
+
+  /** Memoize `build` (which should return an already-persisted DF)
+    * under `key` for the session owning `any`'s SparkSession.
+    */
+  def memo(df: => DataFrame, key: String): DataFrame = {
+    // computeIfAbsent would evaluate build under the map lock; plain
+    // get/putIfAbsent keeps Spark planning outside it. A rare race
+    // builds twice and unpersists the loser.
+    val appId = org.apache.spark.sql.SparkSession.active.sparkContext.applicationId
+    val k = s"$appId:$key"
+    val hit = cache.get(k)
+    if (hit != null) hit
+    else {
+      val built = df
+      val prev = cache.putIfAbsent(k, built)
+      if (prev == null) built
+      else { built.unpersist(blocking = false); prev }
+    }
+  }
+
+  def clear(): Unit = {
+    cache.values.forEach(df => try df.unpersist(blocking = false) catch { case _: Throwable => () })
+    cache.clear()
+  }
+}

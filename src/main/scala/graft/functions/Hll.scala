@@ -42,8 +42,13 @@ object Hll {
     a
   }
 
-  /** Bias-corrected estimate with linear counting for the low range. */
+  /** Bias-corrected estimate with linear counting for the low range.
+    * The state MUST be exactly M register bytes: a short array would
+    * throw mid-loop, a long one would silently estimate from a prefix.
+    */
   def estimate(state: Array[Byte]): Long = {
+    require(state.length == M,
+      s"HLL state must be $M bytes, got ${state.length}")
     var invSum = 0.0
     var zeros = 0
     var i = 0

@@ -142,11 +142,14 @@ object Ann {
       else math.max(16,
         math.sqrt(Tables.embeddings(s, dir).count().toDouble).toInt)
     val cents = fitCellsCached(dir, nCells, emb)
-    val assigned = emb
-      .withColumn("sc", nearestCellStruct(col("nv"), cents))
-      .select(col("vec_id"), col("nv"),
-        col("sc.cell").as("cell"), sqrt(col("sc.d")).as("cdist"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // memoized per (corpus, cells): one resident assignment index per
+    // corpus, not one leaked copy per call (graft.DfCache scaladoc)
+    val assigned = graft.DfCache.memo(
+      emb.withColumn("sc", nearestCellStruct(col("nv"), cents))
+        .select(col("vec_id"), col("nv"),
+          col("sc.cell").as("cell"), sqrt(col("sc.d")).as("cdist"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      s"ivf-assigned:$dir:$nCells")
 
     // Per-cell radii: `cells` rows to the driver — metadata, not data.
     val radii = assigned.groupBy("cell").agg(max(col("cdist")).as("r"))

@@ -80,15 +80,19 @@ object Dedup {
     * pipeline wants to ignore. The default cap is far above any
     * doc-frequency in the test data, so test-SF results are exact.
     */
-  def jaccardPairs(sh: DataFrame, threshold: Double, dfCap: Int = 1000): DataFrame = {
+  def jaccardPairs(sh: DataFrame, threshold: Double, dfCap: Int = 1000,
+      memoKey: Option[String] = None): DataFrame = {
     // persist the exploded index: both self-join legs read it, and
-    // alias divergence defeats Spark's exchange reuse otherwise
+    // alias divergence defeats Spark's exchange reuse otherwise.
+    // With a memoKey the persisted index is shared across calls on
+    // the same corpus instead of leaking one copy per call.
     val raw = sh.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
     val hot = raw.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap)
       .select("sh")
-    val ex = raw.join(broadcast(hot), Seq("sh"), "left_anti")
+    def built = raw.join(broadcast(hot), Seq("sh"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = memoKey.fold(built)(k => graft.DfCache.memo(built, s"shingle-idx:$k:$dfCap"))
     val a = ex.select(col("sh"), col("doc_id").as("id_a"), col("n_sh").as("na"))
     val b = ex.select(col("sh"), col("doc_id").as("id_b"), col("n_sh").as("nb"))
     a.join(b, Seq("sh"))
@@ -213,7 +217,7 @@ object Dedup {
     * to widen the net at a documented ~2% miss rate for 7-bit pairs.
     */
   def simhashPairs(sigs: DataFrame, maxHamming: Int = 6,
-      bucketCap: Int = 1000): DataFrame = {
+      bucketCap: Int = 1000, memoKey: Option[String] = None): DataFrame = {
     val bandKeys = (for {
       i <- 0 until 8; j <- (i + 1) until 8
     } yield s"xxhash64(${i * 8 + j}, shiftright(sig, ${i * 8}) & 255, shiftright(sig, ${j * 8}) & 255)")
@@ -224,8 +228,10 @@ object Dedup {
     val hot = bands.groupBy("band", "bv").agg(count(lit(1)).as("df"))
       .filter(col("df") > bucketCap)
       .select("band", "bv")
-    val idx = bands.join(broadcast(hot), Seq("band", "bv"), "left_anti")
+    def built = bands.join(broadcast(hot), Seq("band", "bv"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = memoKey.fold(built)(k =>
+      graft.DfCache.memo(built, s"simhash-idx:$k:$bucketCap"))
     idx.as("x").join(idx.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -278,7 +284,7 @@ object Dedup {
     // Exact n-gram Jaccard pairs (J >= 0.5) via the inverted-index
     // join; DuckDB brute-forces the same pairs.
     "dedup_ngram_jaccard" -> Q(
-      (s, dir) => jaccardPairs(docShingles(s, dir), 0.5)
+      (s, dir) => jaccardPairs(docShingles(s, dir), 0.5, memoKey = Some(dir))
         .orderBy("id_a", "id_b"),
       Some(jaccardOracle(3, 0.5, withJ = true))),
 
@@ -289,7 +295,8 @@ object Dedup {
     // the same pair set transitively with a recursive CTE.
     "dedup_clusters" -> Q(
       (s, dir) => componentLabels(
-        jaccardPairs(docShingles(s, dir), 0.5).select("id_a", "id_b"),
+        jaccardPairs(docShingles(s, dir), 0.5, memoKey = Some(dir))
+          .select("id_a", "id_b"),
         Tables.documents(s, dir).select("doc_id"))
         .orderBy("doc_id"),
       Some(clustersOracle(3, 0.5))),
@@ -304,9 +311,12 @@ object Dedup {
     "dedup_minhash_lsh" -> Q(
       (s, dir) => {
         graft.functions.GraftFunctions.register(s)
-        // shingles are read three times (signatures + two verify legs)
-        val sh = docShingles(s, dir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // shingles are read three times (signatures + two verify legs);
+        // memoized so repeated calls share one resident copy
+        val sh = graft.DfCache.memo(
+          docShingles(s, dir)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+          s"doc-shingles:$dir")
         val sigs = sh.withColumn("sig", expr(minhashSigExpr))
         val bands = sigs
           .select(col("doc_id"), posexplode(expr(bandExpr(16))))
@@ -346,7 +356,7 @@ object Dedup {
         val sigs = docShingles(s, dir)
           .withColumn("sig", expr("graft_simhash(shingles)"))
           .select("doc_id", "sig")
-        simhashPairs(sigs).orderBy("id_a", "id_b")
+        simhashPairs(sigs, memoKey = Some(dir)).orderBy("id_a", "id_b")
       },
       None),
 

@@ -49,6 +49,7 @@ final class JdbcBackend(url: String) extends Sink.TypedSinkBackend {
 
   def insertBatch(table: String, batchKey: String,
       schema: StructType, rows: Seq[Row]): Unit = withConn { c =>
+    Jdbc.checkIdentifier(table)
     ensureTable(c, table, schema)
     c.setAutoCommit(false)
     try {
@@ -89,7 +90,11 @@ final class JdbcBackend(url: String) extends Sink.TypedSinkBackend {
       ins.close()
       c.commit()
     } catch {
-      case e: Throwable => c.rollback(); throw e
+      case e: Throwable =>
+        // rollback can itself throw (dead connection) — never let it
+        // mask the original batch failure.
+        try c.rollback() catch { case _: SQLException => () }
+        throw e
     }
   }
 }
@@ -103,6 +108,7 @@ object Jdbc {
     * with more partitions would leave stale batches behind.
     */
   def truncate(url: String, table: String): Unit = {
+    checkIdentifier(table)
     quietDerby()
     val c = DriverManager.getConnection(url)
     try {
@@ -115,6 +121,14 @@ object Jdbc {
       } finally st.close()
     } finally c.close()
   }
+
+  /** Table names are interpolated into DDL/DML text (JDBC can't bind
+    * identifiers), so restrict them to plain SQL identifiers up front
+    * — one check guards every statement in this module.
+    */
+  def checkIdentifier(table: String): Unit =
+    require(table.matches("[A-Za-z_][A-Za-z0-9_]{0,127}"),
+      s"invalid SQL table identifier: '$table'")
 
   /** Keep embedded Derby's log out of the working directory. */
   private[sources] def quietDerby(): Unit =

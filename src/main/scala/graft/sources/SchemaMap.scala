@@ -66,7 +66,11 @@ object SchemaMap {
       val c = tryCast(col(f.source), f.targetType)
       val v = f.policy match {
         case Default(d) =>
-          coalesce(c, lit(d).try_cast(f.targetType))
+          // Substitute the default only on an actual cast FAILURE; a
+          // legitimately-NULL source value stays NULL (failed() already
+          // encodes that distinction).
+          when(failed(col(f.source), f.targetType),
+            lit(d).try_cast(f.targetType)).otherwise(c)
         case _ => c
       }
       v.as(f.target)

@@ -43,13 +43,15 @@ class SchemaMapSpec extends SparkSpec {
     assert(rows.count(_.isNullAt(1)) == 2) // null source + "oops"
   }
 
-  test("Default substitutes the fallback on failure AND on null") {
+  test("Default substitutes the fallback on cast failure; legit NULL stays NULL") {
     val m = SchemaMap(loose, Seq(
       FieldMap("id", "user_id", LongType, Nullify),
       FieldMap("bal", "balance", DoubleType, Default(0.0))))
     val rows = m.good.select("balance").collect().map(r =>
       if (r.isNullAt(0)) None else Some(r.getDouble(0)))
-    assert(rows.flatten.sorted.toSeq == Seq(0.0, 0.0, 3.25, 10.5))
+    // "oops" (cast failure) -> 0.0; the null-source row stays null
+    assert(rows.flatten.sorted.toSeq == Seq(0.0, 3.25, 10.5))
+    assert(rows.count(_.isEmpty) == 1)
   }
 
   test("target schema has mapped names, order, and types") {
