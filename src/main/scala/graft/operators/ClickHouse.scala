@@ -427,6 +427,91 @@ object ClickHouse {
                array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
                  AS statuses_uniq,
                count(*) AS n_orders
-        FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+        FROM orders GROUP BY o_custkey ORDER BY o_custkey""")),
+
+    // ------------------------------------------------------------------
+    // arrayJoin (CH's row-expanding array flattener; ClickHouse docs
+    // "functions/array-join"): posexplode keeps the element index the
+    // way CH pairs arrayJoin with arrayEnumerate. Pure narrow
+    // generate — no shuffle; the explode multiplies rows inside one
+    // whole-stage-codegen pipeline.
+    "ch_arrayjoin" -> Q(
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .select(col("doc_id"), col("pos"), col("col").as("word"))
+          .orderBy("doc_id", "pos")
+      },
+      Some("""
+        SELECT doc_id, CAST(unnest(range(len(toks))) AS INTEGER) AS pos,
+               unnest(toks) AS word
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+        ORDER BY doc_id, pos""")),
+
+    // ------------------------------------------------------------------
+    // LIMIT n BY key (CH's per-group head): row_number over a
+    // deterministic order, filtered — the window sorts only within
+    // each nation's partition, and rn <= 3 prunes before any
+    // downstream work.
+    "ch_limit_by" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        Tables.customer(s, dir)
+          .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy("c_nationkey", "rn")
+      },
+      Some("""
+        SELECT c_nationkey, c_custkey, c_acctbal, CAST(rn AS INTEGER) AS rn
+        FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+                     row_number() OVER (PARTITION BY c_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+              FROM customer)
+        WHERE rn <= 3 ORDER BY c_nationkey, rn""")),
+
+    // ------------------------------------------------------------------
+    // sumMap / minMap / maxMap (CH's keyed-map aggregates): the scale
+    // shape in Spark is aggregate-then-assemble — one hash agg on
+    // (group, key) with map-side partials, then a second tiny agg
+    // that assembles the per-key results into a sorted map
+    // serialization. Values are exact cents (decimal sum * 100 as
+    // BIGINT) so the string form is engine-portable. A row-wise
+    // map-merge formulation would carry O(keys) state per row and
+    // defeat partial aggregation.
+    "ch_summap" -> Q(
+      (s, dir) => {
+        val per = Tables.orders(s, dir)
+          .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg((sum(d(col("o_totalprice"))) * 100).cast("long").as("cents_sum"),
+            (min(d(col("o_totalprice"))) * 100).cast("long").as("cents_min"),
+            (max(d(col("o_totalprice"))) * 100).cast("long").as("cents_max"))
+        def m(v: String) = concat_ws(",",
+          sort_array(collect_list(
+            concat(col("o_orderpriority"), lit(":"), col(v)))))
+        per.groupBy("o_orderstatus")
+          .agg(m("cents_sum").as("sum_map"),
+            m("cents_min").as("min_map"),
+            m("cents_max").as("max_map"),
+            count(lit(1)).as("n_keys"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""
+        SELECT o_orderstatus,
+               array_to_string(list_sort(list(o_orderpriority || ':' ||
+                 CAST(cents_sum AS VARCHAR))), ',') AS sum_map,
+               array_to_string(list_sort(list(o_orderpriority || ':' ||
+                 CAST(cents_min AS VARCHAR))), ',') AS min_map,
+               array_to_string(list_sort(list(o_orderpriority || ':' ||
+                 CAST(cents_max AS VARCHAR))), ',') AS max_map,
+               count(*) AS n_keys
+        FROM (SELECT o_orderstatus, o_orderpriority,
+                     CAST(sum(${S.d("o_totalprice")}) * 100 AS BIGINT) AS cents_sum,
+                     CAST(min(${S.d("o_totalprice")}) * 100 AS BIGINT) AS cents_min,
+                     CAST(max(${S.d("o_totalprice")}) * 100 AS BIGINT) AS cents_max
+              FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }

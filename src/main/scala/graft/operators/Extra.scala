@@ -274,6 +274,33 @@ object Extra {
         SELECT c_mktsegment, count(*) AS n,
                ${S.dsum("o_totalprice")} AS total
         FROM orders JOIN customer ON o_custkey = c_custkey
-        GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ------------------------------------------------------------------
+    // Distribution window functions: ntile / percent_rank / cume_dist.
+    // The order key (c_acctbal, c_custkey) is a total order, so every
+    // rank — and therefore every quotient — is deterministic; the
+    // quotients are single IEEE divisions of identical integer
+    // operands in both engines.
+    "q_window_ntile" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_nationkey,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        ORDER BY c_custkey"""))
   )
 }

@@ -191,6 +191,69 @@ object Functions {
       },
       Some("""
         SELECT doc_id, md5(text) AS md5_hash, sha256(text) AS sha256_hash
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // URL functions (CH's domain/path/extractURLParameter family) via
+    // Spark's parse_url. The URL is constructed deterministically
+    // from part rows, and the ORACLE produces the components from the
+    // same raw fields — so a pass proves parse_url actually inverts
+    // the construction, not that two parsers share bugs.
+    "f_url" -> Q(
+      (s, dir) => {
+        val url = concat(lit("https://shop-"),
+          pmod(col("p_partkey"), lit(97)).cast("string"),
+          lit(".example.com/parts/"),
+          regexp_replace(col("p_brand"), "#", "-"),
+          lit("/item?id="), col("p_partkey"),
+          lit("&size="), col("p_size"))
+        Tables.part(s, dir)
+          .select(col("p_partkey"), url.as("url"))
+          .select(col("p_partkey"),
+            parse_url(col("url"), lit("HOST")).as("host"),
+            parse_url(col("url"), lit("PATH")).as("path"),
+            parse_url(col("url"), lit("QUERY"), lit("size")).as("qsize"),
+            parse_url(col("url"), lit("PROTOCOL")).as("proto"))
+          .orderBy("p_partkey")
+      },
+      Some("""
+        SELECT p_partkey,
+               'shop-' || CAST(p_partkey % 97 AS VARCHAR) || '.example.com'
+                 AS host,
+               '/parts/' || replace(p_brand, '#', '-') || '/item' AS path,
+               CAST(p_size AS VARCHAR) AS qsize,
+               'https' AS proto
+        FROM part ORDER BY p_partkey""")),
+
+    // ------------------------------------------------------------------
+    // IPv4 numeric <-> dotted-quad (CH's IPv4NumToString /
+    // IPv4StringToNum): pure integer shift/mask arithmetic both ways,
+    // fully codegen'd; the round-trip re-parses the dotted string so
+    // a pass proves the two directions are actual inverses.
+    "f_ip" -> Q(
+      (s, dir) => {
+        val ip = pmod(col("c_custkey") * lit(2654435761L), lit(4294967296L))
+        def octet(n: Int) =
+          pmod(shiftrightunsigned(col("ip_num"), n), lit(256L)).cast("string")
+        Tables.customer(s, dir)
+          .select(col("c_custkey"), ip.as("ip_num"))
+          .withColumn("ip_str", concat_ws(".",
+            octet(24), octet(16), octet(8), octet(0)))
+          .withColumn("ip_back",
+            element_at(split(col("ip_str"), "\\."), 1).cast("long") * 16777216L +
+              element_at(split(col("ip_str"), "\\."), 2).cast("long") * 65536L +
+              element_at(split(col("ip_str"), "\\."), 3).cast("long") * 256L +
+              element_at(split(col("ip_str"), "\\."), 4).cast("long"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey,
+               (c_custkey * 2654435761) % 4294967296 AS ip_num,
+               CAST(((c_custkey * 2654435761) % 4294967296) // 16777216 % 256 AS VARCHAR) || '.' ||
+               CAST(((c_custkey * 2654435761) % 4294967296) // 65536 % 256 AS VARCHAR) || '.' ||
+               CAST(((c_custkey * 2654435761) % 4294967296) // 256 % 256 AS VARCHAR) || '.' ||
+               CAST(((c_custkey * 2654435761) % 4294967296) % 256 AS VARCHAR) AS ip_str,
+               (c_custkey * 2654435761) % 4294967296 AS ip_back
+        FROM customer ORDER BY c_custkey"""))
   )
 }

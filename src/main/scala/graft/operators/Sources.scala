@@ -278,6 +278,67 @@ object Sources {
       Some("""
         SELECT strftime(ts, '%Y-%m') AS ev_month, count(*) AS n,
                count(DISTINCT user_id) AS uniq_users
-        FROM events GROUP BY 1 ORDER BY ev_month"""))
+        FROM events GROUP BY 1 ORDER BY ev_month""")),
+
+    // ------------------------------------------------------------------
+    // JDBC SOURCE with partitioned parallel read — the ingest twin of
+    // sink_jdbc. The table is seeded through the typed sink (test
+    // scaffolding; any JDBC database works), then read back with
+    // partitionColumn/numPartitions so each executor pulls a disjoint
+    // key range concurrently — the shape that matters when the
+    // upstream store is the bottleneck. The oracle runs on the source
+    // parquet, so a pass proves the partitioned read reassembles the
+    // table exactly (no range gaps or overlaps).
+    "src_jdbc" -> Q(
+      (s, dir) => {
+        val url = s"jdbc:derby:${tmp(dir, "derbysrc")}/db;create=true"
+        graft.sources.Jdbc.truncate(url, "supplier_src")
+        val cfg = Sink.SinkConfig("", "supplier_src", batchSize = 32)
+        Sink.writeTyped(
+          Tables.supplier(s, dir)
+            .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+          cfg, new graft.sources.JdbcBackend(url))
+        s.read.format("jdbc")
+          .option("url", url).option("dbtable", "supplier_src")
+          .option("partitionColumn", "s_suppkey")
+          .option("lowerBound", "0")
+          .option("upperBound", "1000000")
+          .option("numPartitions", "4")
+          .load()
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+            col("s_acctbal"))
+          .orderBy("s_suppkey")
+      },
+      Some("""
+        SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        FROM supplier ORDER BY s_suppkey""")),
+
+    // ------------------------------------------------------------------
+    // Parquet AGGREGATE pushdown: count/min/max answered from footer
+    // metadata — zero row groups decoded, the 100 TB way to take a
+    // table's pulse. Needs the DSv2 parquet reader, so it runs in an
+    // isolated newSession (same SparkContext, own conf) without
+    // disturbing the rest of the registry; PlanSpec asserts the scan
+    // shows PushedAggregation.
+    "src_agg_pushdown" -> Q(
+      (s, dir) => {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.sources.useV1SourceList", "")
+        s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        // timestamp min/max is not pushable (and one unsupported
+        // aggregate disables pushdown for the whole scan), so the
+        // probe sticks to bigint/double columns
+        s2.read.parquet(s"$dir/lineitem.parquet")
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("l_orderkey")).as("min_key"),
+            max(col("l_orderkey")).as("max_key"),
+            min(col("l_extendedprice")).as("min_price"),
+            max(col("l_extendedprice")).as("max_price"))
+      },
+      Some("""
+        SELECT count(*) AS n_rows, min(l_orderkey) AS min_key,
+               max(l_orderkey) AS max_key, min(l_extendedprice) AS min_price,
+               max(l_extendedprice) AS max_price
+        FROM lineitem"""))
   )
 }

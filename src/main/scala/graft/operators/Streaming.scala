@@ -76,6 +76,42 @@ object Streaming {
                min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
                count(*) AS n_events, ${S.dsum("value")} AS session_value
         FROM sessions GROUP BY user_id, session_seq
-        ORDER BY user_id, session_seq"""))
+        ORDER BY user_id, session_seq""")),
+
+    // ------------------------------------------------------------------
+    // Stream-stream INTERVAL join (view -> click attribution within
+    // one hour, per user): the batch twin is an equi-join on user_id
+    // with a time-range predicate — one shuffle on the join key, the
+    // range condition applied post-join, which is exactly how the
+    // streaming symmetric hash join evaluates it. The streaming twin
+    // in StreamingSpec runs two readStreams with watermarks and the
+    // same interval condition, which bounds both join states.
+    "stream_join" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("ts_us").as("view_us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+            col("ts_us").as("click_us"))
+        views.join(clicks,
+            col("user_id") === col("c_user") &&
+              col("click_us") >= col("view_us") &&
+              col("click_us") < col("view_us") + lit(3600000000L))
+          .select(col("user_id"), col("view_id"), col("click_id"),
+            col("view_us"), col("click_us"))
+          .orderBy("user_id", "view_id", "click_id")
+      },
+      Some("""
+        SELECT v.user_id, v.view_id, c.click_id, v.view_us, c.click_us
+        FROM (SELECT user_id, event_id AS view_id, epoch_us(ts) AS view_us
+              FROM events WHERE event_type = 'view') v
+        JOIN (SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+              FROM events WHERE event_type = 'click') c
+          ON v.user_id = c.user_id
+         AND c.click_us >= v.view_us
+         AND c.click_us < v.view_us + 3600000000
+        ORDER BY v.user_id, v.view_id, c.click_id"""))
   )
 }

@@ -66,6 +66,12 @@ class PlanSpec extends SparkSpec {
       "EXCEPT should plan as a left-anti join")
   }
 
+  test("src_agg_pushdown answers count/min/max from parquet footers") {
+    val p = plan("src_agg_pushdown")
+    assert(p.contains("PushedAggregation") && p.contains("COUNT(*)"),
+      s"aggregate not pushed to the parquet scan:\n$p")
+  }
+
   test("ball-bound embedding pairs never plan a cartesian product") {
     val p = SparkEntry.registry("dedup_embedding_ivf").fn(spark, sf)
       .queryExecution.executedPlan.toString

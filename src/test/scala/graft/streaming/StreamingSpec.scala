@@ -230,4 +230,26 @@ class StreamingSpec extends SparkSpec {
     assert(sRows.size >= (bRows.size * 0.8).toInt,
       s"stream emitted only ${sRows.size} of ${bRows.size} sessions")
   }
+
+  test("stream-stream interval join equals the batch join") {
+    val v = streamedEvents.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"), col("ts_us").as("view_us"))
+      .withWatermark("view_ts", "2 hours")
+    val c = streamedEvents.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"), col("ts_us").as("click_us"))
+      .withWatermark("click_ts", "2 hours")
+    val joined = v.join(c,
+        col("user_id") === col("c_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") < col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_us"), col("click_us"))
+    // inner stream-stream join emits matches eagerly; the interval
+    // condition + watermarks bound both sides' join state
+    val streamed = runToCompletion(joined, "stream_join_reg_t", "append")
+    val batch = SparkEntry.registry("stream_join").fn(spark, sf)
+    assert(canon(streamed) == canon(batch))
+  }
 }
