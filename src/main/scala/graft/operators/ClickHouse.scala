@@ -218,6 +218,33 @@ object ClickHouse {
         GROUP BY p_brand ORDER BY cnt DESC, p_brand ASC LIMIT 5""")),
 
     // ------------------------------------------------------------------
+    // topKWeighted: heavy hitters by SUMMED WEIGHT, not row count —
+    // the same space-saving sketch (add() takes a weight increment),
+    // same treeAggregate shape: per-partition sketches merged up a
+    // tree, driver sees capacity-sized state only. Weights are exact
+    // cents so the test-SF degenerate-to-exact case shares an
+    // integer-arithmetic oracle.
+    "ch_topk_weighted" -> Q(
+      (s, dir) => {
+        val top = Tables.orders(s, dir)
+          .select(col("o_orderpriority"),
+            (d(col("o_totalprice")) * 100).cast("long").as("w")).rdd
+          .map(r => (r.getString(0), r.getLong(1)))
+          .treeAggregate(new graft.functions.SpaceSaving(256))(
+            (sk, v) => sk.add(v._1, v._2), (a, b) => a.merge(b))
+          .topK(3)
+        import s.implicits._
+        top.map { case (p, cents, _) => (p, cents) }
+          .toDF("o_orderpriority", "cents")
+          .orderBy(col("cents").desc, col("o_orderpriority").asc)
+      },
+      Some(s"""
+        SELECT o_orderpriority,
+               CAST(sum(${S.d("o_totalprice")} * 100) AS BIGINT) AS cents
+        FROM orders GROUP BY o_orderpriority
+        ORDER BY cents DESC, o_orderpriority ASC LIMIT 3""")),
+
+    // ------------------------------------------------------------------
     // quantile/quantiles: exact interpolated percentiles per group.
     "ch_quantiles" -> Q(
       (s, dir) => {

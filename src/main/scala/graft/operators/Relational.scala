@@ -623,6 +623,38 @@ object Relational {
                min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
                count(*) AS n_events, ${S.dsum("value")} AS session_value
         FROM sessions GROUP BY user_id, session_seq
-        ORDER BY user_id, session_seq"""))
+        ORDER BY user_id, session_seq""")),
+
+    // ------------------------------------------------------------------
+    // Recursive CTE (hierarchy walk): depth + root of every node in a
+    // synthetic binary tree over supplier keys (parent(k) = k div 2 —
+    // deterministic, derived purely from existing rows). Spark 4 runs
+    // WITH RECURSIVE natively (UnionLoop); each iteration is one
+    // broadcast-joinable step, state = frontier only. DuckDB runs the
+    // identical recursion.
+    "q_recursive_cte" -> Q(
+      (s, dir) => {
+        Tables.supplier(s, dir).createOrReplaceTempView("supplier_rec")
+        s.sql("""
+          WITH RECURSIVE chain AS (
+            SELECT s_suppkey, s_suppkey AS root, 0 AS depth
+            FROM supplier_rec WHERE s_suppkey <= 1
+            UNION ALL
+            SELECT s.s_suppkey, c.root, c.depth + 1
+            FROM supplier_rec s JOIN chain c ON s.s_suppkey DIV 2 = c.s_suppkey
+            WHERE s.s_suppkey > 1)
+          SELECT s_suppkey, root, CAST(depth AS INT) AS depth
+          FROM chain ORDER BY s_suppkey""")
+      },
+      Some("""
+        WITH RECURSIVE chain AS (
+          SELECT s_suppkey, s_suppkey AS root, 0 AS depth
+          FROM supplier WHERE s_suppkey <= 1
+          UNION ALL
+          SELECT s.s_suppkey, c.root, c.depth + 1
+          FROM supplier s JOIN chain c ON s.s_suppkey // 2 = c.s_suppkey
+          WHERE s.s_suppkey > 1)
+        SELECT s_suppkey, root, CAST(depth AS INTEGER) AS depth
+        FROM chain ORDER BY s_suppkey"""))
   )
 }

@@ -197,6 +197,95 @@ object TextAnalysis {
                  ORDER BY score DESC, term ASC) AS INTEGER) AS rank
              FROM scored)
         SELECT doc_id, rank, term, tf, df FROM ranked
-        WHERE rank <= 3 ORDER BY doc_id, rank"""))
+        WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    // ------------------------------------------------------------------
+    // Corpus bigram frequency (the n-gram statistics pass a training
+    // pipeline runs for contamination checks and tokenizer prep): the
+    // per-doc bigram build is a narrow slice/zip/explode — no data
+    // moves until the single count aggregation, whose map-side
+    // partials shrink each partition to its distinct bigrams before
+    // the shuffle. slice() handles one-word docs (empty result)
+    // without a size guard.
+    "txt_ngram_freq" -> Q(
+      (s, dir) => {
+        val toks = split(Dedup.normText(col("text")), " ")
+        Tables.documents(s, dir)
+          .select(explode(zip_with(
+            slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+            slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+            (a, b) => concat(a, lit(" "), b))).as("bigram"))
+          .groupBy("bigram").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram").asc)
+          .limit(20)
+      },
+      Some("""
+        SELECT bigram, count(*) AS n FROM (
+          SELECT unnest(toks[1:len(toks)-1]) || ' ' || unnest(toks[2:len(toks)])
+                 AS bigram
+          FROM (SELECT string_split(regexp_replace(trim(lower(text)),
+                  ' +', ' ', 'g'), ' ') AS toks
+                FROM documents) t)
+        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""")),
+
+    // ------------------------------------------------------------------
+    // PII scrubbing (training-data redaction): emails and phone
+    // numbers replaced with typed placeholders. The PII is
+    // synthesized deterministically from customer rows so the oracle
+    // can verify the SCRUB — both engines run the same regexes over
+    // the same constructed text; a pass proves every planted email
+    // and phone was caught. Pure per-row regex work, no shuffle.
+    "txt_pii_scrub" -> Q(
+      (s, dir) => {
+        val synth = concat(lit("contact "), col("c_name"),
+          lit(" at user"), col("c_custkey"),
+          lit("@mail.example.com or +1-555-"),
+          lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0"))
+        Tables.customer(s, dir)
+          .select(col("c_custkey"), synth.as("raw"))
+          .withColumn("scrubbed",
+            regexp_replace(
+              regexp_replace(col("raw"),
+                "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+              "\\+1-555-[0-9]{4}", "<PHONE>"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, raw,
+               regexp_replace(regexp_replace(raw,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+                 '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+        FROM (SELECT c_custkey,
+                'contact ' || c_name || ' at user' || c_custkey ||
+                '@mail.example.com or +1-555-' ||
+                lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS raw
+              FROM customer)
+        ORDER BY c_custkey""")),
+
+    // ------------------------------------------------------------------
+    // Stratified sampling for dataset mixing (per-source quotas, the
+    // knob a training pipeline turns to rebalance corpora):
+    // deterministic id-hash bucketing keeps the sample reproducible
+    // across runs and engines, and the emitted weight column is the
+    // inverse sampling rate for unbiased downstream statistics. Pure
+    // filter — no shuffle, fully pushed to the scan.
+    "txt_stratified_sample" -> Q(
+      (s, dir) => {
+        val rate = when(col("source") === "src0", 50)
+          .when(col("source") === "src1", 20).otherwise(10)
+        Tables.documents(s, dir)
+          .withColumn("rate", rate)
+          .filter(pmod(col("doc_id"), lit(100)) < col("rate"))
+          .select(col("doc_id"), col("source"),
+            (lit(100.0) / col("rate")).as("weight"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, source, CAST(100 AS DOUBLE) / rate AS weight
+        FROM (SELECT doc_id, source,
+                CASE WHEN source = 'src0' THEN 50
+                     WHEN source = 'src1' THEN 20 ELSE 10 END AS rate
+              FROM documents)
+        WHERE doc_id % 100 < rate ORDER BY doc_id"""))
   )
 }
