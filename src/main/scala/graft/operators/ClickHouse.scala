@@ -218,6 +218,35 @@ object ClickHouse {
         GROUP BY p_brand ORDER BY cnt DESC, p_brand ASC LIMIT 5""")),
 
     // ------------------------------------------------------------------
+    // External dictionary lookup (CH dictGet/dictGetOrDefault over a
+    // flat/hashed dictionary): in Spark the dictionary IS a broadcast
+    // hash table — each executor holds the dim rows once and probes
+    // map-side, zero shuffle of the fact table, exactly CH's
+    // dictionary mechanics. Chained two deep (nation -> region) with
+    // OrDefault semantics via coalesce.
+    "ch_dictget" -> Q(
+      (s, dir) => {
+        val nation = Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        val region = Tables.region(s, dir)
+          .select(col("r_regionkey"), col("r_name"))
+        Tables.supplier(s, dir)
+          .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"), "left")
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"), "left")
+          .select(col("s_suppkey"),
+            coalesce(col("n_name"), lit("<none>")).as("nation_name"),
+            coalesce(col("r_name"), lit("<none>")).as("region_name"))
+          .orderBy("s_suppkey")
+      },
+      Some("""
+        SELECT s_suppkey, coalesce(n_name, '<none>') AS nation_name,
+               coalesce(r_name, '<none>') AS region_name
+        FROM supplier
+        LEFT JOIN nation ON s_nationkey = n_nationkey
+        LEFT JOIN region ON n_regionkey = r_regionkey
+        ORDER BY s_suppkey""")),
+
+    // ------------------------------------------------------------------
     // topKWeighted: heavy hitters by SUMMED WEIGHT, not row count —
     // the same space-saving sketch (add() takes a weight increment),
     // same treeAggregate shape: per-partition sketches merged up a

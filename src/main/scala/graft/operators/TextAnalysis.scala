@@ -286,6 +286,45 @@ object TextAnalysis {
                 CASE WHEN source = 'src0' THEN 50
                      WHEN source = 'src1' THEN 20 ELSE 10 END AS rate
               FROM documents)
-        WHERE doc_id % 100 < rate ORDER BY doc_id"""))
+        WHERE doc_id % 100 < rate ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Benchmark contamination check (the n-gram-collision scan run
+    // before training: does any training doc share a word 4-gram with
+    // the eval set?). The eval side is a small deterministic holdout
+    // (doc_id % 11), so its exploded shingle index BROADCASTS — the
+    // corpus side streams map-side with no shuffle until the tiny
+    // per-pair count agg. Shingles are the 64-bit hashed k-grams of
+    // docShingles; the oracle intersects the equivalent string
+    // shingles (counts agree — a 64-bit collision is negligible).
+    "txt_contamination" -> Q(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val sh = Dedup.docShingles(s, dir, k = 4)
+        val bench = sh.filter(col("doc_id") % 11 === 0)
+          .select(col("doc_id").as("bench_id"), explode(col("shingles")).as("sh"))
+        val corpus = sh.filter(col("doc_id") % 11 =!= 0)
+          .select(col("doc_id"), explode(col("shingles")).as("sh"))
+        corpus.join(broadcast(bench), Seq("sh"))
+          .groupBy("doc_id", "bench_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy("doc_id", "bench_id")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id,
+                     string_split(regexp_replace(trim(lower(text)),
+                       ' +', ' ', 'g'), ' ') toks
+                   FROM documents),
+        sh AS (SELECT doc_id,
+                 list_distinct([array_to_string(toks[i:i+3], ' ')
+                                for i in range(1, len(toks) - 2)]) shingles
+               FROM t WHERE len(toks) >= 4),
+        b AS (SELECT * FROM sh WHERE doc_id % 11 = 0),
+        c AS (SELECT * FROM sh WHERE doc_id % 11 <> 0)
+        SELECT c.doc_id, b.doc_id AS bench_id,
+               CAST(len(list_intersect(c.shingles, b.shingles)) AS BIGINT)
+                 AS n_shared
+        FROM c JOIN b ON len(list_intersect(c.shingles, b.shingles)) >= 1
+        ORDER BY c.doc_id, bench_id"""))
   )
 }
