@@ -301,6 +301,54 @@ object Extra {
                cume_dist() OVER w AS cume
         FROM customer
         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+
+    // ------------------------------------------------------------------
+    // FULL OUTER join of two pre-aggregated sides (rich-customer vs
+    // poor-supplier nation profiles): aggregating BEFORE the join
+    // shrinks both inputs to |nations| rows, so the outer join is
+    // trivially cheap at any SF — the order that survives 100 TB.
+    // Sides are filtered asymmetrically so both null-extension
+    // directions actually occur.
+    "q_full_outer" -> Q(
+      (s, dir) => {
+        val c = Tables.customer(s, dir).filter(col("c_acctbal") > 9000)
+          .groupBy(col("c_nationkey").as("nk"))
+          .agg(count(lit(1)).as("rich_customers"))
+        val su = Tables.supplier(s, dir).filter(col("s_acctbal") < 0)
+          .groupBy(col("s_nationkey").as("nk2"))
+          .agg(count(lit(1)).as("debt_suppliers"))
+        c.join(su, col("nk") === col("nk2"), "full")
+          .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+            col("rich_customers"), col("debt_suppliers"))
+          .orderBy("nationkey")
+      },
+      Some("""
+        SELECT coalesce(c.nk, s.nk2) AS nationkey,
+               c.rich_customers, s.debt_suppliers
+        FROM (SELECT c_nationkey AS nk, count(*) AS rich_customers
+              FROM customer WHERE c_acctbal > 9000 GROUP BY 1) c
+        FULL JOIN (SELECT s_nationkey AS nk2, count(*) AS debt_suppliers
+              FROM supplier WHERE s_acctbal < 0 GROUP BY 1) s
+          ON c.nk = s.nk2
+        ORDER BY nationkey""")),
+
+    // ------------------------------------------------------------------
+    // Explicit CROSS JOIN (dim x dim scoring grid — the one shape
+    // where a cartesian product is the intended plan; both sides are
+    // broadcast-sized by construction).
+    "q_cross_join" -> Q(
+      (s, dir) => {
+        Tables.nation(s, dir).select("n_nationkey", "n_regionkey")
+          .crossJoin(Tables.region(s, dir).select("r_regionkey"))
+          .select(col("n_nationkey"), col("r_regionkey"),
+            (col("n_regionkey") === col("r_regionkey")).as("is_home"))
+          .orderBy("n_nationkey", "r_regionkey")
+      },
+      Some("""
+        SELECT n_nationkey, r_regionkey,
+               n_regionkey = r_regionkey AS is_home
+        FROM nation CROSS JOIN region
+        ORDER BY n_nationkey, r_regionkey"""))
   )
 }

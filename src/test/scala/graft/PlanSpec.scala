@@ -72,6 +72,22 @@ class PlanSpec extends SparkSpec {
       s"aggregate not pushed to the parquet scan:\n$p")
   }
 
+  test("dictionary lookups and the contamination holdout broadcast") {
+    for (q <- Seq("ch_dictget", "txt_contamination")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q has no broadcast join:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q shuffles a side that should broadcast:\n$p")
+    }
+  }
+
+  test("stratified sample is a pure scan-filter (no shuffle before the sort)") {
+    val p = plan("txt_stratified_sample")
+    // the only exchange allowed is the final presentation orderBy
+    assert(!p.contains("HashAggregate"), s"sample plan aggregates:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"sample shuffles more than the presentation sort:\n$p")
+  }
+
   test("ball-bound embedding pairs never plan a cartesian product") {
     val p = SparkEntry.registry("dedup_embedding_ivf").fn(spark, sf)
       .queryExecution.executedPlan.toString
