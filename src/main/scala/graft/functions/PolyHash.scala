@@ -104,6 +104,13 @@ object GraftFunctions {
         new ExpressionInfo(classOf[HllEstimate].getName, "graft_hll_estimate"),
         (children: Seq[Expression]) => HllEstimate(children.head))
     }
+    val shinglesIdent = FunctionIdentifier("graft_shingles")
+    if (!registry.functionExists(shinglesIdent)) {
+      registry.registerFunction(
+        shinglesIdent,
+        new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+        (children: Seq[Expression]) => Shingles.build(children))
+    }
     val cellsIdent = FunctionIdentifier("graft_cells")
     if (!registry.functionExists(cellsIdent)) {
       registry.registerFunction(

@@ -58,14 +58,19 @@ object Dedup {
     * IO-bound. At 100 TB the scan itself yields enough partitions and
     * AQE coalesces this to a no-op-ish exchange.
     */
-  def docShingles(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+  def docShingles(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
-      .select(col("doc_id"), expr("transform(toks, t -> xxhash64(t))").as("th"))
-      .select(col("doc_id"), expr(shingleExpr(k)).as("shingles"))
+      // native codegen shingler (functions/Shingles.scala): the HOF
+      // formulation (shingleExpr, kept as the reference semantics)
+      // runs its lambdas interpreted — ~20x slower on this
+      // compute-bound stage
+      .withColumn("norm", normText(col("text")))
+      .selectExpr("doc_id", s"graft_shingles(norm, $k) AS shingles")
       .withColumn("n_sh", size(col("shingles")))
       .filter(col("n_sh") > 0)
+  }
 
   /** Exact-jaccard verified pairs from an inverted-index self-join:
     * explode shingles, join on the shingle, count shared shingles per

@@ -95,6 +95,35 @@ class DedupSpec extends SparkSpec {
     assert(docs(4L) == 2) // "a b c", "b c d"
   }
 
+  test("native graft_shingles matches the HOF reference semantics") {
+    graft.functions.GraftFunctions.register(spark)
+    // same shingle COUNTS as shingleExpr on every doc (hash values
+    // differ by design — both are opaque 64-bit shingle keys), same
+    // empty-for-short-docs behavior, distinct within each doc
+    val base = Seq((1L, "a"), (2L, "a b c"), (3L, ""), (4L, "a b c d b c d e"),
+      (5L, "x x x x x")).toDF("doc_id", "text")
+      .withColumn("norm", Dedup.normText(col("text")))
+    val both = base
+      .select(col("doc_id"), split(col("norm"), " ").as("toks"), col("norm"))
+      .select(col("doc_id"), expr("transform(toks, t -> xxhash64(t))").as("th"),
+        col("norm"))
+      .select(col("doc_id"), expr(Dedup.shingleExpr(3)).as("ref"),
+        expr("graft_shingles(norm, 3)").as("fast"))
+      .collect()
+    for (r <- both) {
+      val ref = r.getSeq[Long](1); val fast = r.getSeq[Long](2)
+      assert(ref.length == fast.length,
+        s"doc ${r.getLong(0)}: ref ${ref.length} vs native ${fast.length}")
+      assert(fast.distinct.length == fast.length)
+    }
+    // order-sensitivity: "a b" and "b a" shingle differently
+    import graft.functions.Shingles
+    import org.apache.spark.unsafe.types.UTF8String
+    val ab = Shingles.wordShingles(UTF8String.fromString("a b"), 2).toLongArray()
+    val ba = Shingles.wordShingles(UTF8String.fromString("b a"), 2).toLongArray()
+    assert(ab.head != ba.head)
+  }
+
   test("jaccardPairs computes exact jaccard on a constructed pair") {
     val docs = Seq(
       (1L, Array("a b c", "b c d", "c d e"), 3),
