@@ -218,6 +218,47 @@ object ClickHouse {
         GROUP BY p_brand ORDER BY cnt DESC, p_brand ASC LIMIT 5""")),
 
     // ------------------------------------------------------------------
+    // simpleLinearRegression(x, y): slope/intercept from the four
+    // moment sums — one hash aggregation with map-side partials, O(1)
+    // state per group (CH's own implementation shape). The moments
+    // are EXACT decimal sums surfaced as doubles (Dec.psum), and the
+    // final slope/intercept arithmetic is the identical IEEE
+    // expression tree in both engines, so the doubles are
+    // bit-identical. x/y ranges keep every sum's unscaled value under
+    // 2^53 (see Dec.DOut) so the decimal->double casts are exact.
+    "ch_linreg" -> Q(
+      (s, dir) => {
+        val x = d(col("l_quantity"))
+        val y = d(col("l_discount")) * 100
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).cast("double").as("n"),
+            psum(x).as("sx"), psum(y).as("sy"),
+            psum(x * y).as("sxy"), psum(x * x).as("sxx"))
+          .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+            ((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+              col("n")).as("intercept"))
+          .orderBy("l_returnflag")
+      },
+      Some {
+        val x = S.d("l_quantity"); val y = s"${S.d("l_discount")} * 100"
+        s"""
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+               (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+                 AS intercept
+        FROM (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+                     ${S.psum(x)} AS sx, ${S.psum(y)} AS sy,
+                     ${S.psum(s"$x * ($y)")} AS sxy,
+                     ${S.psum(s"$x * $x")} AS sxx
+              FROM lineitem GROUP BY l_returnflag)
+        ORDER BY l_returnflag"""
+      }),
+
+    // ------------------------------------------------------------------
     // External dictionary lookup (CH dictGet/dictGetOrDefault over a
     // flat/hashed dictionary): in Spark the dictionary IS a broadcast
     // hash table — each executor holds the dim rows once and probes
