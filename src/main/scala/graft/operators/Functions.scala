@@ -1,6 +1,8 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.Dec._
+import graft.{Sql => S}
 import org.apache.spark.sql.functions._
 
 /** Group C of SURVEY.md §2 — the scalar function surface (ClickHouse's
@@ -40,6 +42,62 @@ object Functions {
                CAST(datediff('day', DATE '1995-01-01',
                  CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_95
         FROM orders ORDER BY o_orderkey""")),
+
+    // ------------------------------------------------------------------
+    // Second datetime batch: week/quarter grains, month arithmetic,
+    // ISO fields, epoch round-trip (CH's toStartOfWeek/toQuarter/
+    // addMonths/toDayOfWeek/toUnixTimestamp family).
+    "f_datetime2" -> Q(
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            date_trunc("week", col("o_orderdate")).cast("date").as("week_start"),
+            quarter(col("o_orderdate")).as("qtr"),
+            dayofweek(col("o_orderdate")).as("dow"),
+            dayofyear(col("o_orderdate")).as("doy"),
+            add_months(col("o_orderdate"), 2).as("plus_2mo"),
+            last_day(col("o_orderdate")).as("month_end"),
+            unix_timestamp(col("o_orderdate")).as("epoch_s"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey,
+               CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+               CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+               CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+               CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+               CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus_2mo,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        FROM orders ORDER BY o_orderkey""")),
+
+    // ------------------------------------------------------------------
+    // Conditional aggregates (CH's sumIf/countIf/avgIf/uniqIf): in
+    // Spark these are agg(expr FILTER (WHERE ...)) / when()-guarded
+    // aggregates — still ONE pass, one hash aggregation, partial
+    // aggregation intact (vs the naive two-query/self-join shape).
+    "f_agg_if" -> Q(
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .groupBy("o_orderpriority")
+          .agg(
+            count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+            dsum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+              .otherwise(lit(null))).as("sum_finished"),
+            count(when(col("o_totalprice") > 200000, 1)).as("n_big"),
+            countDistinct(when(col("o_orderstatus") === "O", col("o_custkey")))
+              .as("uniq_open_custs"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               CAST(sum(${S.d("o_totalprice")})
+                 FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sum_finished,
+               count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+               count(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'O')
+                 AS uniq_open_custs
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     // ------------------------------------------------------------------
     "f_string" -> Q(
