@@ -106,6 +106,48 @@ object ClickHouse {
         ORDER BY l_partkey, l_suppkey""")),
 
     // ------------------------------------------------------------------
+    // VersionedCollapsingMergeTree: out-of-order-safe collapse — a
+    // (key, version) pair with both a +1 and a -1 row cancels exactly,
+    // regardless of arrival order; the surviving state per key is the
+    // highest un-cancelled version. Two hash aggregations, both with
+    // map-side partials: cancel within (key, version), then argMax
+    // per key. Versions are synthesized deterministically from
+    // lineitem (linenumber = version, 'R' = delete row).
+    "ch_versioned_collapsing" -> Q(
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("k"),
+            // pair up consecutive lines into one version so (+1, -1)
+            // cancellations actually occur in the synthesized stream
+            expr("(l_linenumber + 1) div 2").as("version"),
+            when(col("l_returnflag") === "R", -1).otherwise(1).as("sign"),
+            d(col("l_quantity")).as("qty"))
+        val alive = l.groupBy("k", "version")
+          .agg(sum(col("sign")).as("net"), max(col("qty")).as("qty"))
+          .filter(col("net") =!= 0)
+        alive.groupBy("k")
+          .agg(max_by(struct(col("version"), col("qty")), col("version"))
+            .as("latest"))
+          .select(col("k").as("l_orderkey"),
+            col("latest.version").as("version"),
+            col("latest.qty").cast("double").as("qty"))
+          .orderBy("l_orderkey")
+      },
+      Some(s"""
+        SELECT k AS l_orderkey, version, CAST(qty AS DOUBLE) AS qty
+        FROM (SELECT k, version, qty,
+                     row_number() OVER (PARTITION BY k
+                       ORDER BY version DESC) AS rn
+              FROM (SELECT l_orderkey AS k,
+                           (l_linenumber + 1) // 2 AS version,
+                           sum(CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END)
+                             AS net,
+                           max(${S.d("l_quantity")}) AS qty
+                    FROM lineitem
+                    GROUP BY 1, 2 HAVING net <> 0))
+        WHERE rn = 1 ORDER BY l_orderkey""")),
+
+    // ------------------------------------------------------------------
     // AggregatingMergeTree: the pre-aggregated materialized view a CH
     // deployment would maintain — month x status partial aggregates.
     "ch_agg_mt" -> Q(

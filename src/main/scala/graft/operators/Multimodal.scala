@@ -116,6 +116,26 @@ object Multimodal {
         FROM (SELECT doc_id, strlen(text) AS n,
                      unnest(range(0, (strlen(text) + 63) // 64, 4)) AS fi
               FROM documents)
-        ORDER BY doc_id, frame_idx"""))
+        ORDER BY doc_id, frame_idx""")),
+
+    // ------------------------------------------------------------------
+    // Content-addressable payload dedup: group binary payloads by
+    // digest, keep one canonical id per digest — the
+    // store-each-blob-once pass before any decode work. One hash agg
+    // on the 128-bit digest (never shuffles payload bytes — only the
+    // 32-char digest and two longs move).
+    "mm_payload_dedup" -> Q(
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .groupBy(md5(col("payload")).as("digest"))
+          .agg(min(col("doc_id")).as("canonical_id"),
+            count(lit(1)).as("n_copies"))
+          .orderBy("canonical_id")
+      },
+      Some("""
+        SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text) ORDER BY canonical_id"""))
   )
 }
