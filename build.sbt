@@ -11,11 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
-// Keep Bench's one-line JSON as the LAST line on stdout: sbt's
-// "[success] Total time" epilogue otherwise prints after it and breaks
-// the driver's numeric extraction (BENCH_r02.json "parsed": null).
-Global / showSuccess := false
-Global / showTiming := false
+// sbt's "[success] Total time" epilogue prints ~80 chars after Bench's
+// JSON line; Bench compensates by keeping its stdout line well under
+// the driver's 2000-char tail buffer (full timings go to bench_out.json).
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -46,20 +46,24 @@ object Bench {
     val results = qs.map { case (name, fn) =>
       name -> Seq(run(fn), run(fn)).flatten.minOption
     }
-    val json = results.collect { case (k, Some(v)) => s""""$k":$v""" }
-      .mkString("{", ",", "}")
+    def dict(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val ok = results.collect { case (k, Some(v)) => k -> v }
     val failed = results.collect { case (k, None) => s""""$k"""" }
       .mkString("[", ",", "]")
-    val total = results.flatMap(_._2).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$json,"failed":$failed,"sf":"$sfDir"}"""
-    // The driver extracts the JSON numerically from this process's
-    // output; sbt appends [success] chatter to stdout AFTER us, so the
-    // line also lands in a file (argv(0) or ./bench_out.json) that
-    // survives any stdout mangling.
+    val total = ok.map(_._2).sum
+    def line(queries: Seq[(String, Double)]) =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${dict(queries)},"failed":$failed,"n_queries":${ok.size},"sf":"$sfDir"}"""
+    // Full per-query timings go to a file (argv(0) or ./bench_out.json).
+    // The driver reads only the LAST ~2000 chars of this process's
+    // stdout and sbt appends "[success] ..." chatter after us, so the
+    // stdout line must stay well under that: it carries the total and
+    // only the 20 slowest queries (the full dict no longer fits and
+    // grows with every registry addition).
     val outFile = args.headOption.getOrElse("bench_out.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      line(ok.sortBy(_._1)) + "\n")
     spark.stop()
-    println(line)
+    println(line(ok.sortBy(-_._2).take(20).sortBy(_._1)))
   }
 }
