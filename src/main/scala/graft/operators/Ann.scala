@@ -225,7 +225,40 @@ object Ann {
     // driver; AnnSpec measures recall@10 against the brute force.
     "ann_ivf_topk" -> Q(
       (s, dir) => ivfTopK(s, dir),
-      None)
+      None),
+
+    // ------------------------------------------------------------------
+    // int8 symmetric quantization of the embedding column (the
+    // storage/serving compression step: 4x smaller vectors, int-dot
+    // reranking). Per-row expression work only — no shuffle, scales
+    // linearly. Quantizer is floor(x*scale + 0.5) rather than
+    // round(): floor is bit-identical across engines, so the entire
+    // int8 codebook is oracled cell-exactly. The float->double
+    // widening and the single IEEE divide/multiply are exact in both
+    // engines.
+    "emb_quantize" -> Q(
+      (s, dir) => {
+        Tables.embeddings(s, dir)
+          .withColumn("xs", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .withColumn("maxabs", expr("array_max(transform(xs, x -> abs(x)))"))
+          .filter(col("maxabs") > 0)
+          .withColumn("scale", lit(127.0) / col("maxabs"))
+          .withColumn("qvec", expr(
+            "concat_ws(',', transform(xs, x -> CAST(floor(x * scale + 0.5d) AS INT)))"))
+          .select(col("vec_id"), col("scale"), col("qvec"))
+          .orderBy("vec_id")
+      },
+      Some("""
+        SELECT vec_id, 127.0 / maxabs AS scale,
+               array_to_string(list_transform(xs,
+                 x -> CAST(floor(x * (127.0 / maxabs) + 0.5) AS INTEGER)), ',')
+                 AS qvec
+        FROM (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs,
+                     list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+              FROM embeddings)
+        WHERE maxabs > 0 ORDER BY vec_id"""))
   )
 
   /** Default cells/nprobe are sized for the test corpus (500 random

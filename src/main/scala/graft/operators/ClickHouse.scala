@@ -651,6 +651,128 @@ object ClickHouse {
                      CAST(min(${S.d("o_totalprice")}) * 100 AS BIGINT) AS cents_min,
                      CAST(max(${S.d("o_totalprice")}) * 100 AS BIGINT) AS cents_max
               FROM orders GROUP BY o_orderstatus, o_orderpriority)
-        GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ------------------------------------------------------------------
+    // quantileExactWeighted: exact weighted quantiles without ever
+    // sorting globally — a per-group value-ordered cumulative-weight
+    // window (shuffle keyed by the group only), then one aggregation
+    // picking the smallest value whose cumulative weight reaches the
+    // target. All comparisons are integer (denom*cw >= num*tot), so
+    // both engines agree bit-exactly; the default RANGE window frame
+    // gives equal values their full run's cumulative weight, making
+    // the picked value tie-order-independent.
+    "ch_quantile_weighted" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("g").orderBy("v")
+        val c = Tables.lineitem(s, dir)
+          .select(col("l_returnflag").as("g"), d(col("l_quantity")).as("v"),
+            col("l_linenumber").cast("long").as("wt"))
+          .withColumn("cw", sum(col("wt")).over(w))
+          .withColumn("tot", sum(col("wt")).over(Window.partitionBy("g")))
+        def q(num: Int, denom: Int) =
+          min(when(col("cw") * denom >= col("tot") * num, col("v")))
+            .cast("double")
+        c.groupBy("g")
+          .agg(q(1, 4).as("q25"), q(1, 2).as("q50"), q(9, 10).as("q90"),
+            max(col("tot")).as("total_weight"))
+          .orderBy("g")
+      },
+      Some(s"""
+        SELECT g,
+               CAST(min(CASE WHEN cw * 4 >= tot * 1 THEN v END) AS DOUBLE) AS q25,
+               CAST(min(CASE WHEN cw * 2 >= tot * 1 THEN v END) AS DOUBLE) AS q50,
+               CAST(min(CASE WHEN cw * 10 >= tot * 9 THEN v END) AS DOUBLE) AS q90,
+               CAST(max(tot) AS BIGINT) AS total_weight
+        FROM (SELECT g, v,
+                     sum(wt) OVER (PARTITION BY g ORDER BY v) AS cw,
+                     sum(wt) OVER (PARTITION BY g) AS tot
+              FROM (SELECT l_returnflag AS g, ${S.d("l_quantity")} AS v,
+                           CAST(l_linenumber AS BIGINT) AS wt
+                    FROM lineitem))
+        GROUP BY g ORDER BY g""")),
+
+    // ------------------------------------------------------------------
+    // groupBitmap / bitmapAndCardinality: audience-overlap analysis.
+    // The scale shape is NOT a bitmap object per segment (that is a
+    // single-node trick) — it is one distinct pass keyed by
+    // (user, segment), then per-user segment sets exploded into
+    // ordered pairs map-side, then a tiny per-pair count. The only
+    // real shuffle is keyed by user_id; per-segment cardinalities are
+    // a handful of rows broadcast back onto the pair table.
+    "ch_bitmap" -> Q(
+      (s, dir) => {
+        val ue = Tables.events(s, dir)
+          .filter(col("value") > 15)
+          .select(col("user_id"), col("event_type")).distinct()
+        val perSeg = ue.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val pairs = ue.groupBy("user_id")
+          .agg(sort_array(collect_set(col("event_type"))).as("segs"))
+          .select(explode(expr(
+            """flatten(transform(segs, (a, i) ->
+               transform(slice(segs, i + 2, size(segs)), b -> struct(a, b))))"""))
+            .as("p"))
+          .groupBy(col("p.a").as("seg_a"), col("p.b").as("seg_b"))
+          .agg(count(lit(1)).as("users_both"))
+        pairs
+          .join(broadcast(perSeg.withColumnRenamed("event_type", "seg_a")
+            .withColumnRenamed("n", "users_a")), Seq("seg_a"))
+          .join(broadcast(perSeg.withColumnRenamed("event_type", "seg_b")
+            .withColumnRenamed("n", "users_b")), Seq("seg_b"))
+          .select(col("seg_a"), col("seg_b"), col("users_a"), col("users_b"),
+            col("users_both"))
+          .orderBy("seg_a", "seg_b")
+      },
+      Some("""
+        WITH ue AS (SELECT DISTINCT user_id, event_type FROM events
+                    WHERE value > 15),
+             seg AS (SELECT event_type, count(*) AS n FROM ue GROUP BY 1)
+        SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+               sa.n AS users_a, sb.n AS users_b, count(*) AS users_both
+        FROM ue a JOIN ue b ON a.user_id = b.user_id
+                           AND a.event_type < b.event_type
+        JOIN seg sa ON sa.event_type = a.event_type
+        JOIN seg sb ON sb.event_type = b.event_type
+        GROUP BY 1, 2, 3, 4 ORDER BY seg_a, seg_b""")),
+
+    // ------------------------------------------------------------------
+    // ANY LEFT JOIN strictness: at most one right-side row per left
+    // row, which ClickHouse leaves nondeterministic — pinned here to
+    // "first line by (l_linenumber, l_partkey, l_quantity)" so it is
+    // reproducible (l_linenumber alone ties in this data; any tie
+    // surviving the full triple has an identical payload). The right
+    // side collapses to one row per key BEFORE the join (one hash agg
+    // with partial aggregation), so join input size is bounded by key
+    // cardinality, never by right-table row count.
+    "ch_any_join" -> Q(
+      (s, dir) => {
+        val firstLine = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(min_by(
+            struct(col("l_partkey"), d(col("l_quantity")).as("l_quantity")),
+            struct(col("l_linenumber"), col("l_partkey"), d(col("l_quantity"))))
+            .as("fl"))
+          .select(col("l_orderkey"), col("fl.l_partkey").as("first_partkey"),
+            col("fl.l_quantity").cast("double").as("first_qty"))
+        Tables.orders(s, dir)
+          .filter(col("o_orderstatus") === "F")
+          .join(firstLine, col("o_orderkey") === firstLine("l_orderkey"), "left")
+          .select(col("o_orderkey"), d(col("o_totalprice")).cast("double").as("o_totalprice"),
+            col("first_partkey"), col("first_qty"))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""
+        SELECT o_orderkey, CAST(${S.d("o_totalprice")} AS DOUBLE) AS o_totalprice,
+               first_partkey, first_qty
+        FROM (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+        LEFT JOIN (SELECT l_orderkey, l_partkey AS first_partkey,
+                          CAST(${S.d("l_quantity")} AS DOUBLE) AS first_qty
+                   FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                           ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
+                         FROM lineitem)
+                   WHERE rn = 1) l ON o.o_orderkey = l.l_orderkey
+        ORDER BY o_orderkey"""))
   )
 }

@@ -136,6 +136,35 @@ object Multimodal {
       Some("""
         SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
                count(*) AS n_copies
-        FROM documents GROUP BY md5(text) ORDER BY canonical_id"""))
+        FROM documents GROUP BY md5(text) ORDER BY canonical_id""")),
+
+    // ------------------------------------------------------------------
+    // Shard packing (the webdataset/tar-shard layout step): stream
+    // each source's payloads in doc_id order and cut a new shard
+    // every SHARD_BYTES of cumulative payload. shard_id is pure
+    // window arithmetic over the running byte offset — one shuffle
+    // keyed by source, each source packs independently (= in
+    // parallel across a cluster), byte-deterministic output layout.
+    "mm_shard_pack" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("start_off",
+            coalesce(sum(col("n_chars")).over(w), lit(0L)))
+          .withColumn("shard_id", expr("start_off div 4096"))
+          .orderBy("source", "doc_id")
+      },
+      Some("""
+        SELECT doc_id, source, n_chars, start_off,
+               start_off // 4096 AS shard_id
+        FROM (SELECT doc_id, source, n_chars,
+                CAST(coalesce(sum(n_chars) OVER (PARTITION BY source
+                  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+              FROM documents)
+        ORDER BY source, doc_id"""))
   )
 }

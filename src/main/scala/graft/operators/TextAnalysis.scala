@@ -325,6 +325,61 @@ object TextAnalysis {
                CAST(len(list_intersect(c.shingles, b.shingles)) AS BIGINT)
                  AS n_shared
         FROM c JOIN b ON len(list_intersect(c.shingles, b.shingles)) >= 1
-        ORDER BY c.doc_id, bench_id"""))
+        ORDER BY c.doc_id, bench_id""")),
+
+    // ------------------------------------------------------------------
+    // Repetition-based quality filters (the Gopher-rules shape): the
+    // share of tokens taken by the single most frequent word, and the
+    // fraction of word bigrams that are repeats. Both are per-document
+    // aggregations over one explode — the shuffles are keyed by
+    // doc_id only, so at corpus scale this is a linear map + local
+    // agg pass (a doc's tokens always hash to one reducer). Divisions
+    // are single IEEE ops on identical integers in both engines.
+    "txt_repetition" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .withColumn("n", size(col("ws")))
+          .filter(col("n") >= 2)
+        val topWord = docs
+          .select(col("doc_id"), col("n"), explode(col("ws")).as("w"))
+          .groupBy("doc_id", "n", "w").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id", "n").agg(max(col("c")).as("top_c"))
+        val bigrams = docs
+          .select(col("doc_id"), col("n"),
+            explode(expr(
+              "transform(slice(ws, 1, n - 1), (w, i) -> concat(w, ' ', ws[i + 1]))"))
+              .as("bg"))
+          .groupBy("doc_id", "n")
+          .agg(countDistinct(col("bg")).as("distinct_bg"))
+        topWord.join(bigrams, Seq("doc_id", "n"))
+          .select(col("doc_id"), col("n").as("n_words"),
+            (col("top_c").cast("double") / col("n")).as("top_word_frac"),
+            ((col("n") - 1 - col("distinct_bg")).cast("double") / (col("n") - 1))
+              .as("dup_bigram_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                          len(string_split(text, ' ')) AS n
+                   FROM documents),
+        dd AS (SELECT * FROM d WHERE n >= 2),
+        tw AS (SELECT doc_id, n, max(c) AS top_c
+               FROM (SELECT doc_id, n, w, count(*) AS c
+                     FROM (SELECT doc_id, n, unnest(ws) AS w FROM dd)
+                     GROUP BY 1, 2, 3)
+               GROUP BY 1, 2),
+        bg AS (SELECT doc_id, n, count(DISTINCT b) AS distinct_bg
+               FROM (SELECT doc_id, n,
+                       unnest([ws[i] || ' ' || ws[i + 1]
+                               for i in range(1, n)]) AS b
+                     FROM dd)
+               GROUP BY 1, 2)
+        SELECT tw.doc_id, tw.n AS n_words,
+               CAST(top_c AS DOUBLE) / tw.n AS top_word_frac,
+               CAST(tw.n - 1 - distinct_bg AS DOUBLE) / (tw.n - 1)
+                 AS dup_bigram_frac
+        FROM tw JOIN bg ON tw.doc_id = bg.doc_id AND tw.n = bg.n
+        ORDER BY tw.doc_id"""))
   )
 }
