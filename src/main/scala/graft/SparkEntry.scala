@@ -10,7 +10,7 @@ object SparkEntry {
   def registry: Map[String, Q] =
     Relational.all ++ ClickHouse.all ++ Functions.all ++ Sources.all ++
       TextAnalysis.all ++ Dedup.all ++ Ann.all ++ Multimodal.all ++
-      Streaming.all ++ Analytics.all ++ Extra.all
+      Streaming.all ++ Analytics.all ++ Extra.all ++ Stats.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

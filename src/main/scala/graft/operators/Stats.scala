@@ -1,0 +1,233 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Dec._
+import graft.{Sql => S}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Statistical aggregate surface (ClickHouse's corr/covarPop/
+  * stddevPop/skewPop/kurtPop/entropy/uniqUpTo/groupArrayMovingSum
+  * family).
+  *
+  * Exactness strategy: every moment (sum x, sum x^2, sum x*y, ...) is
+  * an EXACT decimal sum — order-independent, so partial aggregation
+  * and AQE re-partitioning cannot perturb it — and the final
+  * floating-point formula is written with the identical IEEE
+  * operation tree in the Spark plan and the DuckDB oracle, making the
+  * resulting doubles bit-identical (the ch_linreg technique extended
+  * to second/third/fourth moments). Big-magnitude product sums are
+  * surfaced through DECIMAL(38,0): values are >> 1, integer rounding
+  * is deterministic in both engines, and the unscaled value stays
+  * under 2^53 so both engines' decimal->double casts are exact.
+  */
+object Stats {
+
+  /** Exact decimal product sum, integer-rounded then cast to double
+    * (both engines exact: unscaled < 2^53). For product moments whose
+    * scale-6 unscaled sums would overflow 2^53 (see Dec.DOut notes).
+    */
+  private def isum(c: Column): Column =
+    sum(c).cast(DecimalType(38, 0)).cast("double")
+
+  /** DuckDB mirror of [[isum]]. CAST alone would TRUNCATE (DuckDB's
+    * decimal rescale drops digits; Spark's rounds HALF_UP), so the
+    * explicit round(x, 0) — half away from zero, same rule as
+    * HALF_UP — runs first and the final rescale drops only zeros.
+    */
+  private def isumSql(e: String): String =
+    s"CAST(CAST(round(sum($e), 0) AS DECIMAL(38,0)) AS DOUBLE)"
+
+  /** l_quantity is integer-valued in this schema; DECIMAL(10,0) keeps
+    * q^2 and (via a (12,0) re-cast) q^3/q^4 products inside 38 digits
+    * in BOTH engines' multiplication-widening rules.
+    */
+  private val qd: Column = col("l_quantity").cast(DecimalType(10, 0))
+  private val qdSql = "CAST(l_quantity AS DECIMAL(10,0))"
+
+  val all: Map[String, Q] = Map(
+    // ------------------------------------------------------------------
+    // corr / covarPop / stddevPop over (quantity, extendedprice) per
+    // return flag: one hash aggregation computes all five exact
+    // moments (map-side partials intact), the correlation formula
+    // runs on the tiny grouped result.
+    "ch_stats" -> Q(
+      (s, dir) => {
+        val p = d(col("l_extendedprice"))
+        val q2 = qd * qd
+        val m = Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(qd).cast("double").as("sx"),
+            dsum(col("l_extendedprice")).as("sy"),
+            sum(q2).cast("double").as("sxx"),
+            isum(qd * p).as("sxy"),
+            isum(p * p).as("syy"))
+        val n = col("n")
+        val varX = (col("sxx") - col("sx") * col("sx") / n) / n
+        val varY = (col("syy") - col("sy") * col("sy") / n) / n
+        val cov = (col("sxy") - col("sx") * col("sy") / n) / n
+        m.select(col("l_returnflag"), n,
+            cov.as("covar_pop"),
+            (cov / (sqrt(varX) * sqrt(varY))).as("corr"),
+            sqrt(varX).as("stddev_qty"),
+            sqrt(varY).as("stddev_price"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT l_returnflag, count(*) AS n,
+                 CAST(sum($qdSql) AS DOUBLE) AS sx,
+                 ${S.dsum("l_extendedprice")} AS sy,
+                 CAST(sum($qdSql * $qdSql) AS DOUBLE) AS sxx,
+                 ${isumSql(s"$qdSql * ${S.d("l_extendedprice")}")} AS sxy,
+                 ${isumSql("CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))")} AS syy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               (sxy - sx * sy / n) / n AS covar_pop,
+               ((sxy - sx * sy / n) / n)
+                 / (sqrt((sxx - sx * sx / n) / n)
+                    * sqrt((syy - sy * sy / n) / n)) AS corr,
+               sqrt((sxx - sx * sx / n) / n) AS stddev_qty,
+               sqrt((syy - sy * sy / n) / n) AS stddev_price
+        FROM m ORDER BY l_returnflag"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // skewPop / kurtPop of quantity per return flag from exact
+    // integer moment sums up to x^4. The re-cast of q^2 to
+    // DECIMAL(12,0) keeps the q^4 product inside decimal width in
+    // both engines; m2^1.5 is written m2*sqrt(m2) because sqrt and
+    // multiply are IEEE-exact everywhere while pow() need not be.
+    "ch_skew_kurt" -> Q(
+      (s, dir) => {
+        val q2 = (qd * qd).cast(DecimalType(12, 0))
+        val m = Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(qd).cast("double").as("s1"),
+            sum(q2).cast("double").as("s2"),
+            isum(q2 * qd).as("s3"),
+            isum(q2 * q2).as("s4"))
+        val n = col("n")
+        val mx = col("s1") / n
+        val m2 = col("s2") / n - mx * mx
+        val m3 = col("s3") / n - lit(3.0) * mx * (col("s2") / n) +
+          lit(2.0) * mx * mx * mx
+        val m4 = col("s4") / n - lit(4.0) * mx * (col("s3") / n) +
+          lit(6.0) * mx * mx * (col("s2") / n) -
+          lit(3.0) * mx * mx * mx * mx
+        m.select(col("l_returnflag"), n,
+            (m3 / (m2 * sqrt(m2))).as("skew_pop"),
+            (m4 / (m2 * m2) - lit(3.0)).as("kurt_pop"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT l_returnflag, count(*) AS n,
+                 CAST(sum($qdSql) AS DOUBLE) AS s1,
+                 CAST(sum(CAST($qdSql * $qdSql AS DECIMAL(12,0))) AS DOUBLE) AS s2,
+                 ${isumSql(s"CAST($qdSql * $qdSql AS DECIMAL(12,0)) * $qdSql")} AS s3,
+                 ${isumSql(s"CAST($qdSql * $qdSql AS DECIMAL(12,0)) * CAST($qdSql * $qdSql AS DECIMAL(12,0))")} AS s4
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               (s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / ((s2 / n - (s1 / n) * (s1 / n)) * sqrt(s2 / n - (s1 / n) * (s1 / n)))
+                 AS skew_pop,
+               (s4 / n - 4.0 * (s1 / n) * (s3 / n) + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3.0
+                 AS kurt_pop
+        FROM m ORDER BY l_returnflag"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Shannon entropy of each user's event-type distribution (CH
+    // `entropy`): two hash aggregations — counts per (user, type),
+    // then the -sum(p log2 p) fold per user. The log is the one
+    // genuinely transcendental step in the engine, so the output is
+    // rounded to 6 decimals on both sides (sub-ulp libm disagreement
+    // and double-sum ordering both vanish at that precision).
+    "ch_entropy" -> Q(
+      (s, dir) => {
+        val counts = Tables.events(s, dir)
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("tot", sum(col("n")).over(Window.partitionBy("user_id")))
+        val p = col("n").cast("double") / col("tot")
+        counts
+          .withColumn("term", p * log(p) / log(lit(2.0)))
+          .groupBy("user_id")
+          .agg(round(-sum(col("term")), 6).as("entropy"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH c AS (
+          SELECT user_id, event_type, count(*) AS n,
+                 sum(count(*)) OVER (PARTITION BY user_id) AS tot
+          FROM events GROUP BY user_id, event_type)
+        SELECT user_id,
+               round(-sum((CAST(n AS DOUBLE) / tot)
+                 * ln(CAST(n AS DOUBLE) / tot) / ln(2.0)), 6) AS entropy
+        FROM c GROUP BY user_id ORDER BY user_id"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // uniqUpTo(600): exact distinct parts per supplier up to the cap,
+    // 601 beyond it — with aggregation state BOUNDED at 601 keys per
+    // group (see graft.functions.UniqUpTo scaladoc for why that is
+    // the 100 TB answer when count(DISTINCT) state is unbounded). At
+    // sf0.1 suppliers span the cap from both sides, so both the exact
+    // and the saturated branch are exercised.
+    "ch_uniq_upto" -> Q(
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy("l_suppkey")
+          .agg(graft.functions.UniqUpTo(col("l_partkey"), 600).as("uniq_parts"))
+          .orderBy("l_suppkey")
+      },
+      Some("""
+        SELECT l_suppkey,
+               least(count(DISTINCT l_partkey), 601) AS uniq_parts
+        FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // groupArrayMovingSum(3): per customer, the time-ordered array of
+    // 3-order moving spend. One window pass (exact decimal frame
+    // sums) + one aggregation; the array is assembled from a struct
+    // sort so the order is the window order, not arrival order.
+    "ch_moving_sum" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, 0)
+        Tables.orders(s, dir)
+          .withColumn("mv",
+            sum(d(col("o_totalprice"))).over(w).cast(DOut).cast("double"))
+          .groupBy("o_custkey")
+          .agg(
+            transform(
+              array_sort(collect_list(
+                struct(col("o_orderdate"), col("o_orderkey"), col("mv")))),
+              x => x("mv")).as("moving_sums"),
+            count(lit(1)).as("n_orders"))
+          .orderBy("o_custkey")
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT o_custkey, o_orderdate, o_orderkey,
+                 CAST(CAST(sum(${S.d("o_totalprice")}) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                   AS DECIMAL(38,6)) AS DOUBLE) AS mv
+          FROM orders)
+        SELECT o_custkey,
+               array_agg(mv ORDER BY o_orderdate, o_orderkey) AS moving_sums,
+               count(*) AS n_orders
+        FROM w GROUP BY o_custkey ORDER BY o_custkey"""),
+    ),
+  )
+}
