@@ -258,7 +258,50 @@ object Ann {
                      list_max(list_transform(embedding,
                        x -> abs(CAST(x AS DOUBLE)))) AS maxabs
               FROM embeddings)
-        WHERE maxabs > 0 ORDER BY vec_id"""))
+        WHERE maxabs > 0 ORDER BY vec_id""")),
+
+    // ------------------------------------------------------------------
+    // Per-label embedding centroids (cluster prototypes for IVF
+    // training, class means for probing / dataset cartography). The
+    // elementwise mean is computed by position-explode + hash agg on
+    // (label, position) — corpus-linear, no per-group array buffering
+    // anywhere, so a label with a billion members costs the same
+    // shuffle width as one with ten. Exactness: each float widens to
+    // double exactly, is rounded to 6 decimals (no double is ever ON
+    // a scale-6 tie, midpoints are not binary-representable, so both
+    // engines' tie rules are moot), then sums exactly as
+    // DECIMAL(18,6) — the mean is one IEEE divide of identical
+    // operands in both engines.
+    "emb_centroid" -> Q(
+      (s, dir) => {
+        Tables.embeddings(s, dir)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select(col("label"), (col("pos") + 1).as("i"),
+            round(col("v").cast("double"), 6)
+              .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("v6"))
+          .groupBy("label", "i")
+          .agg((sum(col("v6")).cast("double") / count(lit(1))).as("c"),
+            count(lit(1)).as("cnt"))
+          .groupBy("label")
+          .agg(
+            transform(array_sort(collect_list(struct(col("i"), col("c")))),
+              x => x("c")).as("centroid"),
+            max(col("cnt")).as("n_vectors"))
+          .orderBy("label")
+      },
+      Some("""
+        WITH e0 AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+                           unnest(embedding) AS v
+                    FROM embeddings),
+        e AS (SELECT label, i,
+                CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6)) AS v6
+              FROM e0),
+        m AS (SELECT label, i, CAST(sum(v6) AS DOUBLE) / count(*) AS c,
+                     count(*) AS cnt
+              FROM e GROUP BY label, i)
+        SELECT label, array_agg(c ORDER BY i) AS centroid,
+               max(cnt) AS n_vectors
+        FROM m GROUP BY label ORDER BY label"""))
   )
 
   /** Default cells/nprobe are sized for the test corpus (500 random

@@ -349,6 +349,46 @@ object Extra {
         SELECT n_nationkey, r_regionkey,
                n_regionkey = r_regionkey AS is_home
         FROM nation CROSS JOIN region
-        ORDER BY n_nationkey, r_regionkey"""))
+        ORDER BY n_nationkey, r_regionkey""")),
+
+    // ------------------------------------------------------------------
+    // Pure range self-join WITHOUT an equi key ("error events within
+    // 60 s of each other"), executed as a BINNED equi join: bucket
+    // time into window-sized bins, explode the left side to its three
+    // candidate bins, equi-join on the bin, then apply the exact
+    // range predicate. Spark's native plan for a pure range predicate
+    // is a nested-loop/cartesian — quadratic at scale — while the
+    // binned shape shuffles on the bin key like any other equi join
+    // (3x row replication, linear; PlanSpec asserts no
+    // BroadcastNestedLoopJoin survives). |t_a - t_b| <= W with bin
+    // size W means bins differ by at most 1, so {b-1, b, b+1} on one
+    // side is complete, and single-valued bins on the right make each
+    // pair match exactly once.
+    "q_interval_join_binned" -> Q(
+      (s, dir) => {
+        val W = 60000000L // 60 s in micros = the bin width
+        val err = Tables.events(s, dir)
+          .filter(col("event_type") === "error")
+          .select(col("event_id"), col("ts_us"))
+        val left = err.select(col("event_id").as("id_a"), col("ts_us").as("ta"))
+          .withColumn("bin", explode(array(
+            expr(s"ta div ${W}L - 1"), expr(s"ta div ${W}L"),
+            expr(s"ta div ${W}L + 1"))))
+        val right = err.select(col("event_id").as("id_b"), col("ts_us").as("tb"))
+          .withColumn("bin", expr(s"tb div ${W}L"))
+        left.join(right, Seq("bin"))
+          .filter(col("id_a") < col("id_b") &&
+            abs(col("ta") - col("tb")) <= W)
+          .select(col("id_a"), col("id_b"), col("ta"), col("tb"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH e AS (SELECT event_id, epoch_us(ts) AS t
+                   FROM events WHERE event_type = 'error')
+        SELECT a.event_id AS id_a, b.event_id AS id_b,
+               a.t AS ta, b.t AS tb
+        FROM e a JOIN e b
+          ON a.event_id < b.event_id AND abs(a.t - b.t) <= 60000000
+        ORDER BY id_a, id_b"""))
   )
 }

@@ -312,6 +312,42 @@ object Functions {
                CAST(((c_custkey * 2654435761) % 4294967296) // 256 % 256 AS VARCHAR) || '.' ||
                CAST(((c_custkey * 2654435761) % 4294967296) % 256 AS VARCHAR) AS ip_str,
                (c_custkey * 2654435761) % 4294967296 AS ip_back
-        FROM customer ORDER BY c_custkey"""))
+        FROM customer ORDER BY c_custkey""")),
+
+    // ------------------------------------------------------------------
+    // editDistance / fuzzy lookup (CH's editDistance + the classic
+    // "match a dirty string against a clean dimension" ETL step):
+    // deterministic typo probes (3rd char deleted) are matched back
+    // to the nation dimension by minimum Levenshtein distance. The
+    // dimension broadcasts — at any scale the probe side streams map-
+    // only against a copy of the (always small) clean list; ties
+    // break lexicographically so the argmin is deterministic.
+    "f_editdist" -> Q(
+      (s, dir) => {
+        val probes = Tables.nation(s, dir)
+          .select(concat(substring(col("n_name"), 1, 2),
+            substring(col("n_name"), 4, 30)).as("probe"))
+        val nations = Tables.nation(s, dir).select(col("n_name"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("probe").orderBy(col("dist"), col("n_name"))
+        probes.crossJoin(broadcast(nations))
+          .withColumn("dist", levenshtein(col("probe"), col("n_name")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("probe"), col("n_name").as("matched"), col("dist"))
+          .orderBy("probe")
+      },
+      Some("""
+        WITH probes AS (
+          SELECT substr(n_name, 1, 2) || substr(n_name, 4) AS probe
+          FROM nation),
+        d AS (SELECT probe, n_name,
+                CAST(levenshtein(probe, n_name) AS INTEGER) AS dist
+              FROM probes CROSS JOIN nation),
+        r AS (SELECT *, row_number()
+                OVER (PARTITION BY probe ORDER BY dist, n_name) AS rn
+              FROM d)
+        SELECT probe, n_name AS matched, dist
+        FROM r WHERE rn = 1 ORDER BY probe"""))
   )
 }

@@ -339,6 +339,36 @@ object Sources {
         SELECT count(*) AS n_rows, min(l_orderkey) AS min_key,
                max(l_orderkey) AS max_key, min(l_extendedprice) AS min_price,
                max(l_extendedprice) AS max_price
-        FROM lineitem"""))
+        FROM lineitem""")),
+
+    // ------------------------------------------------------------------
+    // Schema evolution across batches: an old batch written without a
+    // column and a new batch written with it are read back as ONE
+    // dataset via mergeSchema (the parquet footer union), the absent
+    // column surfacing as NULL for old rows — the day-two ETL reality
+    // after any additive schema change. The oracle reproduces the
+    // same union from the source table, so a pass proves the merged
+    // read neither drops rows nor misaligns the evolved column.
+    "src_schema_evolution" -> Q(
+      (s, dir) => {
+        val out = tmp(dir, "evolve")
+        val o = Tables.orders(s, dir)
+        o.filter(year(col("o_orderdate")) < 1995)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$out/b1")
+        o.filter(year(col("o_orderdate")) >= 1995)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          .write.mode("overwrite").parquet(s"$out/b2")
+        s.read.option("mergeSchema", "true").parquet(s"$out/b1", s"$out/b2")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderpriority").asc_nulls_first)
+      },
+      Some(s"""
+        SELECT CASE WHEN year(o_orderdate) >= 1995
+                    THEN o_orderpriority END AS o_orderpriority,
+               count(*) AS n, ${S.dsum("o_totalprice")} AS total
+        FROM orders GROUP BY 1
+        ORDER BY o_orderpriority NULLS FIRST"""))
   )
 }

@@ -380,6 +380,56 @@ object TextAnalysis {
                CAST(tw.n - 1 - distinct_bg AS DOUBLE) / (tw.n - 1)
                  AS dup_bigram_frac
         FROM tw JOIN bg ON tw.doc_id = bg.doc_id AND tw.n = bg.n
-        ORDER BY tw.doc_id"""))
+        ORDER BY tw.doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Cross-document duplicate-chunk scan (the substring-level
+    // companion to whole-doc dedup): split every document into
+    // non-overlapping 5-word chunks, mark chunks that occur in more
+    // than one document, and score each document by its duplicated-
+    // chunk fraction — the standard "boilerplate / copypasta" signal
+    // a corpus-cleaning pipeline filters on. Scale shape: one explode
+    // (corpus-linear) + two hash aggs keyed by chunk/doc; "appears in
+    // >1 doc" is min(doc)<max(doc), NOT count(distinct) — constant
+    // state per chunk instead of a per-chunk id set. At 100 TB the
+    // chunk strings would be xxhash64'd before the shuffle; the
+    // string key keeps the oracle comparable here.
+    "txt_chunk_dedup" -> Q(
+      (s, dir) => {
+        val k = 5
+        val toks = split(regexp_replace(trim(lower(col("text"))), " +", " "), " ")
+        val chunks = Tables.documents(s, dir)
+          .select(col("doc_id"), toks.as("toks"))
+          .withColumn("nc", (size(col("toks")) / k).cast("int"))
+          .filter(col("nc") >= 1)
+          .select(col("doc_id"), explode(expr(
+            s"transform(sequence(0, nc - 1), i -> concat_ws(' ', slice(toks, i * $k + 1, $k)))"))
+            .as("chunk"))
+        val freq = chunks.groupBy("chunk")
+          .agg((min(col("doc_id")) < max(col("doc_id"))).as("dup"))
+        chunks.join(freq, Seq("chunk"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            count(when(col("dup"), 1)).as("n_dup_chunks"))
+          .withColumn("dup_frac", col("n_dup_chunks") / col("n_chunks"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id,
+               string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ')
+                 AS toks
+             FROM documents),
+        i AS (SELECT doc_id, toks, unnest(range(len(toks) // 5)) AS i
+              FROM t WHERE len(toks) // 5 >= 1),
+        c AS (SELECT doc_id,
+                array_to_string(toks[(5 * i + 1):(5 * i + 5)], ' ') AS chunk
+              FROM i),
+        g AS (SELECT chunk, min(doc_id) < max(doc_id) AS dup
+              FROM c GROUP BY chunk)
+        SELECT doc_id, count(*) AS n_chunks,
+               count(*) FILTER (dup) AS n_dup_chunks,
+               count(*) FILTER (dup) / count(*) AS dup_frac
+        FROM c JOIN g USING (chunk)
+        GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

