@@ -389,6 +389,31 @@ object Extra {
                a.t AS ta, b.t AS tb
         FROM e a JOIN e b
           ON a.event_id < b.event_id AND abs(a.t - b.t) <= 60000000
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // ------------------------------------------------------------------
+    // GROUPING() markers on a rollup: the flags that distinguish a
+    // data NULL from a subtotal NULL — what makes rollup output
+    // machine-consumable (CH exposes the same via grouping()).
+    "q_grouping_id" -> Q(
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .rollup("o_orderstatus", "o_orderpriority")
+          .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
+            grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+            count(lit(1)).as("n"),
+            dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first,
+            col("g_status"), col("g_prio"))
+      },
+      Some(s"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+               count(*) AS n, ${S.dsum("o_totalprice")} AS total
+        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
+                 g_status, g_prio"""))
   )
 }

@@ -348,6 +348,43 @@ object Functions {
                 OVER (PARTITION BY probe ORDER BY dist, n_name) AS rn
               FROM d)
         SELECT probe, n_name AS matched, dist
-        FROM r WHERE rn = 1 ORDER BY probe"""))
+        FROM r WHERE rn = 1 ORDER BY probe""")),
+
+    // ------------------------------------------------------------------
+    // Nested JSON round-trip: to_json of a nested struct + array,
+    // re-parsed with from_json against an explicit schema, plus a
+    // path extraction from the serialized form. The oracle selects
+    // the raw fields directly, so a pass proves parse(serialize(x))
+    // is the identity on nested shapes — the JSONEachRow ingest/egest
+    // semantics — not that two JSON parsers share bugs.
+    "f_json2" -> Q(
+      (s, dir) => {
+        val doc = to_json(struct(
+          col("o_orderkey").as("k"),
+          struct(d(col("o_totalprice")).cast("double").as("p"),
+            col("o_orderstatus").as("st")).as("meta"),
+          array(col("o_orderpriority"), col("o_orderstatus")).as("tags")))
+        Tables.orders(s, dir)
+          .withColumn("j", doc)
+          .withColumn("parsed", from_json(col("j"),
+            "k BIGINT, meta STRUCT<p: DOUBLE, st: STRING>, tags ARRAY<STRING>",
+            Map.empty[String, String]))
+          .select(col("o_orderkey"),
+            col("parsed.k").as("k"),
+            col("parsed.meta.p").as("price"),
+            col("parsed.meta.st").as("status"),
+            element_at(col("parsed.tags"), 1).as("tag_priority"),
+            element_at(col("parsed.tags"), 2).as("tag_status"),
+            get_json_object(col("j"), "$.meta.st").as("path_status"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_orderkey AS k,
+               CAST(CAST(o_totalprice AS DECIMAL(12,4)) AS DOUBLE) AS price,
+               o_orderstatus AS status,
+               o_orderpriority AS tag_priority,
+               o_orderstatus AS tag_status,
+               o_orderstatus AS path_status
+        FROM orders ORDER BY o_orderkey""")),
   )
 }

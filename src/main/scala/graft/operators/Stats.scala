@@ -229,5 +229,52 @@ object Stats {
                count(*) AS n_orders
         FROM w GROUP BY o_custkey ORDER BY o_custkey"""),
     ),
+
+    // ------------------------------------------------------------------
+    // arrayDifference + arrayCumSum over each customer's time-ordered
+    // spend (CH's groupArray-then-array-lambda idiom). Both arrays
+    // are computed by WINDOW functions before the collect — exact
+    // decimal lag-deltas and running sums — so no per-group array is
+    // ever re-walked; the collect is pure assembly. First delta is 0,
+    // matching CH arrayDifference.
+    "ch_arraydiff" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+        val p = d(col("o_totalprice"))
+        Tables.orders(s, dir)
+          .withColumn("delta",
+            (p - lag(p, 1, 0).over(w)).cast("double"))
+          .withColumn("cum",
+            sum(p).over(w.rowsBetween(Window.unboundedPreceding, 0))
+              .cast(DOut).cast("double"))
+          .groupBy("o_custkey")
+          .agg(
+            transform(array_sort(collect_list(
+                struct(col("o_orderdate"), col("o_orderkey"), col("delta")))),
+              x => x("delta")).as("deltas"),
+            transform(array_sort(collect_list(
+                struct(col("o_orderdate"), col("o_orderkey"), col("cum")))),
+              x => x("cum")).as("cumsum"))
+          .orderBy("o_custkey")
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT o_custkey, o_orderdate, o_orderkey,
+                 CAST(${S.d("o_totalprice")}
+                      - lag(${S.d("o_totalprice")}, 1, 0) OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS delta,
+                 CAST(CAST(sum(${S.d("o_totalprice")}) OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DECIMAL(38,6)) AS DOUBLE) AS cum
+          FROM orders)
+        SELECT o_custkey,
+               array_agg(delta ORDER BY o_orderdate, o_orderkey) AS deltas,
+               array_agg(cum ORDER BY o_orderdate, o_orderkey) AS cumsum
+        FROM w GROUP BY o_custkey ORDER BY o_custkey"""),
+    ),
   )
 }

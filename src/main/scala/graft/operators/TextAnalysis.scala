@@ -430,6 +430,45 @@ object TextAnalysis {
                count(*) FILTER (dup) AS n_dup_chunks,
                count(*) FILTER (dup) / count(*) AS dup_frac
         FROM c JOIN g USING (chunk)
-        GROUP BY doc_id ORDER BY doc_id"""))
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // URL canonicalization + dedup (the crawl-cleaning step before
+    // any by-URL grouping): case-fold scheme/host, strip tracking
+    // params and fragments, keep the identifying param — then count
+    // how many raw variants collapse into each canonical URL. The
+    // raw URLs are constructed with deterministic noise (mixed-case
+    // host, utm_* params, fragments) from part rows, and the ORACLE
+    // rebuilds the canonical form from the same raw fields, so a
+    // pass proves the parse+normalize actually inverts the noise.
+    // Per-row expression work + one hash agg on the canonical key.
+    "txt_url_canon" -> Q(
+      (s, dir) => {
+        val id = pmod(col("p_partkey"), lit(500)).cast("string")
+        val raw = concat(lit("HTTPS://"),
+          when(pmod(col("p_partkey"), lit(2)) === 0,
+            lit("Shop.Example.COM")).otherwise(lit("shop.example.com")),
+          lit("/item/"), id,
+          lit("?utm_source=ads&id="), id,
+          when(pmod(col("p_partkey"), lit(3)) === 0,
+            lit("&utm_campaign=x")).otherwise(lit("")),
+          lit("#sec"), col("p_partkey").cast("string"))
+        Tables.part(s, dir)
+          .select(col("p_partkey"), raw.as("url"))
+          .withColumn("canon", concat(lit("https://"),
+            lower(parse_url(col("url"), lit("HOST"))),
+            parse_url(col("url"), lit("PATH")),
+            lit("?id="), parse_url(col("url"), lit("QUERY"), lit("id"))))
+          .groupBy("canon")
+          .agg(count(lit(1)).as("n_variants"),
+            min(col("p_partkey")).as("first_key"))
+          .orderBy("canon")
+      },
+      Some("""
+        SELECT 'https://shop.example.com/item/'
+                 || CAST(p_partkey % 500 AS VARCHAR)
+                 || '?id=' || CAST(p_partkey % 500 AS VARCHAR) AS canon,
+               count(*) AS n_variants, min(p_partkey) AS first_key
+        FROM part GROUP BY 1 ORDER BY canon"""))
   )
 }
