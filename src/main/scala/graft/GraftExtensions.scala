@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, HllEstimate, MinHashSig, NearestCells, PolyHash64, SimHash64}
+import graft.functions.{BloomContains, DotProduct, HllEstimate, MinHashSig, NearestCells, PolyHash64, SimHash64}
 
 /** SparkSessionExtensions entry point: lets a deployment enable
   * graft's native expressions declaratively —
@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_dot", classOf[DotProduct], es => DotProduct(es(0), es(1)))
     inject("graft_cells", classOf[NearestCells], es => NearestCells.build(es))
     inject("graft_hll_estimate", classOf[HllEstimate], es => HllEstimate(es.head))
+    inject("graft_bloom_contains", classOf[BloomContains], es => BloomContains.build(es))
     ext.injectOptimizerRule(_ => graft.plans.RewriteIntersectCount)
   }
 }

@@ -118,6 +118,13 @@ object GraftFunctions {
         new ExpressionInfo(classOf[NearestCells].getName, "graft_cells"),
         (children: Seq[Expression]) => NearestCells.build(children))
     }
+    val bloomIdent = FunctionIdentifier("graft_bloom_contains")
+    if (!registry.functionExists(bloomIdent)) {
+      registry.registerFunction(
+        bloomIdent,
+        new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
+        (children: Seq[Expression]) => BloomContains.build(children))
+    }
     // optimizer rule for sessions built without GraftExtensions (the
     // driver's): experimental.extraOptimizations applies post-hoc
     if (!spark.experimental.extraOptimizations.contains(

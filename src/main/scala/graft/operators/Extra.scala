@@ -414,6 +414,43 @@ object Extra {
                count(*) AS n, ${S.dsum("o_totalprice")} AS total
         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
-                 g_status, g_prio"""))
+                 g_status, g_prio""")),
+
+    // ------------------------------------------------------------------
+    // Bloom-prefiltered semi join: the build side's keys aggregate
+    // into a 64 KiB Bloom filter (map-side partials OR'd together —
+    // graft.functions.Bloom), which prefilters the fact side BEFORE
+    // its shuffle, so the exchange carries only rows that can match;
+    // the exact semi join afterwards removes the (~0.1%) false
+    // positives, keeping the composed result exact. This is the
+    // runtime-filter idea engines apply internally, expressed as an
+    // explicit operator: at 100 TB the filter is metadata (64 KiB to
+    // the driver, like the IVF centroids), while the shuffle saving
+    // is proportional to the fact table. The probe is a native
+    // codegen expression (BloomContains via addReferenceObj).
+    "q_bloom_semi_join" -> Q(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val hot = Tables.orders(s, dir)
+          .filter(col("o_totalprice") > 450000).select(col("o_orderkey"))
+        val bits = hot.agg(graft.functions.Bloom.build(col("o_orderkey")).as("f"))
+          .head().getAs[Array[Byte]](0)
+        Tables.lineitem(s, dir)
+          .filter(call_function("graft_bloom_contains",
+            xxhash64(col("l_orderkey")), lit(bits)))
+          .join(hot, col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_lines"),
+            psum(d(col("l_extendedprice")) * oneMinus(col("l_discount")))
+              .as("revenue"))
+          .orderBy("l_orderkey")
+      },
+      Some(s"""
+        SELECT l_orderkey, count(*) AS n_lines,
+               ${S.revenue("l_extendedprice", "l_discount")} AS revenue
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_totalprice > 450000)
+        GROUP BY l_orderkey ORDER BY l_orderkey"""))
   )
 }
