@@ -386,5 +386,57 @@ object Functions {
                o_orderstatus AS tag_status,
                o_orderstatus AS path_status
         FROM orders ORDER BY o_orderkey""")),
+
+    // ------------------------------------------------------------------
+    // Geo functions (CH's greatCircleDistance / pointInPolygon-style
+    // containment): deterministic synthetic coordinates derived from
+    // keys, a pure-comparison bounding-box flag (exact by
+    // construction), and the haversine great-circle distance — the
+    // one transcendental-heavy formula in the surface, so the output
+    // is rounded to whole meters; both engines evaluate the identical
+    // IEEE expression tree and their libm sin/cos/asin agree to well
+    // under the rounding grain at earth magnitudes (validated by the
+    // cell-exact oracle gate).
+    "f_geo" -> Q(
+      (s, dir) => {
+        val lat1 = pmod(col("c_custkey") * 7919L, lit(18000L)).cast("double") / 100.0 - 90.0
+        val lon1 = pmod(col("c_custkey") * 104729L, lit(36000L)).cast("double") / 100.0 - 180.0
+        val lat2 = pmod(col("c_nationkey") * 6101L, lit(18000L)).cast("double") / 100.0 - 90.0
+        val lon2 = pmod(col("c_nationkey") * 9973L, lit(36000L)).cast("double") / 100.0 - 180.0
+        val rlat1 = radians(col("lat1"))
+        val rlat2 = radians(col("lat2"))
+        val dlat = radians(col("lat2") - col("lat1")) / 2.0
+        val dlon = radians(col("lon2") - col("lon1")) / 2.0
+        val a = sin(dlat) * sin(dlat) +
+          cos(rlat1) * cos(rlat2) * sin(dlon) * sin(dlon)
+        Tables.customer(s, dir)
+          .select(col("c_custkey"),
+            lat1.as("lat1"), lon1.as("lon1"), lat2.as("lat2"), lon2.as("lon2"))
+          .withColumn("in_box",
+            (col("lat1") >= -60.0 && col("lat1") <= 60.0 &&
+              col("lon1") >= -90.0 && col("lon1") <= 90.0).cast("int"))
+          .withColumn("dist_m",
+            round(lit(2.0) * 6371000.0 * asin(sqrt(a)), 0))
+          .select(col("c_custkey"), col("lat1"), col("lon1"),
+            col("in_box"), col("dist_m"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        WITH pts AS (
+          SELECT c_custkey,
+                 CAST((c_custkey * 7919) % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat1,
+                 CAST((c_custkey * 104729) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon1,
+                 CAST((c_nationkey * 6101) % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat2,
+                 CAST((c_nationkey * 9973) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon2
+          FROM customer)
+        SELECT c_custkey, lat1, lon1,
+               CAST(lat1 >= -60.0 AND lat1 <= 60.0
+                    AND lon1 >= -90.0 AND lon1 <= 90.0 AS INTEGER) AS in_box,
+               round(2.0 * 6371000.0 * asin(sqrt(
+                 sin(radians(lat2 - lat1) / 2.0) * sin(radians(lat2 - lat1) / 2.0)
+                 + cos(radians(lat1)) * cos(radians(lat2))
+                   * sin(radians(lon2 - lon1) / 2.0)
+                   * sin(radians(lon2 - lon1) / 2.0))), 0) AS dist_m
+        FROM pts ORDER BY c_custkey""")),
   )
 }

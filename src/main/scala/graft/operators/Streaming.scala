@@ -112,6 +112,28 @@ object Streaming {
           ON v.user_id = c.user_id
          AND c.click_us >= v.view_us
          AND c.click_us < v.view_us + 3600000000
-        ORDER BY v.user_id, v.view_id, c.click_id"""))
+        ORDER BY v.user_id, v.view_id, c.click_id""")),
+
+    // ------------------------------------------------------------------
+    // Distinct users per hourly window. The streaming twin
+    // (StreamingSpec) is dropDuplicates on (window-hour, user) within
+    // the watermark followed by the windowed count — the standard
+    // exact-distinct streaming composition whose state is one row per
+    // (window, user), evicted by the watermark; this batch twin is
+    // the same two-step shape collapsed into one distinct aggregate.
+    "stream_uniq_window" -> Q(
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(countDistinct(col("user_id")).as("uniq_users"),
+            count(lit(1)).as("n_events"))
+          .select(col("window.start").as("window_start"),
+            col("uniq_users"), col("n_events"))
+          .orderBy("window_start")
+      },
+      Some("""
+        SELECT date_trunc('hour', ts) AS window_start,
+               count(DISTINCT user_id) AS uniq_users, count(*) AS n_events
+        FROM events GROUP BY 1 ORDER BY window_start"""))
   )
 }

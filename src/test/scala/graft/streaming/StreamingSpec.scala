@@ -88,6 +88,21 @@ class StreamingSpec extends SparkSpec {
     assert(canon(streamed) == canon(batch))
   }
 
+  test("streaming windowed exact-distinct equals the batch twin") {
+    val streamed = runToCompletion(
+      streamedEvents
+        .withWatermark("ts", "1 hour")
+        .select(window(col("ts"), "1 hour").as("w"), col("user_id"))
+        .dropDuplicates("w", "user_id")
+        .groupBy("w")
+        .agg(count(lit(1)).as("uniq_users"))
+        .select(col("w.start").as("window_start"), col("uniq_users")),
+      "stream_uniq_t", "complete")
+    val batch = SparkEntry.registry("stream_uniq_window").fn(spark, sf)
+      .select("window_start", "uniq_users")
+    assert(canon(streamed) == canon(batch))
+  }
+
   test("stream-stream interval self-join equals the batch join") {
     // purchases joined to the same user's clicks in the preceding hour
     def shape(df: org.apache.spark.sql.DataFrame) = {
