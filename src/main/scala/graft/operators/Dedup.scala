@@ -154,7 +154,7 @@ object Dedup {
     * pair set: transitive closure via a recursive CTE, cluster_id =
     * min reachable doc_id.
     */
-  def clustersOracle(k: Int, threshold: Double): String = s"""
+  private def clustersCte(k: Int, threshold: Double): String = s"""
     WITH RECURSIVE t AS (SELECT doc_id,
            string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') toks
          FROM documents),
@@ -174,10 +174,32 @@ object Dedup {
       SELECT s, d FROM edges
       UNION
       SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
-    mn AS (SELECT s AS doc_id, min(d) AS mn FROM reach GROUP BY s)
+    mn AS (SELECT s AS doc_id, min(d) AS mn FROM reach GROUP BY s)"""
+
+  def clustersOracle(k: Int, threshold: Double): String =
+    clustersCte(k, threshold) + """
     SELECT doc.doc_id, least(doc.doc_id, coalesce(mn.mn, doc.doc_id)) AS cluster_id
     FROM documents doc LEFT JOIN mn ON doc.doc_id = mn.doc_id
     ORDER BY doc.doc_id"""
+
+  /** Oracle for [[Dedup.all]]'s dedup_rep_select: same transitive
+    * closure, then the per-cluster representative by (n_chars DESC,
+    * doc_id ASC).
+    */
+  def repOracle(k: Int, threshold: Double): String =
+    clustersCte(k, threshold) + """,
+    lab AS (SELECT doc.doc_id,
+              least(doc.doc_id, coalesce(mn.mn, doc.doc_id)) AS cluster_id
+            FROM documents doc LEFT JOIN mn ON doc.doc_id = mn.doc_id),
+    r AS (SELECT l.cluster_id, d.doc_id, d.n_chars,
+            row_number() OVER (PARTITION BY l.cluster_id
+              ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+          FROM lab l JOIN documents d USING (doc_id)),
+    g AS (SELECT cluster_id, count(*) AS n_docs, max(n_chars) AS rep_chars
+          FROM r GROUP BY cluster_id)
+    SELECT g.cluster_id, g.n_docs, r.doc_id AS rep_doc, g.rep_chars
+    FROM g JOIN r ON g.cluster_id = r.cluster_id AND r.rn = 1
+    ORDER BY g.cluster_id"""
 
   /** 64-permutation minhash signature over the (hashed) shingle
     * array — the native codegen MinHashSig expression, one tight
@@ -305,6 +327,30 @@ object Dedup {
         Tables.documents(s, dir).select("doc_id"))
         .orderBy("doc_id"),
       Some(clustersOracle(3, 0.5))),
+
+    // ------------------------------------------------------------------
+    // Representative selection — the step after clustering: keep ONE
+    // doc per near-dup cluster, chosen by quality (longest text here,
+    // ties to the smallest id), not arbitrarily. One max_by aggregate
+    // over the cluster labels; the struct ordering key makes the
+    // argmax deterministic, and nothing materializes per-cluster
+    // beyond the single running best row.
+    "dedup_rep_select" -> Q(
+      (s, dir) => {
+        val labels = componentLabels(
+          jaccardPairs(docShingles(s, dir), 0.5, memoKey = Some(dir))
+            .select("id_a", "id_b"),
+          Tables.documents(s, dir).select("doc_id"))
+        labels
+          .join(Tables.documents(s, dir).select("doc_id", "n_chars"), "doc_id")
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_docs"),
+            max_by(col("doc_id"),
+              struct(col("n_chars"), (-col("doc_id")).as("neg"))).as("rep_doc"),
+            max(col("n_chars")).as("rep_chars"))
+          .orderBy("cluster_id")
+      },
+      Some(repOracle(3, 0.5))),
 
     // ------------------------------------------------------------------
     // MinHash + LSH: signatures -> 16 bands of 4 -> bucket join ->

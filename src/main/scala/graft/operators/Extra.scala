@@ -353,7 +353,7 @@ object Extra {
 
     // ------------------------------------------------------------------
     // Pure range self-join WITHOUT an equi key ("error events within
-    // 60 s of each other"), executed as a BINNED equi join: bucket
+    // 10 min of each other"), executed as a BINNED equi join: bucket
     // time into window-sized bins, explode the left side to its three
     // candidate bins, equi-join on the bin, then apply the exact
     // range predicate. Spark's native plan for a pure range predicate
@@ -366,7 +366,7 @@ object Extra {
     // pair match exactly once.
     "q_interval_join_binned" -> Q(
       (s, dir) => {
-        val W = 60000000L // 60 s in micros = the bin width
+        val W = 600000000L // 10 min in micros = the bin width
         val err = Tables.events(s, dir)
           .filter(col("event_type") === "error")
           .select(col("event_id"), col("ts_us"))
@@ -388,7 +388,7 @@ object Extra {
         SELECT a.event_id AS id_a, b.event_id AS id_b,
                a.t AS ta, b.t AS tb
         FROM e a JOIN e b
-          ON a.event_id < b.event_id AND abs(a.t - b.t) <= 60000000
+          ON a.event_id < b.event_id AND abs(a.t - b.t) <= 600000000
         ORDER BY id_a, id_b""")),
 
     // ------------------------------------------------------------------
@@ -451,6 +451,38 @@ object Extra {
         FROM lineitem
         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                              WHERE o_totalprice > 450000)
-        GROUP BY l_orderkey ORDER BY l_orderkey"""))
+        GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
+    // ------------------------------------------------------------------
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    // match the dimension's NULL row instead of silently dropping —
+    // the dimension-decode pattern where "unknown" is itself a coded
+    // value. The dim broadcasts; null-safe equality is still a hash
+    // join key in Spark (NULL hashes like any value under <=>), so
+    // the plan stays a BroadcastHashJoin, not a nested loop.
+    "q_null_safe_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val dim = Seq(("F", "finished"), ("O", "open"), ("P", "pending"),
+          (null.asInstanceOf[String], "unknown")).toDF("dk", "label")
+        Tables.orders(s, dir)
+          .withColumn("k",
+            when(pmod(col("o_orderkey"), lit(7)) === 0, lit(null))
+              .otherwise(col("o_orderstatus")))
+          .join(broadcast(dim), col("k") <=> col("dk"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("label")
+      },
+      Some(s"""
+        WITH dim(k, label) AS (VALUES
+          ('F', 'finished'), ('O', 'open'), ('P', 'pending'),
+          (NULL, 'unknown')),
+        o AS (SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                          ELSE o_orderstatus END AS k, o_totalprice
+              FROM orders)
+        SELECT label, count(*) AS n, ${S.dsum("o_totalprice")} AS total
+        FROM o JOIN dim ON o.k IS NOT DISTINCT FROM dim.k
+        GROUP BY label ORDER BY label"""))
   )
 }

@@ -438,5 +438,33 @@ object Functions {
                    * sin(radians(lon2 - lon1) / 2.0)
                    * sin(radians(lon2 - lon1) / 2.0))), 0) AS dist_m
         FROM pts ORDER BY c_custkey""")),
+
+    // ------------------------------------------------------------------
+    // Second string batch: pad/translate/reverse/position/repeat/
+    // split_part (CH's leftPad/rightPad/translate/reverse/position/
+    // repeat/splitByChar-indexing family).
+    "f_string2" -> Q(
+      (s, dir) => {
+        Tables.part(s, dir)
+          .select(col("p_partkey"),
+            lpad(col("p_brand"), 12, "*").as("padded"),
+            rpad(col("p_type"), 30, ".").as("rpadded"),
+            reverse(col("p_name")).as("rev_name"),
+            translate(col("p_name"), "aeiou", "AEIOU").as("vowels_up"),
+            element_at(split(col("p_type"), " "), 1).as("type_head"),
+            instr(col("p_name"), "a").as("a_pos"),
+            expr("repeat('-', p_size % 5)").as("dashes"))
+          .orderBy("p_partkey")
+      },
+      Some("""
+        SELECT p_partkey,
+               lpad(p_brand, 12, '*') AS padded,
+               rpad(p_type, 30, '.') AS rpadded,
+               reverse(p_name) AS rev_name,
+               translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+               split_part(p_type, ' ', 1) AS type_head,
+               CAST(strpos(p_name, 'a') AS INTEGER) AS a_pos,
+               repeat('-', p_size % 5) AS dashes
+        FROM part ORDER BY p_partkey""")),
   )
 }

@@ -85,7 +85,8 @@ class StatsSpec extends SparkSpec {
     val naive = e.toDF("id_a", "ta")
       .crossJoin(e.toDF("id_b", "tb"))
       .filter(col("id_a") < col("id_b") &&
-        abs(col("ta") - col("tb")) <= 60000000L)
+        abs(col("ta") - col("tb")) <= 600000000L)
+      .select("id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === naive)
   }
