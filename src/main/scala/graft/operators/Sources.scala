@@ -369,6 +369,41 @@ object Sources {
                     THEN o_orderpriority END AS o_orderpriority,
                count(*) AS n, ${S.dsum("o_totalprice")} AS total
         FROM orders GROUP BY 1
-        ORDER BY o_orderpriority NULLS FIRST"""))
+        ORDER BY o_orderpriority NULLS FIRST""")),
+
+    // ------------------------------------------------------------------
+    // CSV with embedded delimiters, quotes, and NULLs — the cases
+    // that break naive CSV handling. A derived column embeds ", and
+    // a literal quote; NULLs are written with an explicit sentinel
+    // (RFC-4180 quote-doubling via escape='"') and the read-back uses
+    // the same dialect. The oracle computes the derived columns from
+    // the source parquet, so a pass proves the round-trip preserves
+    // every byte and NULL exactly.
+    "src_csv_quoted" -> Q(
+      (s, dir) => {
+        val out = tmp(dir, "csvq")
+        Tables.part(s, dir)
+          .select(col("p_partkey"),
+            concat(col("p_brand"), lit(", \""), col("p_type"), lit("\""))
+              .as("note"),
+            when(pmod(col("p_partkey"), lit(7)) === 0, lit(null))
+              .otherwise(col("p_name")).as("box"))
+          .write.mode("overwrite")
+          .option("header", "true").option("quote", "\"")
+          .option("escape", "\"").option("nullValue", "\\N")
+          .csv(out)
+        s.read
+          .schema("p_partkey LONG, note STRING, box STRING")
+          .option("header", "true").option("quote", "\"")
+          .option("escape", "\"").option("nullValue", "\\N")
+          .csv(out)
+          .orderBy("p_partkey")
+      },
+      Some("""
+        SELECT p_partkey,
+               p_brand || ', "' || p_type || '"' AS note,
+               CASE WHEN p_partkey % 7 = 0 THEN NULL
+                    ELSE p_name END AS box
+        FROM part ORDER BY p_partkey"""))
   )
 }

@@ -276,5 +276,83 @@ object Stats {
                array_agg(cum ORDER BY o_orderdate, o_orderkey) AS cumsum
         FROM w GROUP BY o_custkey ORDER BY o_custkey"""),
     ),
+
+    // ------------------------------------------------------------------
+    // avgWeighted(x, w): exact decimal sum(x*w)/sum(w) — one hash
+    // aggregation, the division a single IEEE op on identical
+    // operands in both engines.
+    "ch_avg_weighted" -> Q(
+      (s, dir) => {
+        val x = d(col("l_extendedprice"))
+        val w = col("l_quantity").cast(DecimalType(10, 0))
+        Tables.lineitem(s, dir)
+          .groupBy("l_linestatus")
+          .agg((isum(x * w) / sum(w).cast("double")).as("avg_weighted"),
+            sum(w).cast("long").as("total_weight"))
+          .orderBy("l_linestatus")
+      },
+      Some(s"""
+        SELECT l_linestatus,
+               ${isumSql(s"${S.d("l_extendedprice")} * $qdSql")}
+                 / CAST(sum($qdSql) AS DOUBLE) AS avg_weighted,
+               CAST(sum($qdSql) AS BIGINT) AS total_weight
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // groupArraySorted(5): the 5 smallest order totals per customer
+    // as a sorted array. The rank filter runs BEFORE the collect, so
+    // per-group state is bounded at N rows everywhere — a group with
+    // a million rows collects five (CH's bounded groupArraySorted
+    // semantics, not collect-then-slice).
+    "ch_grouparray_sorted" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        Tables.orders(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .groupBy("o_custkey")
+          .agg(transform(array_sort(collect_list(
+              struct(d(col("o_totalprice")).cast("double").as("p"),
+                col("o_orderkey")))),
+            x => x("p")).as("low5"))
+          .orderBy("o_custkey")
+      },
+      Some(s"""
+        WITH r AS (
+          SELECT o_custkey, o_orderkey,
+                 CAST(${S.d("o_totalprice")} AS DOUBLE) AS p,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn
+          FROM orders)
+        SELECT o_custkey,
+               array_agg(p ORDER BY p, o_orderkey) AS low5
+        FROM r WHERE rn <= 5
+        GROUP BY o_custkey ORDER BY o_custkey"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Salted two-stage distinct aggregation: distinct users per event
+    // type where one type dominates the corpus (the hot-key problem —
+    // a plain count(DISTINCT) holds the hot key's ENTIRE user set in
+    // one reducer's agg state). Stage 1 splits each key's distinct
+    // state across 16 salt shards (disjoint by construction: the
+    // salt is a function of the counted value), stage 2 sums the
+    // shard counts — every reducer holds at most 1/16th of a key's
+    // state, at the price of one extra (tiny) shuffle.
+    "q_salted_agg" -> Q(
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy(col("event_type"), pmod(col("user_id"), lit(16)).as("salt"))
+          .agg(countDistinct(col("user_id")).as("part_uniq"))
+          .groupBy("event_type")
+          .agg(sum(col("part_uniq")).as("uniq_users"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, count(DISTINCT user_id) AS uniq_users
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+    ),
   )
 }
