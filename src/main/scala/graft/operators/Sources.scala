@@ -404,6 +404,43 @@ object Sources {
                p_brand || ', "' || p_type || '"' AS note,
                CASE WHEN p_partkey % 7 = 0 THEN NULL
                     ELSE p_name END AS box
-        FROM part ORDER BY p_partkey"""))
+        FROM part ORDER BY p_partkey""")),
+
+    // ------------------------------------------------------------------
+    // Dynamic partition overwrite — the backfill/mutation pattern on
+    // an immutable columnar layout: rewrite ONE month's partition
+    // (here: 1995-06 with a 10% price correction) while every other
+    // partition's files are untouched (copy-on-write at partition
+    // granularity, the scalable stand-in for row-level UPDATE).
+    // partitionOverwriteMode=dynamic makes the overwrite scoped to
+    // partitions present in the written batch instead of the whole
+    // table. The oracle applies the same correction to the source
+    // table, so a pass proves exactly one partition changed and none
+    // were lost.
+    "sink_dynamic_overwrite" -> Q(
+      (s, dir) => {
+        val out = tmp(dir, "dynover")
+        val o = Tables.orders(s, dir)
+          .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        o.write.mode("overwrite").partitionBy("o_month").parquet(out)
+        val patched = o.filter(col("o_month") === "1995-06")
+          .withColumn("o_totalprice",
+            (d(col("o_totalprice")) * lit(1.1).cast(DecimalType(3, 1)))
+              .cast("double"))
+        patched.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("o_month").parquet(out)
+        s.read.parquet(out)
+          .groupBy("o_month")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_month")
+      },
+      Some(s"""
+        SELECT strftime(o_orderdate, '%Y-%m') AS o_month, count(*) AS n,
+               CAST(sum(CASE WHEN strftime(o_orderdate, '%Y-%m') = '1995-06'
+                 THEN CAST(CAST(${S.d("o_totalprice")} * CAST(1.1 AS DECIMAL(3,1))
+                   AS DOUBLE) AS DECIMAL(12,4))
+                 ELSE ${S.d("o_totalprice")} END) AS DOUBLE) AS total
+        FROM orders GROUP BY 1 ORDER BY o_month"""))
   )
 }

@@ -137,4 +137,39 @@ class StatsSpec extends SparkSpec {
     val got0 = rows.head.getSeq[Double](rows.head.fieldIndex("centroid")).head
     assert(math.abs(mean0 - got0) < 1e-9)
   }
+
+  test("ch_grouparray_sorted arrays are bounded at 5 and ascending") {
+    val rows = graft.SparkEntry.registry("ch_grouparray_sorted").fn(spark, sf)
+      .limit(100).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val a = r.getSeq[Double](r.fieldIndex("low5"))
+      assert(a.length <= 5 && a == a.sorted)
+    }
+  }
+
+  test("salted two-stage distinct equals the plain distinct aggregation") {
+    val got = graft.SparkEntry.registry("q_salted_agg").fn(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === plain)
+  }
+
+  test("null-safe join keeps a broadcast hash join plan") {
+    val p = graft.SparkEntry.registry("q_null_safe_join").fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"null-safe join lost hash plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("dynamic partition overwrite touches only the patched partition") {
+    graft.SparkEntry.registry("sink_dynamic_overwrite").fn(spark, sf).collect()
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_dynover_" +
+      sf.replaceAll("[^A-Za-z0-9]", "_")
+    val months = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("o_month=")).map(_.getName).sorted
+    assert(months.contains("o_month=1995-06") && months.length > 10)
+  }
 }
