@@ -354,5 +354,104 @@ object Stats {
         SELECT event_type, count(DISTINCT user_id) AS uniq_users
         FROM events GROUP BY event_type ORDER BY event_type"""),
     ),
+
+    // ------------------------------------------------------------------
+    // ORDER BY ... WITH FILL (+ LOCF interpolation): the hourly
+    // signup series has real gaps; the calendar spine is generated
+    // from the aggregated bounds (one row -> sequence explode, pure
+    // metadata at any scale), left-joined back, and filled two ways —
+    // zeros (CH WITH FILL) and carry-forward (INTERPOLATE/LOCF via
+    // last_value IGNORE NULLS). The single global window is the
+    // nature of one time series; multi-series fills partition this
+    // window by the series key.
+    "ch_with_fill" -> Q(
+      (s, dir) => {
+        val d = Tables.events(s, dir)
+          .filter(col("event_type") === "signup")
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n"))
+        val cal = d.agg(min("h").as("lo"), max("h").as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("INTERVAL 1 HOUR"))).as("h"))
+        val w = Window.orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        cal.join(d, Seq("h"), "left")
+          .select(col("h").as("hour_start"),
+            coalesce(col("n"), lit(0L)).as("n_zero_fill"),
+            last(col("n"), ignoreNulls = true).over(w).as("n_locf"))
+          .orderBy("hour_start")
+      },
+      Some("""
+        WITH d AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n
+                   FROM events WHERE event_type = 'signup' GROUP BY 1),
+        b AS (SELECT min(h) AS lo, max(h) AS hi FROM d),
+        cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+                FROM b)
+        SELECT cal.h AS hour_start,
+               coalesce(d.n, 0) AS n_zero_fill,
+               last_value(d.n IGNORE NULLS) OVER (ORDER BY cal.h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_locf
+        FROM cal LEFT JOIN d ON cal.h = d.h
+        ORDER BY hour_start"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Unigram language-model scoring (the KenLM-style perplexity
+    // proxy a quality-filtering pipeline uses): corpus word
+    // frequencies in one agg, per-token -log2 p joined back by word
+    // (keyed join, NOT a broadcast — a real vocabulary outgrows one),
+    // per-doc mean bits-per-token. Rounded to 6 decimals: the log is
+    // transcendental, everything else is exact integer arithmetic.
+    "txt_unigram_logprob" -> Q(
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(split(regexp_replace(trim(lower(col("text"))), " +", " "),
+              " ")).as("w"))
+        val vocab = toks.groupBy("w").agg(count(lit(1)).as("wn"))
+          .withColumn("tot", sum(col("wn")).over(Window.partitionBy()))
+        val bits = -log(col("wn").cast("double") / col("tot")) / log(lit(2.0))
+        toks.join(vocab, Seq("w"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(sum(bits) / count(lit(1)), 6).as("bits_per_token"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id,
+               unnest(string_split(regexp_replace(trim(lower(text)),
+                 ' +', ' ', 'g'), ' ')) AS w
+             FROM documents),
+        vocab AS (SELECT w, count(*) AS wn, sum(count(*)) OVER () AS tot
+                  FROM toks GROUP BY w)
+        SELECT doc_id, count(*) AS n_tokens,
+               round(sum(-ln(CAST(wn AS DOUBLE) / tot) / ln(2.0))
+                     / count(*), 6) AS bits_per_token
+        FROM toks JOIN vocab USING (w)
+        GROUP BY doc_id ORDER BY doc_id"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // LIMIT WITH TIES (top-10 order totals keeping ties): Spark has
+    // no WITH TIES, so the semantics are a rank() filter — which is
+    // also the honest distributed plan (a global rank over a sorted
+    // exchange, then the filter).
+    "q_limit_ties" -> Q(
+      (s, dir) => {
+        val w = Window.orderBy(col("o_totalprice").desc)
+        Tables.orders(s, dir)
+          .withColumn("rnk", rank().over(w).cast("int"))
+          .filter(col("rnk") <= 10)
+          .select(col("o_orderkey"), col("o_totalprice"), col("rnk"))
+          .orderBy(col("rnk"), col("o_orderkey"))
+      },
+      Some("""
+        WITH r AS (SELECT o_orderkey, o_totalprice,
+                     CAST(rank() OVER (ORDER BY o_totalprice DESC) AS INTEGER)
+                       AS rnk
+                   FROM orders)
+        SELECT o_orderkey, o_totalprice, rnk FROM r
+        WHERE rnk <= 10 ORDER BY rnk, o_orderkey"""),
+    ),
   )
 }
