@@ -150,6 +150,18 @@ object Dedup {
     labels
   }
 
+  /** Component labels memoized per corpus: the label DF is already
+    * materialized (eager localCheckpoint), so dedup_clusters and
+    * dedup_rep_select share ONE propagation run per session+corpus
+    * instead of re-iterating the join loop each call.
+    */
+  def labelsCached(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.DfCache.memo(componentLabels(
+      jaccardPairs(docShingles(s, dir), 0.5, memoKey = Some(dir))
+        .select("id_a", "id_b"),
+      Tables.documents(s, dir).select("doc_id")), s"cc-labels:$dir:0.5")
+
   /** DuckDB oracle for [[componentLabels]] over the exact jaccard
     * pair set: transitive closure via a recursive CTE, cluster_id =
     * min reachable doc_id.
@@ -321,11 +333,7 @@ object Dedup {
     // keep-one-representative step after pair finding. Oracle walks
     // the same pair set transitively with a recursive CTE.
     "dedup_clusters" -> Q(
-      (s, dir) => componentLabels(
-        jaccardPairs(docShingles(s, dir), 0.5, memoKey = Some(dir))
-          .select("id_a", "id_b"),
-        Tables.documents(s, dir).select("doc_id"))
-        .orderBy("doc_id"),
+      (s, dir) => labelsCached(s, dir).orderBy("doc_id"),
       Some(clustersOracle(3, 0.5))),
 
     // ------------------------------------------------------------------
@@ -337,11 +345,7 @@ object Dedup {
     // beyond the single running best row.
     "dedup_rep_select" -> Q(
       (s, dir) => {
-        val labels = componentLabels(
-          jaccardPairs(docShingles(s, dir), 0.5, memoKey = Some(dir))
-            .select("id_a", "id_b"),
-          Tables.documents(s, dir).select("doc_id"))
-        labels
+        labelsCached(s, dir)
           .join(Tables.documents(s, dir).select("doc_id", "n_chars"), "doc_id")
           .groupBy("cluster_id")
           .agg(count(lit(1)).as("n_docs"),
