@@ -453,5 +453,75 @@ object Stats {
         SELECT o_orderkey, o_totalprice, rnk FROM r
         WHERE rnk <= 10 ORDER BY rnk, o_orderkey"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Cohort retention matrix: users grouped by first-seen week, the
+    // distinct actives per (cohort, week offset) — the standard
+    // product-analytics table behind CH's retention(). Three hash
+    // aggregations, all keyed by (user) or (cohort, offset); the
+    // weekly distinct pass shrinks the join input to one row per
+    // (user, week) before the cohort join.
+    "ch_cohort" -> Q(
+      (s, dir) => {
+        val wk = date_trunc("week", col("ts")).cast("date")
+        val firstWeek = Tables.events(s, dir)
+          .groupBy("user_id").agg(min(wk).as("cohort"))
+        val activity = Tables.events(s, dir)
+          .select(col("user_id"), wk.as("wk")).distinct()
+        activity.join(firstWeek, "user_id")
+          .withColumn("week_offset",
+            (datediff(col("wk"), col("cohort")) / 7).cast("int"))
+          .groupBy("cohort", "week_offset")
+          .agg(countDistinct(col("user_id")).as("active_users"))
+          .orderBy("cohort", "week_offset")
+      },
+      Some("""
+        WITH f AS (SELECT user_id,
+               min(CAST(date_trunc('week', ts) AS DATE)) AS cohort
+             FROM events GROUP BY user_id),
+        a AS (SELECT DISTINCT user_id,
+                CAST(date_trunc('week', ts) AS DATE) AS wk
+              FROM events)
+        SELECT cohort,
+               CAST(datediff('day', cohort, wk) // 7 AS INTEGER) AS week_offset,
+               count(DISTINCT user_id) AS active_users
+        FROM a JOIN f USING (user_id)
+        GROUP BY 1, 2 ORDER BY cohort, week_offset"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // The NOT IN null trap, executed CORRECTLY: a NOT IN whose
+    // subquery contains a NULL matches nothing (three-valued logic),
+    // which Spark implements as a null-aware anti join — silently
+    // "losing" every row is the SQL-correct answer, and the contrast
+    // row shows the null-filtered variant returning real counts. The
+    // kind of semantic edge a query engine must not paper over.
+    "q_not_in_trap" -> Q(
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("nit_customer")
+        Tables.orders(s, dir)
+          .select(when(pmod(col("o_orderkey"), lit(1000)) === 0, lit(null))
+            .otherwise(col("o_custkey")).as("ck"))
+          .createOrReplaceTempView("nit_sub")
+        s.sql("""
+          SELECT 'with_nulls' AS variant, count(*) AS n
+          FROM nit_customer WHERE c_custkey NOT IN (SELECT ck FROM nit_sub)
+          UNION ALL
+          SELECT 'null_filtered' AS variant, count(*) AS n
+          FROM nit_customer
+          WHERE c_custkey NOT IN (SELECT ck FROM nit_sub WHERE ck IS NOT NULL)
+          ORDER BY variant""")
+      },
+      Some("""
+        WITH sub AS (SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                                 ELSE o_custkey END AS ck FROM orders)
+        SELECT 'with_nulls' AS variant, count(*) AS n
+        FROM customer WHERE c_custkey NOT IN (SELECT ck FROM sub)
+        UNION ALL
+        SELECT 'null_filtered' AS variant, count(*) AS n
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT ck FROM sub WHERE ck IS NOT NULL)
+        ORDER BY variant"""),
+    ),
   )
 }
