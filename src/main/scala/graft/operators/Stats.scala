@@ -523,5 +523,65 @@ object Stats {
         WHERE c_custkey NOT IN (SELECT ck FROM sub WHERE ck IS NOT NULL)
         ORDER BY variant"""),
     ),
+
+    // ------------------------------------------------------------------
+    // maxIntersections (peak interval concurrency): every event opens
+    // a 30-minute interval; the +1/-1 boundary sweep with a running
+    // sum finds the peak overlap per type. End points sort before
+    // simultaneous starts (ORDER BY t, d with d=-1 first), giving
+    // half-open [t, t+30m) semantics deterministically. One union +
+    // one keyed window + one agg — the sweep is linear in events.
+    "ch_max_intersections" -> Q(
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val pts = e.select(col("event_type"), col("ts_us").as("t"),
+            lit(1).as("d"))
+          .unionAll(e.select(col("event_type"),
+            (col("ts_us") + 1800000000L).as("t"), lit(-1).as("d")))
+        val w = Window.partitionBy("event_type").orderBy("t", "d")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        pts.withColumn("conc", sum(col("d")).over(w))
+          .groupBy("event_type")
+          .agg(max(col("conc")).as("peak"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH pts AS (
+          SELECT event_type, epoch_us(ts) AS t, 1 AS d FROM events
+          UNION ALL
+          SELECT event_type, epoch_us(ts) + 1800000000, -1 FROM events),
+        r AS (SELECT event_type,
+                sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+              FROM pts)
+        SELECT event_type, CAST(max(conc) AS BIGINT) AS peak
+        FROM r GROUP BY event_type ORDER BY event_type"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Deterministic content-derived UUIDs (the UUIDv5 idea: a stable
+    // id from a namespace + content hash, so re-ingestion assigns the
+    // same id — unlike generateUUIDv4, which is useless for
+    // idempotent pipelines). md5 of the namespaced key, formatted
+    // 8-4-4-4-12; pure per-row expressions.
+    "f_uuid" -> Q(
+      (s, dir) => {
+        val h = md5(concat(lit("graft:doc:"), col("doc_id").cast("string")))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            concat_ws("-",
+              substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+              substring(h, 17, 4), substring(h, 21, 12)).as("doc_uuid"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' ||
+               substr(h, 13, 4) || '-' || substr(h, 17, 4) || '-' ||
+               substr(h, 21, 12) AS doc_uuid
+        FROM (SELECT doc_id, md5('graft:doc:' || CAST(doc_id AS VARCHAR)) AS h
+              FROM documents)
+        ORDER BY doc_id"""),
+    ),
   )
 }
