@@ -408,8 +408,11 @@ object Stats {
           .select(col("doc_id"),
             explode(split(regexp_replace(trim(lower(col("text"))), " +", " "),
               " ")).as("w"))
+        // corpus total as a broadcast 1-row cross join, NOT a global
+        // window over the vocabulary (which would drag the whole vocab
+        // through one task at scale)
         val vocab = toks.groupBy("w").agg(count(lit(1)).as("wn"))
-          .withColumn("tot", sum(col("wn")).over(Window.partitionBy()))
+          .crossJoin(broadcast(toks.agg(count(lit(1)).as("tot"))))
         val bits = -log(col("wn").cast("double") / col("tot")) / log(lit(2.0))
         toks.join(vocab, Seq("w"))
           .groupBy("doc_id")
