@@ -586,5 +586,40 @@ object Stats {
               FROM documents)
         ORDER BY doc_id"""),
     ),
+
+    // ------------------------------------------------------------------
+    // As-of with TOLERANCE (the point-in-time feature join): each
+    // order is matched to the same customer's PREVIOUS order only if
+    // it falls within 90 days — beyond the tolerance the feature is
+    // NULL, never a stale value (the leakage rule feature stores
+    // enforce). One keyed window pass; no array buffering, no range
+    // join.
+    "q_asof_tolerance" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+        Tables.orders(s, dir)
+          .withColumn("prev_key", lag(col("o_orderkey"), 1).over(w))
+          .withColumn("gap_days",
+            datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)))
+          .select(col("o_orderkey"), col("o_custkey"),
+            when(col("gap_days") <= 90, col("prev_key")).as("prev_within_90d"),
+            when(col("gap_days") <= 90, col("gap_days")).as("days_since_prev"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        WITH l AS (
+          SELECT o_orderkey, o_custkey,
+                 lag(o_orderkey, 1) OVER w AS prev_key,
+                 CAST(datediff('day', lag(o_orderdate, 1) OVER w, o_orderdate)
+                      AS INTEGER) AS gap_days
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey))
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN gap_days <= 90 THEN prev_key END AS prev_within_90d,
+               CASE WHEN gap_days <= 90 THEN gap_days END AS days_since_prev
+        FROM l ORDER BY o_orderkey"""),
+    ),
   )
 }
