@@ -621,5 +621,60 @@ object Stats {
                CASE WHEN gap_days <= 90 THEN gap_days END AS days_since_prev
         FROM l ORDER BY o_orderkey"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Relational division ("for all"): customers who have placed
+    // orders in EVERY priority class — the classic ÷ operator,
+    // executed as distinct-count-equals-universe (one distinct pass +
+    // one agg + a broadcast scalar), not as the nested NOT EXISTS
+    // pair it is usually written as.
+    "q_rel_division" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val universe = o.agg(countDistinct(col("o_orderpriority")).as("u"))
+        o.select("o_custkey", "o_orderpriority").distinct()
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_classes"))
+          .crossJoin(broadcast(universe))
+          .filter(col("n_classes") === col("u"))
+          .select("o_custkey", "n_classes")
+          .orderBy("o_custkey")
+      },
+      Some("""
+        WITH u AS (SELECT count(DISTINCT o_orderpriority) AS u FROM orders),
+        d AS (SELECT o_custkey, count(DISTINCT o_orderpriority) AS n_classes
+              FROM orders GROUP BY o_custkey)
+        SELECT o_custkey, n_classes FROM d, u
+        WHERE n_classes = u.u ORDER BY o_custkey"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Deterministic train/val/test split: assignment is a pure
+    // function of the document id (multiplicative hash mod 100 ->
+    // 80/10/10), so re-running the pipeline — or running it on a
+    // different cluster layout — assigns every document to the same
+    // split; per (source, split) doc and token counts summarize the
+    // partition. No shuffle beyond the final summary agg.
+    "txt_train_split" -> Q(
+      (s, dir) => {
+        val bucket = pmod(col("doc_id") * 2654435761L, lit(100L))
+        Tables.documents(s, dir)
+          .withColumn("split",
+            when(bucket < 80, "train").when(bucket < 90, "val")
+              .otherwise("test"))
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " "))).as("n_tokens"))
+          .orderBy("source", "split")
+      },
+      Some("""
+        SELECT source,
+               CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                    WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1, 2 ORDER BY source, split"""),
+    ),
   )
 }
