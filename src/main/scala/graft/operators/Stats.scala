@@ -676,5 +676,84 @@ object Stats {
                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         FROM documents GROUP BY 1, 2 ORDER BY source, split"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Transcendental math batch (exp/ln/log10/sin/cos/atan2): libm
+    // implementations agree to ~1 ulp but are not guaranteed
+    // identical, so outputs round to 6 decimals on both sides (the
+    // f_geo precedent); inputs are scaled into tame domains so no
+    // value sits near a rounding boundary.
+    "f_math2" -> Q(
+      (s, dir) => {
+        val x = col("l_discount") + lit(0.5) // 0.5 .. 0.6
+        val y = col("l_tax") + lit(0.25)
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round(exp(x), 6).as("exp_x"),
+            round(log(x), 6).as("ln_x"),
+            round(log10(col("l_extendedprice")), 6).as("log10_price"),
+            round(sin(x), 6).as("sin_x"),
+            round(cos(x), 6).as("cos_x"),
+            round(atan2(y, x), 6).as("atan2_yx"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               round(exp(l_discount + 0.5), 6) AS exp_x,
+               round(ln(l_discount + 0.5), 6) AS ln_x,
+               round(log10(l_extendedprice), 6) AS log10_price,
+               round(sin(l_discount + 0.5), 6) AS sin_x,
+               round(cos(l_discount + 0.5), 6) AS cos_x,
+               round(atan2(l_tax + 0.25, l_discount + 0.5), 6) AS atan2_yx
+        FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // groupConcat / arrayStringConcat: ordered, delimited string
+    // assembly per key (CH's groupConcat with ORDER BY determinism).
+    "ch_group_concat" -> Q(
+      (s, dir) => {
+        Tables.nation(s, dir)
+          .groupBy("n_regionkey")
+          .agg(concat_ws(",", array_sort(collect_list(col("n_name"))))
+            .as("nations"),
+            count(lit(1)).as("n"))
+          .orderBy("n_regionkey")
+      },
+      Some("""
+        SELECT n_regionkey,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               count(*) AS n
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Median absolute deviation (the robust dispersion statistic):
+    // per-group median via one exact percentile pass, then the median
+    // of absolute deviations in a second — both interpolated
+    // identically in the two engines, and |x - m| is a single exact
+    // IEEE subtraction.
+    "ch_mad" -> Q(
+      (s, dir) => {
+        val med = Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(percentile(col("l_extendedprice"), lit(0.5)).as("med"))
+        Tables.lineitem(s, dir)
+          .join(med, "l_returnflag")
+          .groupBy("l_returnflag")
+          .agg(first(col("med")).as("median_price"),
+            percentile(abs(col("l_extendedprice") - col("med")), lit(0.5))
+              .as("mad_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        WITH m AS (SELECT l_returnflag,
+                     quantile_cont(l_extendedprice, 0.5) AS med
+                   FROM lineitem GROUP BY l_returnflag)
+        SELECT l.l_returnflag, first(m.med) AS median_price,
+               quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS mad_price
+        FROM lineitem l JOIN m USING (l_returnflag)
+        GROUP BY l.l_returnflag ORDER BY l.l_returnflag"""),
+    ),
   )
 }
