@@ -755,5 +755,103 @@ object Stats {
         FROM lineitem l JOIN m USING (l_returnflag)
         GROUP BY l.l_returnflag ORDER BY l.l_returnflag"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Slowly-changing dimension type 2: collapse each customer's
+    // order-status history into [valid_from, valid_to) intervals —
+    // one row per status CHANGE, closed by the next change's date
+    // (NULL = current). Two window passes over (customer, time), no
+    // self-join: the change filter runs before the lead() so interval
+    // rows never rescan the full history.
+    "q_scd2" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+        val changes = Tables.orders(s, dir)
+          .withColumn("prev_status", lag(col("o_orderstatus"), 1).over(w))
+          .filter(col("prev_status").isNull ||
+            col("o_orderstatus") =!= col("prev_status"))
+        val w2 = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+        changes
+          .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w2))
+          .select(col("o_custkey"), col("o_orderstatus"),
+            col("o_orderdate").as("valid_from"), col("valid_to"))
+          .orderBy("o_custkey", "valid_from", "o_orderstatus")
+      },
+      Some("""
+        WITH h AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+                     lag(o_orderstatus) OVER w AS prev_status
+                   FROM orders
+                   WINDOW w AS (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey)),
+        c AS (SELECT * FROM h
+              WHERE prev_status IS NULL OR o_orderstatus <> prev_status)
+        SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+               lead(o_orderdate) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS valid_to
+        FROM c ORDER BY o_custkey, valid_from, o_orderstatus"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // regexp_extract_all / match counting (CH's extractAll family).
+    "f_regex2" -> Q(
+      (s, dir) => {
+        Tables.part(s, dir)
+          .select(col("p_partkey"),
+            concat_ws("|", regexp_extract_all(col("p_name"), lit("\\w+"), lit(0)))
+              .as("all_words"),
+            size(regexp_extract_all(col("p_name"), lit("\\w+"), lit(0)))
+              .as("n_words"),
+            regexp_extract(col("p_brand"), "(\\d+)", 1).as("brand_num"))
+          .orderBy("p_partkey")
+      },
+      Some("""
+        SELECT p_partkey,
+               array_to_string(regexp_extract_all(p_name, '\w+'), '|')
+                 AS all_words,
+               CAST(len(regexp_extract_all(p_name, '\w+')) AS INTEGER)
+                 AS n_words,
+               regexp_extract(p_brand, '(\d+)', 1) AS brand_num
+        FROM part ORDER BY p_partkey"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // arrayIntersect / arrayUnion over per-key sets: each supplier's
+    // distinct parts shipped before vs since 1995, overlap and union
+    // sizes via array set ops on collected distinct sets (bounded by
+    // the supplier's true part count; the relational oracle computes
+    // the same sizes from per-(supplier, part) period flags).
+    "ch_array_setops" -> Q(
+      (s, dir) => {
+        val cut = lit("1995-01-01").cast("timestamp")
+        Tables.lineitem(s, dir)
+          .groupBy("l_suppkey")
+          .agg(
+            array_sort(array_distinct(collect_list(
+              when(col("l_shipdate") < cut, col("l_partkey"))))).as("early"),
+            array_sort(array_distinct(collect_list(
+              when(col("l_shipdate") >= cut, col("l_partkey"))))).as("late"))
+          .select(col("l_suppkey"),
+            size(col("early")).as("n_early"),
+            size(col("late")).as("n_late"),
+            size(array_intersect(col("early"), col("late"))).as("n_both"),
+            size(array_union(col("early"), col("late"))).as("n_either"))
+          .orderBy("l_suppkey")
+      },
+      Some("""
+        WITH p AS (SELECT l_suppkey, l_partkey,
+                     max(CASE WHEN l_shipdate < TIMESTAMP '1995-01-01'
+                              THEN 1 ELSE 0 END) AS e,
+                     max(CASE WHEN l_shipdate >= TIMESTAMP '1995-01-01'
+                              THEN 1 ELSE 0 END) AS l
+                   FROM lineitem GROUP BY 1, 2)
+        SELECT l_suppkey,
+               CAST(sum(e) AS INTEGER) AS n_early,
+               CAST(sum(l) AS INTEGER) AS n_late,
+               CAST(sum(e * l) AS INTEGER) AS n_both,
+               CAST(count(*) AS INTEGER) AS n_either
+        FROM p GROUP BY l_suppkey ORDER BY l_suppkey"""),
+    ),
   )
 }
