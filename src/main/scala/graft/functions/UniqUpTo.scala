@@ -35,12 +35,18 @@ object UniqUpTo {
     bb.array()
   }
 
-  final class Agg(limit: Int) extends Aggregator[Long, Array[Byte], Long] {
+  /** Input is BOXED Long: the primitive encoder silently decodes a
+    * NULL input as 0, which would count a phantom key — boxing keeps
+    * nulls visible so they are skipped like count(DISTINCT) does.
+    */
+  final class Agg(limit: Int) extends Aggregator[java.lang.Long, Array[Byte], Long] {
     private val cap = limit + 1
 
     def zero: Array[Byte] = Array.emptyByteArray
 
-    def reduce(buf: Array[Byte], x: Long): Array[Byte] = {
+    def reduce(buf: Array[Byte], boxed: java.lang.Long): Array[Byte] = {
+      if (boxed == null) return buf
+      val x = boxed.longValue
       val xs = unpack(buf)
       if (xs.length >= cap) buf // saturated: answer already N+1
       else {
@@ -84,5 +90,5 @@ object UniqUpTo {
   }
 
   /** `uniqUpTo(n)(c)` as a Column aggregate; `c` must be LongType. */
-  def apply(c: Column, n: Int): Column = udaf(new Agg(n), Encoders.scalaLong)(c)
+  def apply(c: Column, n: Int): Column = udaf(new Agg(n), Encoders.LONG)(c)
 }
