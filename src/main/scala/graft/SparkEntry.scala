@@ -8,9 +8,10 @@ object SparkEntry {
 
   /** Full registry: every operator from SURVEY.md §2 that is DONE. */
   def registry: Map[String, Q] =
-    Relational.all ++ ClickHouse.all ++ Functions.all ++ Sources.all ++
-      TextAnalysis.all ++ Dedup.all ++ Ann.all ++ Multimodal.all ++
-      Streaming.all ++ Analytics.all ++ Extra.all ++ Stats.all
+    Relational.all ++ Tpch.all ++ ClickHouse.all ++ Functions.all ++
+      Sources.all ++ TextAnalysis.all ++ Dedup.all ++ Ann.all ++
+      Multimodal.all ++ Streaming.all ++ Analytics.all ++ Extra.all ++
+      Stats.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
