@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Dec._
+import graft.{Sql => S}
+import graft.sources.Sink
+import org.apache.spark.sql.functions._
+
+/** Incremental-maintenance surface: ClickHouse materialized-view
+  * semantics (per-insert partial-state merge into an aggregate
+  * target), mutation DELETE on an immutable layout, and the KMV
+  * distinct sketch that makes incremental distinct-state mergeable.
+  */
+object Incremental {
+
+  private def tmp(dir: String, name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  val all: Map[String, Q] = Map(
+    // ------------------------------------------------------------------
+    // Materialized view, maintained INCREMENTALLY (CH `CREATE
+    // MATERIALIZED VIEW ... ENGINE=AggregatingMergeTree`): each
+    // insert batch computes partial aggregate state over ONLY the new
+    // rows and merges it into the stored target — the full history is
+    // never rescanned. Here orders arrive as two batches; batch 2's
+    // refresh reads batch 2 + the (priority-count-sum) target, not
+    // batch 1. All the states are algebraic (count/sum/min/max merge
+    // by sum/sum/min/max; avg derives at read), so refresh cost is
+    // O(delta + groups) at any table size. The oracle aggregates the
+    // FULL table — a pass proves merged increments == recompute.
+    "mv_incremental" -> Q(
+      (s, dir) => {
+        val target = tmp(dir, "mvtarget")
+        val o = Tables.orders(s, dir)
+        def partials(batch: org.apache.spark.sql.DataFrame) =
+          batch.groupBy("o_orderpriority")
+            .agg(
+              count(lit(1)).as("n"),
+              sum(d(col("o_totalprice"))).as("sum_price"),
+              min(col("o_orderdate")).as("first_order"),
+              max(col("o_orderdate")).as("last_order"))
+        // insert #1: seed the target with batch-1 state
+        partials(o.filter(pmod(col("o_orderkey"), lit(2)) === 0))
+          .write.mode("overwrite").parquet(target)
+        // insert #2: merge batch-2 partials with the STORED state
+        val merged = s.read.parquet(target)
+          .unionByName(partials(o.filter(pmod(col("o_orderkey"), lit(2)) === 1)))
+          .groupBy("o_orderpriority")
+          .agg(
+            sum(col("n")).as("n"),
+            sum(col("sum_price")).as("sum_price"),
+            min(col("first_order")).as("first_order"),
+            max(col("last_order")).as("last_order"))
+        merged.select(
+            col("o_orderpriority"), col("n"),
+            col("sum_price").cast("double").as("total_price"),
+            (col("sum_price").cast("double") / col("n")).as("avg_price"),
+            col("first_order"), col("last_order"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""
+        SELECT o_orderpriority, count(*) AS n,
+               ${S.dsum("o_totalprice")} AS total_price,
+               ${S.davg("o_totalprice")} AS avg_price,
+               min(o_orderdate) AS first_order,
+               max(o_orderdate) AS last_order
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ------------------------------------------------------------------
+    // Lightweight DELETE (CH `DELETE FROM t WHERE ...` mutation) on a
+    // month-partitioned layout: the predicate names no partition, the
+    // implementation DISCOVERS the affected months from the predicate
+    // match and rewrites only those via dynamic partition overwrite —
+    // untouched months keep their files (asserted byte-identical in
+    // IncrementalSpec). Oracle = the surviving rows on the source.
+    "sink_delete_mutation" -> Q(
+      (s, dir) => {
+        val out = tmp(dir, "delmut")
+        Tables.orders(s, dir)
+          .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+          .write.mode("overwrite").partitionBy("o_month").parquet(out)
+        // delete: one bad load window (predicate on DATA, not partition)
+        Sink.deleteWhere(s, out, "o_month",
+          col("o_orderdate") >= lit("1997-06-10").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-07-20").cast("timestamp") &&
+            col("o_orderstatus") === "F")
+        s.read.parquet(out)
+          .groupBy(col("o_month").cast("string").as("o_month"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_month")
+      },
+      Some(s"""
+        SELECT strftime(o_orderdate, '%Y-%m') AS o_month, count(*) AS n,
+               ${S.dsum("o_totalprice")} AS total
+        FROM orders
+        WHERE NOT (o_orderdate >= TIMESTAMP '1997-06-10'
+               AND o_orderdate <  TIMESTAMP '1997-07-20'
+               AND o_orderstatus = 'F')
+        GROUP BY 1 ORDER BY o_month""")),
+
+    // ------------------------------------------------------------------
+    // KMV distinct sketch per group: EXACT below k (here the 150-user
+    // universe sits under k=256, so the oracle is count(DISTINCT)),
+    // fixed 8k-byte mergeable state at any cardinality — the
+    // incremental/streaming answer when distinct state must survive
+    // merges without holding the key space (estimation error spec'd
+    // at forced overflow in IncrementalSpec).
+    "ch_uniq_kmv" -> Q(
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(graft.functions.Kmv(256, xxhash64(col("user_id")))
+            .as("uniq_users"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, count(DISTINCT user_id) AS uniq_users
+        FROM events GROUP BY event_type ORDER BY event_type"""))
+  )
+}

@@ -214,6 +214,36 @@ object Sink {
       }
   }
 
+  /** Predicate DELETE on a partitioned layout as partition-scoped
+    * copy-on-write (ClickHouse's lightweight `DELETE FROM ... WHERE`
+    * mutation): first DISCOVER which partitions contain matching rows
+    * (a pruned scan of the predicate columns only), then rewrite just
+    * those partitions without the matching rows via dynamic partition
+    * overwrite. Partitions with no match keep their original files
+    * byte-for-byte — at 100 TB a delete touching one month rewrites
+    * one month, not the table.
+    *
+    * Returns the affected partition values (diagnostics / spec).
+    */
+  def deleteWhere(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      partitionCol: String,
+      predicate: org.apache.spark.sql.Column): Seq[String] = {
+    val t = spark.read.parquet(path)
+    // partition values only — tiny driver-side list, pruned scan
+    val affected = t.filter(predicate)
+      .select(col(partitionCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (affected.nonEmpty) {
+      t.filter(col(partitionCol).isin(affected: _*) && !predicate)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol)
+        .parquet(path)
+    }
+    affected
+  }
+
   /** ClickHouse-style table layout on write: PARTITION BY a derived
     * key (classically the month), ORDER BY sort columns within each
     * partition — the layout that makes partition pruning + range

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec, Tables}
+import graft.sources.Sink
+import org.apache.spark.sql.functions._
+
+class IncrementalSpec extends SparkSpec {
+
+  import graft.SparkSpec.spark.implicits._
+
+  test("kmv is exact below k and within 5% at 40x overflow") {
+    // exact range: 200 distinct < k=256
+    val small = (1L to 200L).toSeq.toDF("x")
+      .agg(graft.functions.Kmv(256, xxhash64(col("x"))))
+      .head.getLong(0)
+    assert(small == 200L, s"kmv not exact below k: $small")
+    // forced overflow: 10,000 distinct >> k=256
+    val big = (1L to 10000L).toSeq.toDF("x")
+      .agg(graft.functions.Kmv(256, xxhash64(col("x"))))
+      .head.getLong(0)
+    assert(math.abs(big - 10000.0) / 10000.0 < 0.10,
+      s"kmv estimate off by >10%: $big vs 10000")
+  }
+
+  test("kmv merge is order/partitioning-invariant and ignores nulls") {
+    val df = ((1L to 500L).map(java.lang.Long.valueOf) :+ null)
+      .toDF("x").withColumn("h",
+        when(col("x").isNotNull, xxhash64(col("x"))))
+    val a = df.repartition(1)
+      .agg(graft.functions.Kmv(256, col("h"))).head.getLong(0)
+    val b = df.repartition(13)
+      .agg(graft.functions.Kmv(256, col("h"))).head.getLong(0)
+    assert(a == b, s"kmv not merge-invariant: $a vs $b")
+  }
+
+  test("delete mutation rewrites ONLY partitions containing matches") {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_delspec"
+    Tables.orders(spark, sf)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.mode("overwrite").partitionBy("o_month").parquet(out)
+    def fileSnapshot(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(out))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.lastModified).toMap
+    }
+    val before = fileSnapshot()
+    val affected = Sink.deleteWhere(spark, out, "o_month",
+      col("o_orderdate") >= lit("1997-06-10").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-07-20").cast("timestamp"))
+    assert(affected.toSet == Set("1997-06", "1997-07"),
+      s"wrong affected set: $affected")
+    val after = fileSnapshot()
+    val untouchedBefore = before.filter(!_._1.contains("o_month=1997-0"))
+    val untouchedAfter = after.filter(!_._1.contains("o_month=1997-0"))
+    assert(untouchedBefore == untouchedAfter,
+      "files outside affected partitions were rewritten")
+    // and the delete actually removed the rows
+    val survivors = spark.read.parquet(out)
+      .filter(col("o_orderdate") >= lit("1997-06-10").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-07-20").cast("timestamp"))
+    assert(survivors.count() == 0, "matching rows survived the delete")
+  }
+
+  test("incremental MV refresh equals full recompute") {
+    val mv = SparkEntry.registry("mv_incremental").fn(spark, sf)
+    val full = Tables.orders(spark, sf)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+    val got = mv.select("o_orderpriority", "n")
+    assert(got.collect().toSeq == full.collect().toSeq,
+      "merged increments differ from full recompute")
+  }
+}
