@@ -228,6 +228,15 @@ object Ann {
       None),
 
     // ------------------------------------------------------------------
+    // Product-quantized ADC top-k with exact rerank: the 32x-
+    // compressed serving path (see pqTopK). Approximate -> rows-only;
+    // AnnSpec measures recall@10 against the brute force and records
+    // it in ANN_RECALL.json.
+    "ann_pq_topk" -> Q(
+      (s, dir) => pqTopK(s, dir),
+      None),
+
+    // ------------------------------------------------------------------
     // int8 symmetric quantization of the embedding column (the
     // storage/serving compression step: 4x smaller vectors, int-dot
     // reranking). Per-row expression work only — no shuffle, scales
@@ -303,6 +312,104 @@ object Ann {
                max(cnt) AS n_vectors
         FROM m GROUP BY label ORDER BY label"""))
   )
+
+  /** Product-quantization codebooks: one seeded KMeans per subspace
+    * over the corpus's subvector slices. Memoized like
+    * [[fitCellsCached]] — a PQ index trains once, serves many times.
+    * Driver state is m x ks x (dim/m) doubles (tiny at any corpus
+    * size; training reads a sample at real scale).
+    */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int), Seq[Seq[Seq[Double]]]]()
+  def fitPqCodebooks(s: SparkSession, dir: String, m: Int, ks: Int)
+      : Seq[Seq[Seq[Double]]] =
+    pqCache.computeIfAbsent((dir, m, ks), _ => {
+      val emb = Tables.embeddings(s, dir)
+        .select(l2normExpr(col("embedding")).as("nv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val dim = emb.select(size(col("nv"))).head.getInt(0)
+        val subLen = dim / m
+        (0 until m).map { sub =>
+          fitCells(emb.select(slice(col("nv"), sub * subLen + 1, subLen)
+            .as("nv")), ks)
+        }
+      } finally { emb.unpersist(blocking = false): Unit }
+    })
+
+  /** PQ + ADC top-k — the memory-bound serving path: each corpus
+    * vector is stored as m codebook ids (m bytes at ks<=256, a 32x
+    * compression of 64 floats), and query-to-corpus similarity is a
+    * TABLE LOOKUP sum, never a full dot product.
+    *
+    * Spark-first formulation, no custom kernel needed:
+    *  1. encode: per subspace, the nearest-codeword id via the same
+    *     native graft_cells expression IVF uses — per-row codegen
+    *     work, no shuffle;
+    *  2. the lookup table (query x subspace x codeword partial dot,
+    *     q*m*ks rows) is computed as a broadcast DataFrame;
+    *  3. ADC = explode codes to (vec_id, sub, code), broadcast-join
+    *     the LUT, per-(query, vec) SUM — a map-side-combinable hash
+    *     aggregation, so the shuffle carries one row per (query,
+    *     candidate), not per code;
+    *  4. exact rerank of the top `rr` ADC candidates (the standard
+    *     recall repair; raw vectors are fetched for rr rows only).
+    *
+    * On the unit sphere cos(q, x_hat) = sum_sub dot(q_sub, cw_sub),
+    * so ADC approximates cosine directly (similarity, not distance).
+    */
+  def pqTopK(s: SparkSession, dir: String, k: Int = 10, m: Int = 8,
+      ks: Int = 32, rr: Int = 100): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val books = fitPqCodebooks(s, dir, m, ks)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), l2normExpr(col("embedding")).as("nv"))
+    val dim = books.map(_.head.length).sum
+    val subLen = dim / m
+
+    // 1. encode: array of m codeword ids, exploded for the ADC join
+    val codeCols = (0 until m).map { sub =>
+      element_at(nearestCellsExpr(
+        slice(col("nv"), sub * subLen + 1, subLen), books(sub), 1), 1)
+    }
+    val codes = emb.select(col("vec_id"), posexplode(array(codeCols: _*))
+      .as(Seq("sub", "code")))
+
+    // 2. LUT: (query, sub, code) -> partial dot with that codeword
+    val bookDf = broadcast(books.zipWithIndex.flatMap { case (cb, sub) =>
+      cb.zipWithIndex.map { case (cw, code) => (sub, code, cw) }
+    }.toDF("sub", "code", "cw"))
+    val queries = queryVectors(s, dir)
+      .select(col("query_id"), l2normExpr(col("qv")).as("qnv"))
+    val lut = broadcast(queries.crossJoin(bookDf)
+      .select(col("query_id"), col("sub"), col("code"),
+        dot(slice(col("qnv"), col("sub") * lit(subLen) + lit(1), lit(subLen)),
+          col("cw")).as("contrib")))
+
+    // 3. ADC score + shortlist
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("approx_cos").desc, col("vec_id").asc)
+    val shortlist = codes.join(lut, Seq("sub", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("contrib")).as("approx_cos"))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= rr)
+      .select("query_id", "vec_id")
+
+    // 4. exact rerank of the shortlist only
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    shortlist
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cos", dot(col("qnv"), col("nv")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
 
   /** Default cells/nprobe are sized for the test corpus (500 random
     * 64-dim vectors): measured recall@10 = 0.92 at cells=8, nprobe=4.

@@ -38,6 +38,22 @@ class AnnSpec extends SparkSpec {
     assert(mean >= 0.8, f"IVF recall below floor: $mean%.2f")
   }
 
+  test("PQ+ADC top-k recall@10 vs brute force is high") {
+    val bf = topk("ann_bruteforce_topk")
+    val pq = topk("ann_pq_topk")
+    val recalls = bf.keys.toSeq.map { q =>
+      val hit = pq.getOrElse(q, Nil).toSet.intersect(bf(q).toSet).size
+      hit.toDouble / 10.0
+    }
+    val mean = recalls.sum / recalls.length
+    info(f"mean PQ recall@10 = $mean%.2f")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("ANN_RECALL_PQ.json"),
+      f"""{"metric":"pq_recall_at_10","value":$mean%.3f,"m":8,"ks":32,"rerank":100,"queries":${bf.size}}%n"""
+        .getBytes("UTF-8"))
+    assert(mean >= 0.8, f"PQ recall below floor: $mean%.2f")
+  }
+
   test("cosineExpr matches a hand computation") {
     import graft.SparkSpec.spark.implicits._
     val df = Seq((Array(1f, 0f, 1f), Array(1f, 1f, 0f))).toDF("a", "b")
