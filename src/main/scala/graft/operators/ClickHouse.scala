@@ -773,6 +773,87 @@ object ClickHouse {
                            ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
                          FROM lineitem)
                    WHERE rn = 1) l ON o.o_orderkey = l.l_orderkey
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // ------------------------------------------------------------------
+    // exponentialMovingAverage: per-user EWMA of `value` in event-time
+    // order, decay 1/2 per step over the last 8 events. Formulated as
+    // 8 window lags with power-of-two decimal weights — pure window +
+    // expression work (one shuffle on user_id), and EXACT across
+    // engines because every 2^-j weight and every 2dp value is a
+    // finite decimal: numerator/denominator are exact decimal sums,
+    // the EWMA is one IEEE division of identical operands. A longer
+    // horizon at scale keeps the same shape (running pair of
+    // prefix-scaled sums); 8 taps ~ 99.6% of the mass at decay 1/2.
+    "ch_ewma" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        val taps = 0 until 8
+        val weights = taps.map(j => java.math.BigDecimal.ONE
+          .divide(new java.math.BigDecimal(1L << j)))
+        val terms = taps.map(j =>
+          lag(d(col("value")), j).over(w) * lit(weights(j)))
+        val wsum = taps.map(j =>
+          when(lag(col("value"), j).over(w).isNotNull, lit(weights(j))))
+        val num = terms.map(t => coalesce(t, lit(java.math.BigDecimal.ZERO)))
+          .reduce(_ + _)
+        val den = wsum.map(t => coalesce(t, lit(java.math.BigDecimal.ZERO)))
+          .reduce(_ + _)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            (num.cast("double") / den.cast("double")).as("ewma"))
+          .orderBy("user_id", "ts_us", "event_id")
+      },
+      Some {
+        val terms = (0 until 8).map { j =>
+          val wj = java.math.BigDecimal.ONE
+            .divide(new java.math.BigDecimal(1L << j)).toPlainString
+          (s"coalesce(lag(${S.d("value")}, $j) OVER w * $wj, 0)",
+            s"CASE WHEN lag(value, $j) OVER w IS NOT NULL THEN $wj ELSE 0 END")
+        }
+        s"""
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+               CAST(${terms.map(_._1).mkString(" + ")} AS DOUBLE)
+                 / CAST(${terms.map(_._2).mkString(" + ")} AS DOUBLE) AS ewma
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, ts_us, event_id"""
+      }),
+
+    // ------------------------------------------------------------------
+    // groupArraySample: a deterministic fixed-size per-group sample —
+    // the reproducible twin of CH's reservoir version. Sample
+    // membership is "first N in keyed-hash order" (md5 of the
+    // group:key pair — stable across engines, runs, and cluster
+    // layouts, unlike rand()), so the result is oracle-exact. One
+    // window + one filter; the collected array is bounded at N per
+    // group regardless of group size.
+    "ch_grouparray_sample" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val users = Tables.events(s, dir)
+          .select(col("event_type"), col("user_id")).distinct()
+          .withColumn("hk",
+            md5(concat(col("event_type"), lit(":"), col("user_id"))))
+        val w = Window.partitionBy("event_type").orderBy("hk", "user_id")
+        users.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .groupBy("event_type")
+          .agg(concat_ws(",",
+            transform(array_sort(collect_list(struct(col("rn"), col("user_id")))),
+              x => x("user_id"))).as("sampled_users"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+        h AS (SELECT event_type, user_id,
+                     md5(event_type || ':' || user_id) AS hk FROM u),
+        r AS (SELECT event_type, user_id,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY hk, user_id) AS rn FROM h)
+        SELECT event_type,
+               string_agg(user_id, ',' ORDER BY rn) AS sampled_users
+        FROM r WHERE rn <= 5 GROUP BY event_type ORDER BY event_type"""))
   )
 }
