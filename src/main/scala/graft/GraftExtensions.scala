@@ -29,5 +29,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("graft_hll_estimate", classOf[HllEstimate], es => HllEstimate(es.head))
     inject("graft_bloom_contains", classOf[BloomContains], es => BloomContains.build(es))
     ext.injectOptimizerRule(_ => graft.plans.RewriteIntersectCount)
+    ext.injectOptimizerRule(_ => graft.plans.ProjectionRoute)
   }
 }

@@ -132,5 +132,10 @@ object GraftFunctions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RewriteIntersectCount
     }
+    if (!spark.experimental.extraOptimizations.contains(
+        graft.plans.ProjectionRoute)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.ProjectionRoute
+    }
   }
 }

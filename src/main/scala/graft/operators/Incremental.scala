@@ -99,6 +99,37 @@ object Incremental {
         GROUP BY 1 ORDER BY o_month""")),
 
     // ------------------------------------------------------------------
+    // Projection routing (CH `ALTER TABLE ... ADD PROJECTION`): a
+    // registered pre-aggregation is substituted under the query BY
+    // THE OPTIMIZER (plans/ProjectionRoute.scala) — the query below
+    // is written against the BASE orders table, and the plan-audit
+    // spec proves the executed plan scans only the projection. The
+    // oracle aggregates the base table directly, so a pass proves the
+    // routed answer is exactly the unrouted one.
+    "mv_route" -> Q(
+      (s, dir) => {
+        val base = s"$dir/orders.parquet"
+        val proj = tmp(dir, "mvproj")
+        graft.plans.Projections.register(s, base, proj,
+          Seq("o_orderpriority", "o_orderstatus"),
+          Seq("o_totalprice" -> graft.Dec.D))
+        s.read.parquet(base)
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(d(col("o_totalprice"))).cast("double").as("total_price"),
+            min(d(col("o_totalprice"))).cast("double").as("min_price"),
+            max(d(col("o_totalprice"))).cast("double").as("max_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""
+        SELECT o_orderpriority, count(*) AS n,
+               ${S.dsum("o_totalprice")} AS total_price,
+               CAST(min(${S.d("o_totalprice")}) AS DOUBLE) AS min_price,
+               CAST(max(${S.d("o_totalprice")}) AS DOUBLE) AS max_price
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ------------------------------------------------------------------
     // KMV distinct sketch per group: EXACT below k (here the 150-user
     // universe sits under k=256, so the oracle is count(DISTINCT)),
     // fixed 8k-byte mergeable state at any cardinality — the

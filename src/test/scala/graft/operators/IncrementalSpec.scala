@@ -63,6 +63,33 @@ class IncrementalSpec extends SparkSpec {
     assert(survivors.count() == 0, "matching rows survived the delete")
   }
 
+  test("projection routing: plan scans the projection, not the base table") {
+    val df = SparkEntry.registry("mv_route").fn(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_mvproj"), s"plan not routed to projection:\n$p")
+    assert(!p.contains("orders.parquet"), s"plan still scans the base:\n$p")
+    // and an aggregate the projection CANNOT answer stays on the base
+    val un = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("u"))
+    val up = un.queryExecution.executedPlan.toString
+    assert(up.contains("orders.parquet"), s"underivable agg was routed:\n$up")
+  }
+
+  test("projection routing preserves grouping-subset reaggregation") {
+    // projection keys are (priority, status); grouping by status alone
+    // must still route and still be exact
+    SparkEntry.registry("mv_route").fn(spark, sf) // ensures registration
+    val routed = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    assert(routed.queryExecution.executedPlan.toString.contains("graft_mvproj"))
+    val expected = Tables.orders(spark, sf)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = routed.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"routed subset-grouping differs: $got vs $expected")
+  }
+
   test("incremental MV refresh equals full recompute") {
     val mv = SparkEntry.registry("mv_incremental").fn(spark, sf)
     val full = Tables.orders(spark, sf)
