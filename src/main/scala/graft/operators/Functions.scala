@@ -466,5 +466,46 @@ object Functions {
                CAST(strpos(p_name, 'a') AS INTEGER) AS a_pos,
                repeat('-', p_size % 5) AS dashes
         FROM part ORDER BY p_partkey""")),
+
+    // ------------------------------------------------------------------
+    // Rounding family (CH round/roundBankers/floor/ceil + negative
+    // scale). Everything rounds the exact DECIMAL view of the 2dp
+    // values, never the raw double — both engines are HALF_UP on
+    // decimals (and HALF_EVEN for the bankers variant), where
+    // double-path rounding would diverge on binary-unrepresentable
+    // .X5 ties.
+    "f_rounding" -> Q(
+      (s, dir) => {
+        val p = d(col("l_extendedprice"))
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round(p, 0).cast("double").as("r_int"),
+            round(p, 1).cast("double").as("r_1dp"),
+            round(p, -2).cast("double").as("r_hundreds"),
+            bround(p, 1).cast("double").as("r_bankers"),
+            floor(col("l_extendedprice")).as("flr"),
+            ceil(col("l_extendedprice")).as("cl"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      // DuckDB's round_even macro routes through doubles (a .X5 cent
+      // value is not a binary tie), so the oracle derives HALF_EVEN
+      // from exact integer cents instead: drop the last cent digit,
+      // bump by parity on the tie.
+      Some(s"""
+        SELECT l_orderkey, l_linenumber,
+               CAST(round(dv, 0) AS DOUBLE) AS r_int,
+               CAST(round(dv, 1) AS DOUBLE) AS r_1dp,
+               CAST(round(dv, -2) AS DOUBLE) AS r_hundreds,
+               CAST(c - dg + CASE WHEN dg < 5 THEN 0 WHEN dg > 5 THEN 10
+                 ELSE (CASE WHEN ((c - dg) // 10) % 2 = 0 THEN 0 ELSE 10 END)
+                 END AS DOUBLE) / 100 AS r_bankers,
+               CAST(floor(l_extendedprice) AS BIGINT) AS flr,
+               CAST(ceil(l_extendedprice) AS BIGINT) AS cl
+        FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+                     ${S.d("l_extendedprice")} AS dv,
+                     CAST(${S.d("l_extendedprice")} * 100 AS BIGINT) AS c,
+                     CAST(${S.d("l_extendedprice")} * 100 AS BIGINT) % 10 AS dg
+              FROM lineitem) t
+        ORDER BY l_orderkey, l_linenumber""")),
   )
 }

@@ -441,6 +441,50 @@ object Sources {
                  THEN CAST(CAST(${S.d("o_totalprice")} * CAST(1.1 AS DECIMAL(3,1))
                    AS DOUBLE) AS DECIMAL(12,4))
                  ELSE ${S.d("o_totalprice")} END) AS DOUBLE) AS total
-        FROM orders GROUP BY 1 ORDER BY o_month"""))
+        FROM orders GROUP BY 1 ORDER BY o_month""")),
+
+    // ------------------------------------------------------------------
+    // Bucketed layout + bucket-PRUNED point lookup: the table is
+    // written bucketBy(8, o_custkey); an equality filter on the
+    // bucket key scans 1 of 8 buckets (SelectedBucketsCount in the
+    // plan, asserted in PlanSpec) — the point-query answer on a fact
+    // table, complementing q_bucketed_join's zero-shuffle join on the
+    // same layout. Oracle = the same filter on the source parquet, so
+    // a pass also proves bucket routing loses no rows.
+    "src_bucket_pruning" -> Q(
+      (s, dir) => {
+        bucketedOrders(s, dir)
+          .filter(col("o_custkey") === 421)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_custkey = 421 ORDER BY o_orderkey"""))
   )
+
+  /** The bucketed-orders catalog table, (re)written once per (JVM,
+    * sf dir): bucket pruning and bucketed joins need a catalog table
+    * (bucketing metadata lives in the catalog, not the files).
+    */
+  private val bucketed = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def bucketedOrders(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val table = "graft_bucketed_orders_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    // The auto-bucketed-scan heuristic turns OFF bucketed reads for
+    // scan-only queries — which also forfeits bucket PRUNING, the
+    // very thing a point lookup wants. Disable the heuristic;
+    // bucketed joins are unaffected.
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    bucketed.computeIfAbsent(table, _ => {
+      Tables.orders(s, dir).write
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", tmp(dir, "bucketed_orders"))
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .saveAsTable(table)
+      table
+    })
+    s.table(table)
+  }
 }

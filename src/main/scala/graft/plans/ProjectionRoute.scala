@@ -63,6 +63,11 @@ object Projections {
     */
   def register(spark: SparkSession, basePath: String, projPath: String,
       keys: Seq[String], measures: Seq[(String, DataType)]): Unit = {
+    // Idempotent per base path: a re-register would otherwise let the
+    // rule route the projection REBUILD query to the projection file
+    // it is about to overwrite (read-under-delete). CH mirrors this:
+    // adding an existing projection is a no-op.
+    if (registry.containsKey(normalize(spark, basePath))) return
     val aggs = Seq(count(lit(1)).as("n")) ++ measures.flatMap { case (m, t) =>
       val c = col(m).cast(t)
       Seq(sum(c).as(s"sum_$m"), min(c).as(s"min_$m"), max(c).as(s"max_$m"))

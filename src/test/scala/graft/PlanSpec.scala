@@ -44,6 +44,12 @@ class PlanSpec extends SparkSpec {
     assert(read.count() > 0)
   }
 
+  test("bucket-key equality filter prunes to one bucket") {
+    val p = plan("src_bucket_pruning")
+    assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+      s"no bucket pruning in:\n$p")
+  }
+
   test("q01 aggregation is partial (map-side combine) before the shuffle") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("HashAggregate"), s"q01 not hash-aggregated:\n$p")
