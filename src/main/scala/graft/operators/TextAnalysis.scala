@@ -469,6 +469,79 @@ object TextAnalysis {
                  || CAST(p_partkey % 500 AS VARCHAR)
                  || '?id=' || CAST(p_partkey % 500 AS VARCHAR) AS canon,
                count(*) AS n_variants, min(p_partkey) AS first_key
-        FROM part GROUP BY 1 ORDER BY canon"""))
+        FROM part GROUP BY 1 ORDER BY canon""")),
+
+    // ------------------------------------------------------------------
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the
+    // MOSS algorithm): hash every word 3-gram, slide a window of 4
+    // hashes, keep the window minimum (rightmost on ties); the
+    // guarantee is any shared run of >= w+k-1 tokens between two
+    // documents shares a fingerprint, at ~1/w the storage of all
+    // grams. The robust local fingerprinting behind plagiarism /
+    // contamination detection at corpus scale.
+    //
+    // All window-function work partitioned by doc — one shuffle on
+    // doc_id, no cross-doc state. Cross-engine exactness: the gram
+    // hash is md5 (identical in both engines) and the rightmost-tie
+    // argmin is encoded into ONE sortable string — hash then
+    // zero-padded (10^6 - pos) — so a plain min() implements the
+    // winnowing selection rule in Spark and DuckDB alike.
+    "txt_winnowing" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            posexplode(split(Dedup.normText(col("text")), " ")).as(Seq("pos", "t")))
+        val grams = toks
+          .withColumn("t1", lead("t", 1).over(wOrd))
+          .withColumn("t2", lead("t", 2).over(wOrd))
+          .filter(col("t2").isNotNull)
+          .withColumn("h", md5(concat_ws(" ", col("t"), col("t1"), col("t2"))))
+          .withColumn("k", concat(col("h"),
+            lpad((lit(1000000) - col("pos")).cast("string"), 7, "0")))
+          .withColumn("rn", row_number().over(wOrd))
+        val sel = grams
+          .withColumn("sk", min("k").over(wOrd.rowsBetween(-3, 0)))
+          .filter(col("rn") >= 4)
+          .select(col("doc_id"), substring(col("sk"), 1, 32).as("fp"),
+            (lit(1000000) - substring(col("sk"), 33, 7).cast("int")).as("fpos"))
+          .distinct()
+        sel.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_fps"),
+            concat_ws(",",
+              transform(array_sort(collect_list(struct(col("fpos"), col("fp")))),
+                x => concat(x("fp"), lit(":"), x("fpos")))).as("fingerprints"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split(regexp_replace(trim(lower(text)),
+                   ' +', ' ', 'g'), ' ')) AS t,
+                 generate_subscripts(string_split(regexp_replace(trim(lower(text)),
+                   ' +', ' ', 'g'), ' '), 1) - 1 AS pos
+          FROM documents),
+        g0 AS (
+          SELECT doc_id, pos,
+                 md5(t || ' ' || lead(t, 1) OVER w || ' '
+                       || lead(t, 2) OVER w) AS h
+          FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        g AS (
+          SELECT doc_id, pos, h,
+                 h || lpad(CAST(1000000 - pos AS VARCHAR), 7, '0') AS k,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+          FROM g0 WHERE h IS NOT NULL),
+        sel AS (
+          SELECT DISTINCT doc_id, substr(sk, 1, 32) AS fp,
+                 1000000 - CAST(substr(sk, 33, 7) AS INTEGER) AS fpos
+          FROM (SELECT doc_id, rn,
+                       min(k) OVER (PARTITION BY doc_id ORDER BY rn
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sk
+                FROM g) WHERE rn >= 4)
+        SELECT doc_id, count(*) AS n_fps,
+               string_agg(fp || ':' || fpos, ',' ORDER BY fpos, fp)
+                 AS fingerprints
+        FROM sel GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
