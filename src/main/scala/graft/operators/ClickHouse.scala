@@ -854,6 +854,53 @@ object ClickHouse {
                        ORDER BY hk, user_id) AS rn FROM h)
         SELECT event_type,
                string_agg(user_id, ',' ORDER BY rn) AS sampled_users
-        FROM r WHERE rn <= 5 GROUP BY event_type ORDER BY event_type"""))
+        FROM r WHERE rn <= 5 GROUP BY event_type ORDER BY event_type""")),
+
+    // ------------------------------------------------------------------
+    // sequenceCount('(?1)(?2)(?3)'): how many NON-OVERLAPPING
+    // view -> click -> purchase chains each user completed, by the
+    // greedy left-to-right scan CH uses (an event matching the
+    // current stage advances it; stage 3 closes a chain and resets).
+    // The scan state is encoded in one int (count << 2 | level) and
+    // run by the same fold in both engines — Spark's aggregate() HOF
+    // over the time-sorted per-user events, DuckDB's list_reduce in
+    // the oracle. Like CH, the per-user event list is buffered for
+    // the scan (CH caps it with max_events; a user's funnel events
+    // are bounded in practice).
+    "ch_sequencecount" -> Q(
+      (s, dir) => {
+        val stage = when(col("event_type") === "view", 0)
+          .when(col("event_type") === "click", 1)
+          .when(col("event_type") === "purchase", 2)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), stage.as("stage"))
+          .filter(col("stage").isNotNull)
+          .groupBy("user_id")
+          .agg(shiftright(
+            aggregate(
+              array_sort(collect_list(struct(col("ts_us"), col("stage")))),
+              lit(0),
+              (acc, x) => when(x("stage") === acc.bitwiseAND(lit(3)),
+                when(acc.bitwiseAND(lit(3)) === 2,
+                  shiftleft(shiftright(acc, 2) + 1, 2))
+                  .otherwise(acc + 1))
+                .otherwise(acc)),
+            2).as("n_chains"))
+          .orderBy("user_id")
+      },
+      Some("""
+        SELECT user_id,
+               list_reduce(list_prepend(0,
+                 list(stage ORDER BY ts_us, stage)),
+                 (acc, x) -> CASE WHEN x = acc % 4 THEN
+                   (CASE WHEN acc % 4 = 2 THEN (acc // 4 + 1) * 4
+                         ELSE acc + 1 END)
+                 ELSE acc END) // 4 AS n_chains
+        FROM (SELECT user_id, epoch_us(ts) AS ts_us,
+                     CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+                          WHEN 'purchase' THEN 2 END AS stage
+              FROM events) t
+        WHERE stage IS NOT NULL
+        GROUP BY user_id ORDER BY user_id"""))
   )
 }
