@@ -542,6 +542,89 @@ object TextAnalysis {
         SELECT doc_id, count(*) AS n_fps,
                string_agg(fp || ':' || fpos, ',' ORDER BY fpos, fp)
                  AS fingerprints
-        FROM sel GROUP BY doc_id ORDER BY doc_id"""))
+        FROM sel GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Training-mixture sampling: each source gets a target rate and
+    // every document keeps/drops by a DETERMINISTIC keyed-hash coin —
+    // substr(md5, 1, 8) compared against the rate's hex threshold, so
+    // the identical subset falls out on any engine, any run, any
+    // cluster layout (rand() would give none of those). Pure per-row
+    // expression work + one count aggregation; rates here derive from
+    // the source id (src<i> -> (i%4+1)/4) standing in for a mixture
+    // config table.
+    "txt_mixture_sample" -> Q(
+      (s, dir) => {
+        val idx = substring(col("source"), 4, 10).cast("int")
+        val thr = when(idx % 4 === 0, "40000000")
+          .when(idx % 4 === 1, "80000000")
+          .when(idx % 4 === 2, "c0000000")
+          .otherwise("g") // every md5 hex digit < 'g': rate 1.0
+        val kept = substring(md5(concat(col("source"), lit(":"), col("doc_id"))),
+          1, 8) < thr
+        Tables.documents(s, dir)
+          .withColumn("kept", kept.cast("int"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_total"),
+            sum(col("kept")).cast("long").as("n_kept"),
+            min(when(col("kept") === 1, col("doc_id"))).as("first_kept"),
+            sum(when(col("kept") === 1, col("n_chars"))).cast("long")
+              .as("kept_chars"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH k AS (
+          SELECT source, doc_id, n_chars,
+                 CASE WHEN substr(md5(source || ':' || doc_id), 1, 8) <
+                   (CASE CAST(substr(source, 4) AS INTEGER) % 4
+                      WHEN 0 THEN '40000000' WHEN 1 THEN '80000000'
+                      WHEN 2 THEN 'c0000000' ELSE 'g' END)
+                 THEN 1 ELSE 0 END AS kept
+          FROM documents)
+        SELECT source, count(*) AS n_total,
+               CAST(sum(kept) AS BIGINT) AS n_kept,
+               min(CASE WHEN kept = 1 THEN doc_id END) AS first_kept,
+               CAST(sum(CASE WHEN kept = 1 THEN n_chars END) AS BIGINT)
+                 AS kept_chars
+        FROM k GROUP BY source ORDER BY source""")),
+
+    // ------------------------------------------------------------------
+    // Sequence packing for training: documents are hash-sharded, and
+    // within each shard a running token sum assigns each document to
+    // bin floor((cumsum - tokens) / budget) — streaming packing where
+    // a bin may overflow the budget by at most one document (the
+    // padding-free packing compromise: no driver-side bin packing, no
+    // second pass, one window per shard). Output is the bin manifest.
+    "txt_pack_sequences" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 256
+        val w = Window.partitionBy("shard").orderBy("doc_id")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
+            size(split(Dedup.normText(col("text")), " ")).as("toks"))
+          .withColumn("cum", sum(col("toks")).over(w))
+          .withColumn("bin", floor((col("cum") - col("toks")) / budget))
+          .groupBy("shard", "bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("toks")).cast("long").as("fill_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy("shard", "bin")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, doc_id % 8 AS shard,
+                 len(string_split(regexp_replace(trim(lower(text)),
+                   ' +', ' ', 'g'), ' ')) AS toks
+          FROM documents),
+        c AS (
+          SELECT doc_id, shard, toks,
+                 sum(toks) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+          FROM t)
+        SELECT shard, CAST((cum - toks) // 256 AS BIGINT) AS bin, count(*) AS n_docs,
+               CAST(sum(toks) AS BIGINT) AS fill_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM c GROUP BY 1, 2 ORDER BY shard, bin"""))
   )
 }
