@@ -483,6 +483,34 @@ object Extra {
               FROM orders)
         SELECT label, count(*) AS n, ${S.dsum("o_totalprice")} AS total
         FROM o JOIN dim ON o.k IS NOT DISTINCT FROM dim.k
-        GROUP BY label ORDER BY label"""))
+        GROUP BY label ORDER BY label""")),
+
+    // ------------------------------------------------------------------
+    // Several DISTINCT aggregates over DIFFERENT columns in one query
+    // — the classic plan trap. Spark handles it with one Expand (rows
+    // replicated per distinct group, null-padded) feeding a single
+    // two-level aggregation; the naive alternative is one self-join
+    // per distinct column. Worth pinning because at 100 TB the Expand
+    // costs 3x the scan rows in ONE pass, while the join version
+    // costs 3 scans plus 3 shuffles plus a join.
+    "q_multi_distinct" -> Q(
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .groupBy("o_orderstatus")
+          .agg(
+            countDistinct(col("o_custkey")).as("uniq_custs"),
+            countDistinct(col("o_orderpriority")).as("uniq_prios"),
+            countDistinct(date_format(col("o_orderdate"), "yyyy-MM"))
+              .as("uniq_months"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""
+        SELECT o_orderstatus,
+               count(DISTINCT o_custkey) AS uniq_custs,
+               count(DISTINCT o_orderpriority) AS uniq_prios,
+               count(DISTINCT strftime(o_orderdate, '%Y-%m')) AS uniq_months,
+               count(*) AS n
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }

@@ -134,6 +134,69 @@ object Streaming {
       Some("""
         SELECT date_trunc('hour', ts) AS window_start,
                count(DISTINCT user_id) AS uniq_users, count(*) AS n_events
-        FROM events GROUP BY 1 ORDER BY window_start"""))
+        FROM events GROUP BY 1 ORDER BY window_start""")),
+
+    // ------------------------------------------------------------------
+    // Sliding (hopping) window: 1-hour windows every 15 minutes, so
+    // each event lands in 4 windows. Spark's window() replicates the
+    // row per overlapping window BEFORE the aggregation — the same
+    // explode the oracle does with a literal offset array. Streaming
+    // twin is the identical plan over readStream + watermark.
+    "stream_sliding_window" -> Q(
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+          .select(unix_micros(col("window.start")).as("ws_us"),
+            col("event_type"), col("n_events"), col("total_value"))
+          .orderBy("ws_us", "event_type")
+      },
+      Some(s"""
+        SELECT epoch_us(time_bucket(INTERVAL 15 MINUTE, ts)
+                 - INTERVAL 15 MINUTE * off) AS ws_us,
+               event_type, count(*) AS n_events,
+               ${S.dsum("value")} AS total_value
+        FROM events, unnest([0, 1, 2, 3]) AS t(off)
+        GROUP BY 1, 2 ORDER BY ws_us, event_type""")),
+
+    // ------------------------------------------------------------------
+    // Native session windows (session_window()): per-user sessions
+    // closed by a 30-minute silence gap; the window end extends to
+    // last event + gap (Spark's session semantics). Same sessions as
+    // the flatMapGroupsWithState sessionizer and the window-function
+    // q_sessionize, through the engine-native operator that also runs
+    // under readStream with merging session state.
+    "stream_session_native" -> Q(
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("session_start_us"),
+            unix_micros(col("session_window.end")).as("session_end_us"),
+            col("n_events"), col("total_value"))
+          .orderBy("user_id", "session_start_us")
+      },
+      Some(s"""
+        WITH gaps AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts)
+                        > CAST(1800000000 AS BIGINT)
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        IS NULL
+                 THEN 1 ELSE 0 END AS new_session
+          FROM events),
+        sess AS (
+          SELECT user_id, ts, value,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM gaps)
+        SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+               epoch_us(max(ts)) + CAST(1800000000 AS BIGINT)
+                 AS session_end_us,
+               count(*) AS n_events, ${S.dsum("value")} AS total_value
+        FROM sess GROUP BY user_id, session_seq
+        ORDER BY user_id, session_start_us"""))
   )
 }

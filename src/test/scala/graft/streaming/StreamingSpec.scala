@@ -75,6 +75,36 @@ class StreamingSpec extends SparkSpec {
     assert(canon(streamed) == canon(batch))
   }
 
+  test("streaming sliding (hopping) window equals the batch twin") {
+    val streamed = runToCompletion(
+      streamedEvents
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.Dec.dsum(col("value")).as("total_value"))
+        .select(unix_micros(col("window.start")).as("ws_us"),
+          col("event_type"), col("n_events"), col("total_value")),
+      "stream_sliding_t", "complete")
+    val batch = SparkEntry.registry("stream_sliding_window").fn(spark, sf)
+    assert(canon(streamed) == canon(batch))
+  }
+
+  test("streaming native session_window equals the batch twin") {
+    val streamed = runToCompletion(
+      streamedEvents
+        .withWatermark("ts", "2 hours")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.Dec.dsum(col("value")).as("total_value"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("n_events"), col("total_value")),
+      "stream_session_native_t", "complete")
+    val batch = SparkEntry.registry("stream_session_native").fn(spark, sf)
+    assert(canon(streamed) == canon(batch))
+  }
+
   test("streaming dropDuplicates within watermark equals batch dedup") {
     val s = streamedEvents
     val streamed = runToCompletion(
