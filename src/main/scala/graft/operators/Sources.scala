@@ -454,13 +454,13 @@ object Sources {
     "src_bucket_pruning" -> Q(
       (s, dir) => {
         bucketedOrders(s, dir)
-          .filter(col("o_custkey") === 421)
+          .filter(col("o_custkey") === 42)
           .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
           .orderBy("o_orderkey")
       },
       Some("""
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-        FROM orders WHERE o_custkey = 421 ORDER BY o_orderkey"""))
+        FROM orders WHERE o_custkey = 42 ORDER BY o_orderkey"""))
   )
 
   /** The bucketed-orders catalog table, (re)written once per (JVM,
