@@ -544,6 +544,43 @@ object Extra {
                CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS dist
         FROM supplier a, supplier b
         WHERE a.s_name < b.s_name AND levenshtein(a.s_name, b.s_name) <= 1
-        ORDER BY name_a, name_b"""))
+        ORDER BY name_a, name_b""")),
+
+    // ------------------------------------------------------------------
+    // Multiset set operations (INTERSECT ALL / EXCEPT ALL): duplicate
+    // CARDINALITY matters — a quantity appearing 3x on one side and
+    // 2x on the other intersects twice, subtracts once. Spark plans
+    // these as a replicated-count aggregate + generate, not a join
+    // per duplicate; the summary keeps the output bounded while the
+    // set ops themselves run over the full multisets.
+    "q_setops_all" -> Q(
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        val r = l.filter(col("l_returnflag") === "R")
+          .select(col("l_partkey"), col("l_quantity").cast("int").as("q"))
+        val a = l.filter(col("l_returnflag") === "A")
+          .select(col("l_partkey"), col("l_quantity").cast("int").as("q"))
+        val both = r.intersectAll(a).withColumn("op", lit("intersect_all"))
+          .unionByName(r.exceptAll(a).withColumn("op", lit("except_all")))
+        both.groupBy("op")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("l_partkey")).as("n_parts"),
+            sum(col("q")).cast("long").as("total_qty"))
+          .orderBy("op")
+      },
+      Some("""
+        WITH r AS (SELECT l_partkey, CAST(l_quantity AS INTEGER) AS q
+                   FROM lineitem WHERE l_returnflag = 'R'),
+        a AS (SELECT l_partkey, CAST(l_quantity AS INTEGER) AS q
+              FROM lineitem WHERE l_returnflag = 'A'),
+        i AS (SELECT 'intersect_all' AS op, * FROM
+                (SELECT * FROM r INTERSECT ALL SELECT * FROM a)),
+        e AS (SELECT 'except_all' AS op, * FROM
+                (SELECT * FROM r EXCEPT ALL SELECT * FROM a))
+        SELECT op, count(*) AS n_rows,
+               count(DISTINCT l_partkey) AS n_parts,
+               CAST(sum(q) AS BIGINT) AS total_qty
+        FROM (SELECT * FROM i UNION ALL SELECT * FROM e)
+        GROUP BY op ORDER BY op"""))
   )
 }

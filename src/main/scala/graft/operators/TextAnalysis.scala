@@ -625,6 +625,106 @@ object TextAnalysis {
         SELECT shard, CAST((cum - toks) // 256 AS BIGINT) AS bin, count(*) AS n_docs,
                CAST(sum(toks) AS BIGINT) AS fill_tokens,
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        FROM c GROUP BY 1, 2 ORDER BY shard, bin"""))
+        FROM c GROUP BY 1, 2 ORDER BY shard, bin""")),
+
+    // ------------------------------------------------------------------
+    // The full pretraining-corpus pipeline in one dataflow — what a
+    // user of this library actually ships: mixture sampling (keyed-
+    // hash coins) -> quality gate (min token count) -> exact dedup
+    // (first doc per normalized-text hash) -> eval-set decontamination
+    // (drop docs sharing any 4-gram with the held-out eval slice) ->
+    // token-budget sequence packing -> shard/bin manifest. Every
+    // stage is deterministic and SQL-expressible, so the WHOLE chain
+    // is one cell-exact oracle — end-to-end, not per-stage. Shuffles:
+    // dedup keys on the text hash, decontamination on the shingle,
+    // packing on the shard — all natural keys; the holdout shingle
+    // set broadcasts.
+    "pipeline_pretrain_corpus" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        def shingles(tl: org.apache.spark.sql.Column) =
+          array_distinct(transform(sequence(lit(1), size(tl) - 3),
+            i => concat_ws(" ", slice(tl, i, lit(4)))))
+        val norm = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            Dedup.normText(col("text")).as("nt"))
+        val idx = substring(col("source"), 4, 10).cast("int")
+        val thr = when(idx % 4 === 0, "40000000")
+          .when(idx % 4 === 1, "80000000")
+          .when(idx % 4 === 2, "c0000000").otherwise("g")
+        val mix = norm.filter(
+          substring(md5(concat(col("source"), lit(":"), col("doc_id"))), 1, 8) < thr)
+        val qual = mix.withColumn("tl", split(col("nt"), " "))
+          .withColumn("toks", size(col("tl")))
+          .filter(col("toks") >= 30)
+        val ded = qual.withColumn("keeper",
+            min("doc_id").over(Window.partitionBy(md5(col("nt")))))
+          .filter(col("doc_id") === col("keeper"))
+        val holdSh = norm.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .withColumn("tl", split(col("nt"), " "))
+          .filter(size(col("tl")) >= 4)
+          .select(explode(shingles(col("tl"))).as("sh")).distinct()
+        val corpus = ded.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+        val bad = corpus
+          .select(col("doc_id"), explode(shingles(col("tl"))).as("sh"))
+          .join(broadcast(holdSh), Seq("sh"))
+          .select("doc_id").distinct()
+        val clean = corpus.join(bad, Seq("doc_id"), "left_anti")
+        val w = Window.partitionBy("shard").orderBy("doc_id")
+        clean.select(col("doc_id"), col("toks"),
+            pmod(col("doc_id"), lit(4)).as("shard"))
+          .withColumn("cum", sum(col("toks")).over(w))
+          .withColumn("bin", floor((col("cum") - col("toks")) / 512))
+          .groupBy("shard", "bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("toks")).cast("long").as("fill_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy("shard", "bin")
+      },
+      Some("""
+        WITH norm AS (
+          SELECT doc_id, source,
+                 regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS nt
+          FROM documents),
+        mix AS (
+          SELECT * FROM norm
+          WHERE substr(md5(source || ':' || doc_id), 1, 8) <
+            (CASE CAST(substr(source, 4) AS INTEGER) % 4
+               WHEN 0 THEN '40000000' WHEN 1 THEN '80000000'
+               WHEN 2 THEN 'c0000000' ELSE 'g' END)),
+        qual AS (
+          SELECT doc_id, nt, string_split(nt, ' ') AS tl,
+                 len(string_split(nt, ' ')) AS toks
+          FROM mix WHERE len(string_split(nt, ' ')) >= 30),
+        ded AS (
+          SELECT doc_id, tl, toks FROM (
+            SELECT *, min(doc_id) OVER (PARTITION BY md5(nt)) AS keeper
+            FROM qual) WHERE doc_id = keeper),
+        hold AS (
+          SELECT DISTINCT unnest(list_distinct(
+            [array_to_string(tl[i:i+3], ' ')
+             for i in range(1, len(tl) - 2)])) AS sh
+          FROM (SELECT string_split(nt, ' ') AS tl FROM norm
+                WHERE doc_id % 11 = 0 AND len(string_split(nt, ' ')) >= 4)),
+        corpus AS (SELECT * FROM ded WHERE doc_id % 11 <> 0),
+        bad AS (
+          SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, unnest(list_distinct(
+              [array_to_string(tl[i:i+3], ' ')
+               for i in range(1, len(tl) - 2)])) AS sh
+            FROM corpus) e JOIN hold USING (sh)),
+        clean AS (
+          SELECT doc_id, toks FROM corpus
+          WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+        packed AS (
+          SELECT doc_id, toks, doc_id % 4 AS shard,
+                 sum(toks) OVER (PARTITION BY doc_id % 4
+                   ORDER BY doc_id) AS cum
+          FROM clean)
+        SELECT shard, CAST((cum - toks) // 512 AS BIGINT) AS bin,
+               count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS fill_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM packed GROUP BY 1, 2 ORDER BY shard, bin"""))
   )
 }
