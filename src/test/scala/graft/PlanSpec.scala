@@ -44,6 +44,26 @@ class PlanSpec extends SparkSpec {
     assert(read.count() > 0)
   }
 
+  test("sorted layout + parquet row-group stats prune a selective scan") {
+    import org.apache.spark.sql.functions._
+    // CH's primary-key skip index, Spark-native: sort the layout by
+    // the lookup key and parquet's per-row-group min/max stats skip
+    // row groups the pushed filter excludes. Tiny block size forces
+    // many row groups even at test SF.
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_rowgroup_test"
+    Tables.orders(spark, sf).repartition(1).sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").option("parquet.block.size", 16 * 1024)
+      .parquet(out)
+    val df = spark.read.parquet(out).filter(col("o_custkey") === 42)
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectLeaves().head
+    val read = scan.metrics("numOutputRows").value
+    val total = spark.read.parquet(out).count()
+    assert(read > 0, "lookup key missing from test data")
+    assert(read < total / 2,
+      s"row-group stats did not prune: scan read $read of $total rows")
+  }
+
   test("bucket-key equality filter prunes to one bucket") {
     val p = plan("src_bucket_pruning")
     assert(p.contains("SelectedBucketsCount: 1 out of 8"),
