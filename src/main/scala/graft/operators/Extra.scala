@@ -581,6 +581,40 @@ object Extra {
                count(DISTINCT l_partkey) AS n_parts,
                CAST(sum(q) AS BIGINT) AS total_qty
         FROM (SELECT * FROM i UNION ALL SELECT * FROM e)
-        GROUP BY op ORDER BY op"""))
+        GROUP BY op ORDER BY op""")),
+
+    // ------------------------------------------------------------------
+    // Null-key skew routing for LEFT joins: an inner join lets Spark
+    // inject isnotnull on the keys, but a left join must keep
+    // null-key rows — so at scale every null key hashes to ONE
+    // reducer that receives them all and matches none. The fix is
+    // structural: route null-key rows AROUND the shuffle (they cannot
+    // match by definition) and union them back with null right-side
+    // columns. Same rows as the plain left join — the oracle IS the
+    // plain left join.
+    "q_null_skew_join" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .withColumn("k", when(col("o_custkey") % 13 =!= 0, col("o_custkey")))
+        val c = Tables.customer(s, dir).select(
+          col("c_custkey"), col("c_mktsegment"))
+        val matched = o.filter(col("k").isNotNull)
+          .join(c, col("k") === col("c_custkey"), "left")
+        val routed = o.filter(col("k").isNull)
+          .withColumn("c_custkey", lit(null).cast("long"))
+          .withColumn("c_mktsegment", lit(null).cast("string"))
+        matched.unionByName(routed)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""
+        SELECT c_mktsegment, count(*) AS n,
+               ${S.dsum("o_totalprice")} AS total
+        FROM (SELECT CASE WHEN o_custkey % 13 <> 0 THEN o_custkey END AS k,
+                     o_totalprice
+              FROM orders) o
+        LEFT JOIN customer ON o.k = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }

@@ -507,5 +507,34 @@ object Functions {
                      CAST(${S.d("l_extendedprice")} * 100 AS BIGINT) % 10 AS dg
               FROM lineitem) t
         ORDER BY l_orderkey, l_linenumber""")),
+
+    // ------------------------------------------------------------------
+    // formatDateTime / parseDateTime (CH's format-string family):
+    // render with an explicit pattern, parse the rendered string back
+    // and prove the round trip by re-emitting the epoch. Day/month
+    // names are the JVM's en-US abbreviations, matching strftime's
+    // locale-independent English %a/%b.
+    "f_datetime_format" -> Q(
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("iso"),
+            date_format(col("o_orderdate"), "EEE").as("dow_name"),
+            date_format(col("o_orderdate"), "MMM").as("mon_name"),
+            date_format(col("o_orderdate"), "yyyy/MM").as("ym"),
+            unix_timestamp(
+              to_timestamp(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+                "yyyy-MM-dd HH:mm:ss")).as("epoch_roundtrip"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso,
+               strftime(o_orderdate, '%a') AS dow_name,
+               strftime(o_orderdate, '%b') AS mon_name,
+               strftime(o_orderdate, '%Y/%m') AS ym,
+               CAST(epoch(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                 '%Y-%m-%d %H:%M:%S')) AS BIGINT) AS epoch_roundtrip
+        FROM orders ORDER BY o_orderkey""")),
   )
 }
