@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Iterative graph compute in the Spark idiom: each superstep is one
+  * keyed join + one aggregation (contributions shuffled by dst), the
+  * driver holds no graph state, and per-step contributions round to
+  * scale-12 decimals so the whole iteration is bit-identical under
+  * any partitioning (same device as [[Ann.pcaTopComponent]]).
+  */
+object Graph {
+
+  /** PageRank over an edge list. Dangling nodes are avoided by
+    * construction here (callers pass symmetrized edges); the general
+    * dangling-mass redistribution would add one scalar aggregate per
+    * step. Rank mass is conserved: sum(rank) = 1 every step (spec'd).
+    */
+  def pageRank(edges: DataFrame, iters: Int = 10, d: Double = 0.85)
+      : DataFrame = {
+    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("src").as("node")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val contribs = e.join(deg, "src")
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"),
+          round(col("rank") / col("deg"), 12)
+            .cast(DecimalType(28, 12)).as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("in"))
+      ranks = nodes.join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit((1 - d) / n) +
+            lit(d) * coalesce(col("in").cast("double"), lit(0.0))).as("rank"))
+      // cut the lineage every few steps: 10 chained join plans
+      // otherwise grow the optimizer's work quadratically
+      ranks = ranks.localCheckpoint(eager = false)
+    }
+    ranks
+  }
+
+  /** Customer<->supplier trading graph: an edge per distinct
+    * (customer, supplier) pair that traded, symmetrized (so no node
+    * dangles and the chain is irreducible). Supplier ids are offset
+    * into their own namespace.
+    */
+  def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + 10000000L).as("dst"))
+      .distinct()
+    base.unionByName(
+      base.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  val all: Map[String, Q] = Map(
+    // ------------------------------------------------------------------
+    // PageRank on the trading graph — iterative -> rows-only for the
+    // driver; GraphSpec pins a hand-computed graph, mass conservation,
+    // and determinism. Top-20 output keeps the row set stable.
+    "graph_pagerank" -> Q(
+      (s, dir) => {
+        pageRank(tradeEdges(s, dir))
+          .select(col("node"), round(col("rank"), 10).as("rank"))
+          .orderBy(col("rank").desc, col("node"))
+          .limit(20)
+      },
+      None),
+
+    // ------------------------------------------------------------------
+    // Degree distribution of the same graph — the non-iterative
+    // sanity twin, fully oracled: degree per node, then node count
+    // per degree.
+    "graph_degrees" -> Q(
+      (s, dir) => {
+        tradeEdges(s, dir)
+          .groupBy("src").agg(count(lit(1)).as("degree"))
+          .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("degree")
+      },
+      Some("""
+        WITH pairs AS (
+          SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        sym AS (SELECT src, dst FROM pairs
+                UNION ALL SELECT dst, src FROM pairs),
+        deg AS (SELECT src, count(*) AS degree FROM sym GROUP BY src)
+        SELECT degree, count(*) AS n_nodes FROM deg
+        GROUP BY degree ORDER BY degree"""))
+  )
+}
