@@ -615,6 +615,33 @@ object Extra {
                      o_totalprice
               FROM orders) o
         LEFT JOIN customer ON o.k = c_custkey
-        GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ------------------------------------------------------------------
+    // DISTINCT count over a sliding row frame (how many distinct
+    // event types in each user's last 5 events) — Spark windows do
+    // not accept DISTINCT aggregates, so the portable shape is
+    // array_distinct over a collect_list bounded to the frame: state
+    // is O(frame) per row by construction, the window shuffle keys on
+    // user_id only. The oracle uses DuckDB's native windowed
+    // count(DISTINCT).
+    "q_window_distinct" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+          .rowsBetween(-4, 0)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            size(array_distinct(collect_list(col("event_type")).over(w)))
+              .as("uniq_types_5"))
+          .orderBy("user_id", "ts_us", "event_id")
+      },
+      Some("""
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+               CAST(count(DISTINCT event_type) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS INTEGER)
+                 AS uniq_types_5
+        FROM events ORDER BY user_id, ts_us, event_id"""))
   )
 }
