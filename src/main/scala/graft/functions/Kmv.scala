@@ -103,4 +103,58 @@ object Kmv {
   /** `kmv(k)(xxhash64(col))` as a Column aggregate. */
   def apply(k: Int, hashes: Column): Column =
     udaf(new Agg(k), Encoders.LONG)(hashes)
+
+  /** Same aggregation, but finishing with the packed STATE instead of
+    * the estimate — the mergeable hand-off a segment-overlap service
+    * ships between jobs (CH's uniqState idea for KMV).
+    */
+  final class StateAgg(k: Int)
+      extends Aggregator[java.lang.Long, Array[Byte], Array[Byte]] {
+    private val inner = new Agg(k)
+    def zero: Array[Byte] = inner.zero
+    def reduce(b: Array[Byte], x: java.lang.Long): Array[Byte] = inner.reduce(b, x)
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = inner.merge(a, b)
+    def finish(buf: Array[Byte]): Array[Byte] = buf
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] = Encoders.BINARY
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** `kmvState(k)(xxhash64(col))` as a Column aggregate. */
+  def state(k: Int, hashes: Column): Column =
+    udaf(new StateAgg(k), Encoders.LONG)(hashes)
+
+  /** Theta-sketch-style set operations on two KMV states (the
+    * Dasgupta et al. theta-sketch framework restricted to KMV): union
+    * and intersection cardinality estimates. theta is the smaller of
+    * the two sketches' k-th minima (1.0 for an unsaturated sketch);
+    * values >= theta are discarded from both sides, the survivors are
+    * an exact sample of the union at rate theta. While BOTH true sets
+    * are below k the result is EXACT — which is what makes the
+    * operator DuckDB-oracle-able at test scale.
+    */
+  def setOps(a: Array[Byte], b: Array[Byte], k: Int): (Long, Long) = {
+    val xs = unpack(a); val ys = unpack(b)
+    def thetaOf(s: Array[Long]): Option[Long] =
+      if (s.length < k) None else Some(s(k - 1))
+    val theta = (thetaOf(xs), thetaOf(ys)) match {
+      case (Some(t1), Some(t2)) => Some(math.min(t1, t2))
+      case (t1, t2)             => t1.orElse(t2)
+    }
+    val sa = theta.fold(xs)(t => xs.takeWhile(_ < t))
+    val sb = theta.fold(ys)(t => ys.takeWhile(_ < t))
+    // sorted-merge counts over the theta-filtered samples
+    var (i, j, common, unionN) = (0, 0, 0L, 0L)
+    while (i < sa.length || j < sb.length) {
+      unionN += 1
+      if (j >= sb.length || (i < sa.length && sa(i) < sb(j))) i += 1
+      else if (i >= sa.length || sb(j) < sa(i)) j += 1
+      else { common += 1; i += 1; j += 1 }
+    }
+    theta match {
+      case None => (unionN, common) // both unsaturated: exact
+      case Some(t) =>
+        val frac = (t.toDouble / 18446744073709551616.0) + 0.5
+        (math.round(unionN / frac), math.round(common / frac))
+    }
+  }
 }

@@ -247,5 +247,191 @@ object Advanced {
         JOIN months ON strftime(l_shipdate, '%Y-%m') = months.ship_month
         GROUP BY 1 ORDER BY ship_month"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Correlated LATERAL subquery: top-2 customers by balance per
+    // nation, written as the LATERAL join users write it — Catalyst
+    // decorrelates the per-row ORDER BY ... LIMIT into a ranked
+    // window over ONE scan of customer, not a nested loop.
+    "q_lateral_join" -> Q(
+      (s, dir) => {
+        Tables.nation(s, dir).createOrReplaceTempView("lat_nation")
+        Tables.customer(s, dir).createOrReplaceTempView("lat_customer")
+        s.sql("""
+          SELECT n.n_name, t.c_custkey, t.c_acctbal
+          FROM lat_nation n,
+          LATERAL (SELECT c_custkey, c_acctbal FROM lat_customer c
+                   WHERE c.c_nationkey = n.n_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+          ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""")
+      },
+      Some("""
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation n,
+        LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // BPE merge statistics (the first iteration of byte-pair-encoding
+    // tokenizer training): corpus-wide counts of adjacent character
+    // pairs within words, top-20 by frequency. Word explode + an
+    // index-sequence explode keep everything in generated code; the
+    // only shuffle is the pair-count aggregation (map-side combined).
+    // The rank filter (not LIMIT) makes boundary ties deterministic.
+    "txt_bpe_pairs" -> Q(
+      (s, dir) => {
+        val words = Tables.documents(s, dir)
+          .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+          .filter(length(col("w")) >= 2)
+        val pairs = words.select(explode(
+          transform(sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2)))).as("pair"))
+        val wnd = Window.orderBy(col("n").desc, col("pair"))
+        pairs.groupBy("pair").agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(wnd).cast("int"))
+          .filter(col("rk") <= 20)
+          .orderBy("rk")
+      },
+      Some("""
+        WITH words AS (
+          SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+          FROM documents),
+        pairs AS (
+          SELECT unnest(list_transform(range(1, length(w)),
+                                       i -> substring(w, i, 2))) AS pair
+          FROM words WHERE length(w) >= 2),
+        c AS (SELECT pair, count(*) AS n FROM pairs GROUP BY pair)
+        SELECT pair, n,
+               CAST(row_number() OVER (ORDER BY n DESC, pair) AS INTEGER) AS rk
+        FROM c QUALIFY rk <= 20 ORDER BY rk"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Triangle counting on the co-supplier graph (suppliers that
+    // co-occur in >= 8 distinct orders): the standard oriented
+    // edge-join — edges directed low-id -> high-id so each triangle
+    // is generated exactly once, wedge join + closing-edge join, all
+    // equi-joins. Per-order pair generation is bounded by lines per
+    // order (~7 -> <= 21 pairs), so edge building is linear in
+    // lineitem; the >= 8 co-occurrence threshold keeps the graph
+    // sparse as the corpus grows. (At 100 TB one orients by DEGREE
+    // instead of id — same count, provably O(m^1.5) wedges; id
+    // orientation keeps the oracle mirror trivial here.)
+    "graph_triangles" -> Q(
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("tri_li")
+        s.sql("""
+          WITH so AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+                      FROM tri_li),
+          e AS (SELECT a.sk AS u, b.sk AS v
+                FROM so a JOIN so b ON a.ok = b.ok AND a.sk < b.sk
+                GROUP BY a.sk, b.sk HAVING count(*) >= 8),
+          vtx AS (SELECT count(DISTINCT x) AS n_vertices
+                  FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)),
+          m AS (SELECT count(*) AS n_edges FROM e),
+          t AS (SELECT count(*) AS n_triangles
+                FROM e e1 JOIN e e2 ON e1.v = e2.u
+                          JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v)
+          SELECT n_vertices, n_edges, n_triangles FROM vtx, m, t""")
+      },
+      Some("""
+        WITH so AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+                    FROM lineitem),
+        e AS (SELECT a.sk AS u, b.sk AS v
+              FROM so a JOIN so b ON a.ok = b.ok AND a.sk < b.sk
+              GROUP BY a.sk, b.sk HAVING count(*) >= 8),
+        vtx AS (SELECT count(DISTINCT x) AS n_vertices
+                FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)),
+        m AS (SELECT count(*) AS n_edges FROM e),
+        t AS (SELECT count(*) AS n_triangles
+              FROM e e1 JOIN e e2 ON e1.v = e2.u
+                        JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v)
+        SELECT n_vertices, n_edges, n_triangles FROM vtx, m, t"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Theta-sketch set operations on KMV states (CH uniqTheta):
+    // audience overlap between the purchase and click segments from
+    // two bounded mergeable sketches — the states are built
+    // distributed (fixed 32 KB aggregation state per segment), handed
+    // to the driver exactly as a sketch service would ship them, and
+    // combined by the theta rule. k=4096 keeps the estimates EXACT
+    // through sf0.1's user count, which is what lets DuckDB verify
+    // them cell-exact; beyond k the same code degrades to ~1.6%
+    // error (IncrementalSpec pins the estimator; KmvSetOpsSpec the
+    // theta rule at overflow).
+    "ch_kmv_setops" -> Q(
+      (s, dir) => {
+        import graft.functions.Kmv
+        val k = 4096
+        val ev = Tables.events(s, dir)
+        def sketch(t: String): Array[Byte] = ev
+          .filter(col("event_type") === t)
+          .agg(Kmv.state(k, xxhash64(col("user_id"))).as("st"))
+          .collect().head.getAs[Array[Byte]](0)
+        val p = sketch("purchase"); val c = sketch("click")
+        val (u, i) = Kmv.setOps(p, c, k)
+        import s.implicits._
+        Seq((Kmv.estimate(p, k), Kmv.estimate(c, k), u, i,
+            i.toDouble / u.toDouble))
+          .toDF("purchase_users", "click_users", "union_users",
+            "both_users", "jaccard")
+      },
+      Some("""
+        WITH p AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = 'purchase'),
+        c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+        SELECT (SELECT count(*) FROM p) AS purchase_users,
+               (SELECT count(*) FROM c) AS click_users,
+               (SELECT count(*) FROM (SELECT * FROM p UNION SELECT * FROM c))
+                 AS union_users,
+               (SELECT count(*) FROM (SELECT * FROM p INTERSECT SELECT * FROM c))
+                 AS both_users,
+               CAST((SELECT count(*) FROM (SELECT * FROM p INTERSECT SELECT * FROM c)) AS DOUBLE)
+                 / CAST((SELECT count(*) FROM (SELECT * FROM p UNION SELECT * FROM c)) AS DOUBLE)
+                 AS jaccard"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Z-order clustered write + box-predicate read-back: lineitem
+    // laid out by the Morton interleave of (l_partkey, l_suppkey), so
+    // row-group min/max stats prune BOX predicates on both columns
+    // (Sink.writePartitionedSorted's 1-d sort can only skip on its
+    // leading key). The oracle verifies the round-trip box query;
+    // AdvancedSpec proves the layout reads fewer rows than a 1-d
+    // sorted layout for the same box.
+    "sink_zorder" -> Q(
+      (s, dir) => {
+        val out = tmp(dir, "zorder")
+        if (!new java.io.File(s"$out/_SUCCESS").isFile) {
+          Tables.lineitem(s, dir)
+            .withColumn("z", graft.sources.Zorder
+              .interleave(col("l_partkey"), col("l_suppkey")))
+            .repartitionByRange(8, col("z"))
+            .sortWithinPartitions("z")
+            .drop("z")
+            .write.mode("overwrite")
+            .option("parquet.block.size", 64 * 1024)
+            .parquet(out)
+        }
+        s.read.parquet(out)
+          .filter(col("l_partkey").between(10, 50) &&
+            col("l_suppkey").between(2, 5))
+          .groupBy("l_suppkey")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("l_quantity").cast(DecimalType(10, 0))).cast("long")
+              .as("sum_qty"))
+          .orderBy("l_suppkey")
+      },
+      Some("""
+        SELECT l_suppkey, count(*) AS n_lines,
+               CAST(sum(CAST(l_quantity AS DECIMAL(10,0))) AS BIGINT) AS sum_qty
+        FROM lineitem
+        WHERE l_partkey BETWEEN 10 AND 50 AND l_suppkey BETWEEN 2 AND 5
+        GROUP BY l_suppkey ORDER BY l_suppkey"""),
+    ),
   )
 }

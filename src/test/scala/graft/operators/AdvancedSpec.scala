@@ -78,6 +78,85 @@ class AdvancedSpec extends SparkSpec {
     assert(got(2L) === ((60L * us, 1L)))
   }
 
+  test("theta set-ops stay accurate after sketch overflow") {
+    import graft.functions.Kmv
+    val k = 512
+    // |A| = 4000, |B| = 4000, |A ∩ B| = 2000, |A ∪ B| = 6000 — both
+    // sketches saturate (8x overflow)
+    val a = (1L to 4000L).toDF("x").repartition(8)
+      .agg(Kmv.state(k, xxhash64(col("x")))).collect().head.getAs[Array[Byte]](0)
+    val b = (2001L to 6000L).toDF("x").repartition(8)
+      .agg(Kmv.state(k, xxhash64(col("x")))).collect().head.getAs[Array[Byte]](0)
+    val (u, i) = Kmv.setOps(a, b, k)
+    assert(math.abs(u - 6000.0) / 6000.0 < 0.15, s"union est $u")
+    assert(math.abs(i - 2000.0) / 2000.0 < 0.25, s"intersect est $i")
+    // unsaturated sketches are exact
+    val (u2, i2) = Kmv.setOps(
+      (1L to 100L).toDF("x").agg(Kmv.state(k, xxhash64(col("x"))))
+        .collect().head.getAs[Array[Byte]](0),
+      (51L to 150L).toDF("x").agg(Kmv.state(k, xxhash64(col("x"))))
+        .collect().head.getAs[Array[Byte]](0), k)
+    assert(u2 === 150L && i2 === 50L)
+  }
+
+  test("oriented edge-join counts each triangle exactly once (K4 = 4)") {
+    // complete graph on 4 vertices, edges oriented low -> high
+    val e = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)).toDF("u", "v")
+    e.createOrReplaceTempView("k4_e")
+    val n = spark.sql("""
+      SELECT count(*) AS t FROM k4_e e1
+      JOIN k4_e e2 ON e1.v = e2.u
+      JOIN k4_e e3 ON e1.u = e3.u AND e2.v = e3.v""").collect().head.getLong(0)
+    assert(n === 4L)
+    val got = Advanced.all("graph_triangles").fn(spark, sf).collect().head
+    assert(got.getLong(0) > 0 && got.getLong(2) > 0) // vertices, triangles
+  }
+
+  test("lateral top-2 per nation equals the window formulation") {
+    val lateral = Advanced.all("q_lateral_join").fn(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val expect = graft.Tables.customer(spark, sf)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .join(graft.Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("n_name", "c_custkey", "c_acctbal")
+      .orderBy(col("n_name"), col("c_acctbal").desc, col("c_custkey"))
+    assert(lateral.collect().toSeq === expect.collect().toSeq)
+  }
+
+  test("z-order layout prunes a box query better than a 1-d sort") {
+    import graft.sources.Zorder
+    val base = graft.Tables.lineitem(spark, sf)
+    val tdir = System.getProperty("java.io.tmpdir")
+    val zout = s"$tdir/graft_ztest_z"; val sout = s"$tdir/graft_ztest_s"
+    base.withColumn("z", Zorder.interleave(col("l_partkey"), col("l_suppkey")))
+      .repartition(1).sortWithinPartitions("z").drop("z")
+      .write.mode("overwrite").option("parquet.block.size", 16 * 1024)
+      .parquet(zout)
+    base.repartition(1).sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").option("parquet.block.size", 16 * 1024)
+      .parquet(sout)
+    // wide partkey range x narrow suppkey range: the 1-d partkey sort
+    // cannot skip on suppkey, the z-order layout can
+    def rowsRead(path: String): Long = {
+      val df = spark.read.parquet(path)
+        .filter(col("l_partkey") > 0 && col("l_suppkey").between(2, 3))
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().head
+        .metrics("numOutputRows").value
+    }
+    val (zr, sr) = (rowsRead(zout), rowsRead(sout))
+    assert(zr > 0 && sr > 0)
+    assert(zr < sr, s"z-order read $zr rows, 1-d sort read $sr")
+    // morton interleave sanity: (1,0) -> 1, (0,1) -> 2, (3,3) -> 15
+    val m = Seq((1, 0), (0, 1), (3, 3)).toDF("a", "b")
+      .select(Zorder.interleave(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(m === Seq(1L, 2L, 15L))
+  }
+
   test("q_dpp plan prunes fact partitions dynamically from the dim side") {
     val df = Advanced.all("q_dpp").fn(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
