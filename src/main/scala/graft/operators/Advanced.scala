@@ -433,5 +433,151 @@ object Advanced {
         WHERE l_partkey BETWEEN 10 AND 50 AND l_suppkey BETWEEN 2 AND 5
         GROUP BY l_suppkey ORDER BY l_suppkey"""),
     ),
+
+    // ------------------------------------------------------------------
+    // Bounded-memory quantiles by deterministic bottom-k-by-hash
+    // sampling (CH's reservoir `quantile()`, made deterministic and
+    // mergeable — see functions/SampleQuantile.scala). Per supplier
+    // the sample is the whole group at verification scale, so the
+    // quantiles are exactly percentile_cont's and DuckDB checks them
+    // cell-exact; past k rows the state stays 16 KB and degrades to a
+    // uniform-sample estimate (error pinned in AdvancedSpec).
+    "ch_quantile_sample" -> Q(
+      (s, dir) => {
+        // the sampling unit must be the ROW: (orderkey, linenumber) is
+        // NOT unique in this synthetic data, so hash every column
+        val rowHash = xxhash64(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"),
+          col("l_shipdate"))
+        Tables.lineitem(s, dir)
+          .groupBy("l_suppkey")
+          .agg(graft.functions.SampleQuantile(4096, Seq(0.5, 0.9),
+            rowHash, col("l_extendedprice")).as("qv"))
+          .select(col("l_suppkey"),
+            round(element_at(col("qv"), 1), 6).as("median_price"),
+            round(element_at(col("qv"), 2), 6).as("p90_price"))
+          .orderBy("l_suppkey")
+      },
+      Some("""
+        SELECT l_suppkey,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+               round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+        FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // sequenceNextNode: what does each user do right after their
+    // FIRST signup, and how long after? One lead() window over the
+    // full stream (computed before the signup filter, so the
+    // successor can be any event type), then a rank-1 filter — no
+    // per-user buffering.
+    "ch_next_event" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        Tables.events(s, dir)
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .withColumn("next_us", lead(col("ts_us"), 1).over(w))
+          .filter(col("event_type") === "signup")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("next_type"),
+            (col("next_us") - col("ts_us")).as("gap_us"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type, event_id, epoch_us(ts) AS t,
+                 lead(event_type) OVER w AS next_type,
+                 lead(epoch_us(ts)) OVER w AS next_us
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        f AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY t, event_id) AS rn
+              FROM e WHERE event_type = 'signup')
+        SELECT user_id, next_type, next_us - t AS gap_us
+        FROM f WHERE rn = 1 ORDER BY user_id"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Equi-depth histogram via ntile: per priority class, quartile
+    // buckets of order value with count/lo/hi — the adaptive twin of
+    // ch_histogram's fixed-width buckets. Ties broken by orderkey so
+    // the bucket boundaries are deterministic in both engines.
+    "ch_equidepth" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy("o_totalprice", "o_orderkey")
+        Tables.orders(s, dir)
+          .withColumn("tile", ntile(4).over(w))
+          .groupBy("o_orderpriority", "tile")
+          .agg(count(lit(1)).as("n"),
+            min(col("o_totalprice")).as("lo"),
+            max(col("o_totalprice")).as("hi"))
+          .orderBy("o_orderpriority", "tile")
+      },
+      Some("""
+        WITH t AS (SELECT o_orderpriority, o_totalprice,
+                     CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS tile
+                   FROM orders)
+        SELECT o_orderpriority, tile, count(*) AS n,
+               min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        FROM t GROUP BY 1, 2 ORDER BY o_orderpriority, tile"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Shuffle-hash join by hint: the fact-fact join where BOTH sides
+    // outgrow broadcast and sort-merge's two full sorts are the
+    // avoidable cost — SHUFFLE_HASH builds a hash map per partition
+    // instead (right choice when one side's partitions fit in memory
+    // and output needn't be key-sorted). Plan-asserted in
+    // AdvancedSpec; same semantics as the unhinted join.
+    "q_shuffle_hash_join" -> Q(
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir).hint("SHUFFLE_HASH"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(psum(d(col("l_extendedprice")) * oneMinus(col("l_discount")))
+            .as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""
+        SELECT o_orderstatus,
+               ${S.revenue("l_extendedprice", "l_discount")} AS revenue,
+               count(*) AS n_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Exchange reuse: the monthly-revenue aggregate feeds both the
+    // result rows and the max-revenue scalar — Spark computes the
+    // shuffle ONCE and wires the second consumer to a ReusedExchange/
+    // ReusedQueryStage (asserted in AdvancedSpec). The revenue is an
+    // exact decimal, so the double equality against the max selects
+    // identical rows in both engines.
+    "q_reused_exchange" -> Q(
+      (s, dir) => {
+        val m = Tables.lineitem(s, dir)
+          .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+          .agg(psum(d(col("l_extendedprice")) * oneMinus(col("l_discount")))
+            .as("revenue"))
+        m.join(broadcast(m.agg(max(col("revenue")).as("max_rev"))),
+            col("revenue") === col("max_rev"))
+          .select("ship_month", "revenue")
+          .orderBy("ship_month")
+      },
+      Some(s"""
+        WITH m AS (
+          SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                 ${S.revenue("l_extendedprice", "l_discount")} AS revenue
+          FROM lineitem GROUP BY 1)
+        SELECT ship_month, revenue FROM m
+        WHERE revenue = (SELECT max(revenue) FROM m)
+        ORDER BY ship_month"""),
+    ),
   )
 }

@@ -157,6 +157,38 @@ class AdvancedSpec extends SparkSpec {
     assert(m === Seq(1L, 2L, 15L))
   }
 
+  test("sample quantile: exact below k, close and deterministic above") {
+    import graft.functions.SampleQuantile
+    // exact regime: 100 rows, k = 4096 -> sample is the whole group
+    val small = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val exact = small.agg(SampleQuantile(4096, Seq(0.5, 0.9),
+      xxhash64(col("id")), col("v"))).collect().head.getSeq[Double](0)
+    assert(exact(0) === 50.5) // percentile_cont(0.5) over 1..100
+    assert(math.abs(exact(1) - 90.1) < 1e-9)
+    // overflow regime: 50k rows, k = 1024 -> uniform-sample estimate
+    val big = (1 to 50000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+      .repartition(16)
+    val est = big.agg(SampleQuantile(1024, Seq(0.5), xxhash64(col("id")),
+      col("v"))).collect().head.getSeq[Double](0).head
+    assert(math.abs(est - 25000.0) / 25000.0 < 0.10, s"median est $est")
+    // determinism under different partitioning
+    val est2 = big.repartition(3).agg(SampleQuantile(1024, Seq(0.5),
+      xxhash64(col("id")), col("v"))).collect().head.getSeq[Double](0).head
+    assert(est === est2, "bottom-k sample must be partition-invariant")
+  }
+
+  test("hinted join plans as ShuffledHashJoin; reuse plan has a reused stage") {
+    val shj = Advanced.all("q_shuffle_hash_join").fn(spark, sf)
+    shj.collect()
+    assert(shj.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"),
+      "SHUFFLE_HASH hint did not produce a shuffled hash join")
+    val re = Advanced.all("q_reused_exchange").fn(spark, sf)
+    re.collect()
+    val p = re.queryExecution.executedPlan.toString
+    assert(p.contains("Reused"),
+      s"expected a ReusedExchange/ReusedQueryStage in:\n$p")
+  }
+
   test("q_dpp plan prunes fact partitions dynamically from the dim side") {
     val df = Advanced.all("q_dpp").fn(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
