@@ -579,5 +579,58 @@ object Advanced {
         WHERE revenue = (SELECT max(revenue) FROM m)
         ORDER BY ship_month"""),
     ),
+
+    // ------------------------------------------------------------------
+    // MERGE INTO semantics (matched-update / matched-delete /
+    // not-matched-insert in one pass): the 1995 spend batch updates
+    // customer balances, a delete predicate retires matched rows, and
+    // synthetic new accounts insert — all from ONE left join + one
+    // union, written and read back (copy-on-write snapshot, the
+    // Delta/Iceberg MERGE shape without a table format). Spend is an
+    // exact decimal, so the balance update is a single identical IEEE
+    // add in both engines.
+    "sink_merge" -> Q(
+      (s, dir) => {
+        val out = tmp(dir, "merge")
+        val src = Tables.orders(s, dir)
+          .filter(year(col("o_orderdate")) === 1995)
+          .groupBy(col("o_custkey"))
+          .agg(psum(d(col("o_totalprice"))).as("spend"))
+        val matchedOrKept = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_acctbal"))
+          .join(src, col("c_custkey") === col("o_custkey"), "left")
+          .filter(!(col("o_custkey").isNotNull &&
+            pmod(col("c_custkey"), lit(89)) === 0)) // WHEN MATCHED ... DELETE
+          .select(col("c_custkey"),
+            when(col("o_custkey").isNotNull, col("c_acctbal") + col("spend"))
+              .otherwise(col("c_acctbal")).as("new_bal"),
+            when(col("o_custkey").isNotNull, lit("updated"))
+              .otherwise(lit("kept")).as("status"))
+        val inserts = src.filter(pmod(col("o_custkey"), lit(97)) === 0)
+          .select((col("o_custkey") + 10000000L).as("c_custkey"),
+            col("spend").as("new_bal"), lit("inserted").as("status"))
+        matchedOrKept.unionByName(inserts)
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out).orderBy("c_custkey")
+      },
+      Some(s"""
+        WITH src AS (
+          SELECT o_custkey, ${S.psum(S.d("o_totalprice"))} AS spend
+          FROM orders WHERE date_part('year', o_orderdate) = 1995
+          GROUP BY o_custkey),
+        m AS (
+          SELECT c_custkey,
+                 CASE WHEN o_custkey IS NOT NULL THEN c_acctbal + spend
+                      ELSE c_acctbal END AS new_bal,
+                 CASE WHEN o_custkey IS NOT NULL THEN 'updated'
+                      ELSE 'kept' END AS status
+          FROM customer LEFT JOIN src ON c_custkey = o_custkey
+          WHERE NOT (o_custkey IS NOT NULL AND c_custkey % 89 = 0)),
+        ins AS (
+          SELECT o_custkey + 10000000 AS c_custkey, spend AS new_bal,
+                 'inserted' AS status
+          FROM src WHERE o_custkey % 97 = 0)
+        SELECT * FROM m UNION ALL SELECT * FROM ins ORDER BY c_custkey"""),
+    ),
   )
 }

@@ -165,6 +165,40 @@ object Multimodal {
                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
                   AND 1 PRECEDING), 0) AS BIGINT) AS start_off
               FROM documents)
-        ORDER BY source, doc_id"""))
+        ORDER BY source, doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Perceptual-hash near-dup candidates: quantize each payload's
+    // feature vector against the CORPUS feature means (one broadcast
+    // scalar row) into a bit code, bucket by the code — media whose
+    // features land the same side of every mean are candidate
+    // duplicates. The real-pipeline shape (pHash/aHash over decoded
+    // pixels) with the decode faked as above; only (doc_id, code)
+    // shuffles. Rows-only for the driver; MultimodalSpec pins
+    // determinism and the identical-payload -> identical-code law.
+    "mm_phash" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val feats = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, p) => (id, fakeDecodeFeatures(p)) })
+          .toDF("doc_id", "features")
+          .select(col("doc_id") +:
+            (0 until 8).map(i => col("features").getItem(i).as(s"f$i")): _*)
+        val means = feats.agg(
+          (0 until 8).map(i => avg(col(s"f$i")).as(s"m$i")).head,
+          (1 until 8).map(i => avg(col(s"f$i")).as(s"m$i")): _*)
+        val code = (0 until 8).map(i =>
+          when(col(s"f$i") > col(s"m$i"), lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _)
+        val coded = feats.crossJoin(broadcast(means))
+          .select(col("doc_id"), code.as("phash"))
+        coded
+          .withColumn("n_bucket", count(lit(1))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy("phash")))
+          .orderBy("doc_id")
+      },
+      None)
   )
 }

@@ -197,6 +197,29 @@ object Streaming {
                  AS session_end_us,
                count(*) AS n_events, ${S.dsum("value")} AS total_value
         FROM sess GROUP BY user_id, session_seq
-        ORDER BY user_id, session_start_us"""))
+        ORDER BY user_id, session_start_us""")),
+
+    // ------------------------------------------------------------------
+    // Sketch-in-stream: approximate distinct users per hour via the
+    // KMV aggregate — unlike stream_uniq_window's exact composition
+    // (state = one row per (window, user)), the sketch holds a FIXED
+    // 32 KB per window however many users arrive: the streaming
+    // answer when per-window cardinality outgrows the state store.
+    // k=4096 keeps it exact at verification scale (hence the DuckDB
+    // oracle); StreamingSpec runs the same aggregate over a genuine
+    // readStream and must match this batch twin.
+    "stream_kmv_uniq" -> Q(
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(graft.functions.Kmv(4096, xxhash64(col("user_id")))
+            .as("approx_uniq"))
+          .select(col("window.start").as("window_start"), col("approx_uniq"))
+          .orderBy("window_start")
+      },
+      Some("""
+        SELECT date_trunc('hour', ts) AS window_start,
+               count(DISTINCT user_id) AS approx_uniq
+        FROM events GROUP BY 1 ORDER BY window_start"""))
   )
 }

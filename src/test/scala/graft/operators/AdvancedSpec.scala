@@ -189,6 +189,19 @@ class AdvancedSpec extends SparkSpec {
       s"expected a ReusedExchange/ReusedQueryStage in:\n$p")
   }
 
+  test("merge applies update/delete/insert clauses to disjoint key sets") {
+    val rows = Advanced.all("sink_merge").fn(spark, sf).collect()
+    val byStatus = rows.groupBy(_.getString(2))
+    assert(byStatus.keySet === Set("kept", "updated", "inserted"))
+    // deleted keys: matched (had 1995 spend) and % 89 == 0 — absent
+    val keys = rows.map(_.getLong(0)).toSet
+    val updated = byStatus("updated").map(_.getLong(0))
+    assert(updated.forall(k => k % 89 != 0))
+    // inserts live in their own key namespace
+    assert(byStatus("inserted").forall(_.getLong(0) >= 10000000L))
+    assert(keys.size === rows.length, "merge output must be key-unique")
+  }
+
   test("q_dpp plan prunes fact partitions dynamically from the dim side") {
     val df = Advanced.all("q_dpp").fn(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

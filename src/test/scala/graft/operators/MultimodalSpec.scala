@@ -29,4 +29,30 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Int]("n_bytes") > 0))
     assert(rows.forall(_.getAs[String]("media_format") == "text/plain"))
   }
+
+  test("phash: identical payloads share a code; codes are deterministic") {
+    val out = SparkEntry.registry("mm_phash").fn(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val byId = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // determinism: a second evaluation produces identical codes
+    val again = SparkEntry.registry("mm_phash").fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId == again)
+    // codes are 8-bit
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 256))
+    // identical payloads MUST collide: equal text => equal features => equal code
+    val dupCodes = graft.Tables.documents(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.col("text"))
+      .agg(org.apache.spark.sql.functions.collect_list("doc_id").as("ids"))
+      .filter(org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.col("ids")) > 1)
+      .collect()
+    dupCodes.foreach { r =>
+      val ids = r.getSeq[Long](1)
+      assert(ids.map(byId).distinct.size == 1, s"payload-equal docs $ids differ in phash")
+    }
+    // bucket sizes are consistent with the code multiset
+    val sizes = rows.groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    assert(rows.forall(r => r.getLong(2) == sizes(r.getLong(1)).toLong))
+  }
 }

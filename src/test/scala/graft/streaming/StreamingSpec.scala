@@ -118,6 +118,19 @@ class StreamingSpec extends SparkSpec {
     assert(canon(streamed) == canon(batch))
   }
 
+  test("streaming KMV sketch distinct equals the batch twin") {
+    val streamed = runToCompletion(
+      streamedEvents
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(graft.functions.Kmv(4096, xxhash64(col("user_id")))
+          .as("approx_uniq"))
+        .select(col("window.start").as("window_start"), col("approx_uniq")),
+      "stream_kmv_uniq_t", "complete")
+    val batch = SparkEntry.registry("stream_kmv_uniq").fn(spark, sf)
+    assert(canon(streamed) == canon(batch))
+  }
+
   test("streaming windowed exact-distinct equals the batch twin") {
     val streamed = runToCompletion(
       streamedEvents
