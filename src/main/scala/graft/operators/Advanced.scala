@@ -50,6 +50,26 @@ object Advanced {
     path
   }
 
+  /** One-time z-order clustered lineitem layout (Morton interleave of
+    * partkey/suppkey, range-partitioned into 8 files, small row
+    * groups) — shared by sink_zorder and the manifest-pruned read.
+    */
+  private def zorderLayout(s: SparkSession, dir: String): String = {
+    val out = tmp(dir, "zorder")
+    if (!new java.io.File(s"$out/_SUCCESS").isFile) {
+      Tables.lineitem(s, dir)
+        .withColumn("z", graft.sources.Zorder
+          .interleave(col("l_partkey"), col("l_suppkey")))
+        .repartitionByRange(8, col("z"))
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 64 * 1024)
+        .parquet(out)
+    }
+    out
+  }
+
   val all: Map[String, Q] = Map(
     // ------------------------------------------------------------------
     // ROC AUC as a rank statistic (the Mann-Whitney U formulation):
@@ -405,19 +425,7 @@ object Advanced {
     // sorted layout for the same box.
     "sink_zorder" -> Q(
       (s, dir) => {
-        val out = tmp(dir, "zorder")
-        if (!new java.io.File(s"$out/_SUCCESS").isFile) {
-          Tables.lineitem(s, dir)
-            .withColumn("z", graft.sources.Zorder
-              .interleave(col("l_partkey"), col("l_suppkey")))
-            .repartitionByRange(8, col("z"))
-            .sortWithinPartitions("z")
-            .drop("z")
-            .write.mode("overwrite")
-            .option("parquet.block.size", 64 * 1024)
-            .parquet(out)
-        }
-        s.read.parquet(out)
+        s.read.parquet(zorderLayout(s, dir))
           .filter(col("l_partkey").between(10, 50) &&
             col("l_suppkey").between(2, 5))
           .groupBy("l_suppkey")
@@ -631,6 +639,71 @@ object Advanced {
                  'inserted' AS status
           FROM src WHERE o_custkey % 97 = 0)
         SELECT * FROM m UNION ALL SELECT * FROM ins ORDER BY c_custkey"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Manifest-pruned read (the Iceberg/Delta file-skipping layer,
+    // built from first principles): a per-FILE min/max stats manifest
+    // over the z-order layout — computed once by a distributed pass
+    // and memoized, the way a table format writes manifests at commit
+    // time — lets the planner enumerate only the files whose stat
+    // ranges overlap the box predicate. The file list is
+    // metadata-sized driver work by design (that IS the manifest
+    // pattern); the data read then opens just those files, and the
+    // residual filter keeps exactness. At 100 TB this is the layer
+    // above row-group stats: skip whole FILES without opening a
+    // footer.
+    "src_manifest_prune" -> Q(
+      (s, dir) => {
+        val lay = zorderLayout(s, dir)
+        val manifest = graft.DfCache.memo(
+          s.read.parquet(lay)
+            .select(input_file_name().as("file"),
+              col("l_partkey"), col("l_suppkey"))
+            .groupBy("file")
+            .agg(min("l_partkey").as("pk_min"), max("l_partkey").as("pk_max"),
+              min("l_suppkey").as("sk_min"), max("l_suppkey").as("sk_max"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+          s"zorder-manifest:$dir")
+        val files = manifest
+          .filter(col("pk_max") >= 100 && col("pk_min") <= 120 &&
+            col("sk_max") >= 7 && col("sk_min") <= 9)
+          .collect().map(_.getString(0))
+        s.read.parquet(files.toIndexedSeq: _*)
+          .filter(col("l_partkey").between(100, 120) &&
+            col("l_suppkey").between(7, 9))
+          .groupBy("l_partkey")
+          .agg(count(lit(1)).as("n_lines"),
+            dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("l_partkey")
+      },
+      Some(s"""
+        SELECT l_partkey, count(*) AS n_lines,
+               ${S.dsum("l_extendedprice")} AS sum_price
+        FROM lineitem
+        WHERE l_partkey BETWEEN 100 AND 120 AND l_suppkey BETWEEN 7 AND 9
+        GROUP BY l_partkey ORDER BY l_partkey"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // ORDER BY ... LIMIT ... OFFSET pagination, executed as Spark
+    // plans it (a global sort + offset+limit fetch — the engine
+    // fetches offset+limit rows from each partition, never
+    // materializing the full sort on one node).
+    "q_offset" -> Q(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("pg_orders")
+        s.sql("""
+          SELECT o_orderkey, o_totalprice
+          FROM pg_orders
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 10 OFFSET 20""")
+      },
+      Some("""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10 OFFSET 20"""),
     ),
   )
 }

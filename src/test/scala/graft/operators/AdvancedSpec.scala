@@ -202,6 +202,56 @@ class AdvancedSpec extends SparkSpec {
     assert(keys.size === rows.length, "merge output must be key-unique")
   }
 
+  test("manifest-pruned read opens fewer files than the layout holds") {
+    val df = Advanced.all("src_manifest_prune").fn(spark, sf)
+    assert(df.count() > 0)
+    val layout = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_" +
+      sf.replaceAll("[^A-Za-z0-9]", "_")
+    val total = spark.read.parquet(layout).inputFiles.length
+    val pruned = df.inputFiles.length
+    assert(total === 8, s"expected the 8-file z-order layout, found $total")
+    assert(pruned > 0 && pruned < total,
+      s"manifest should prune the $total-file layout, read $pruned")
+  }
+
+  test("AQE splits a planted skewed join partition (skew=true)") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin")
+      .map(k => k -> scala.util.Try(conf.get(k)).toOption).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // one hot key carrying ~95% of the left side; the payload is
+      // per-row unique (shuffle sizes are COMPRESSED — a constant
+      // payload would deflate the hot partition below any threshold)
+      val left = ((1 to 60000).map(_ => 1L) ++ (1 to 3000).map(_ % 50 + 2L))
+        .zipWithIndex
+        .map { case (k, i) => (k, s"payload-$i-${i * 2654435761L}") }
+        .toDF("k", "v")
+      val right = (1L to 60L).map((_, "dim")).toDF("k", "d")
+      // global agg only (a keyed consumer would require hash
+      // distribution and veto OptimizeSkewedJoin); count(v) keeps the
+      // payload column alive through the shuffle
+      val j = left.join(right, "k").agg(count(col("v")))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-join handling in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("q_dpp plan prunes fact partitions dynamically from the dim side") {
     val df = Advanced.all("q_dpp").fn(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
