@@ -705,5 +705,91 @@ object Advanced {
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 10 OFFSET 20"""),
     ),
+
+    // ------------------------------------------------------------------
+    // CDC diff between two table snapshots (the change-data-feed a
+    // sink emits downstream): snapshot v2 is derived from v1 by
+    // deterministic update/delete/insert sets, both are written, and
+    // the feed is ONE full outer join on the key emitting
+    // (op, old, new) rows — only changed keys survive the filter.
+    // At scale both sides shuffle once on the key; unchanged rows
+    // compare equal and drop before any downstream work.
+    "sink_cdc" -> Q(
+      (s, dir) => {
+        val root = tmp(dir, "cdc")
+        if (!new java.io.File(s"$root/v2/_SUCCESS").isFile) {
+          val v1 = Tables.customer(s, dir)
+            .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+          v1.write.mode("overwrite").parquet(s"$root/v1")
+          val v2 = v1.filter(pmod(col("k"), lit(31)) =!= 0) // deletes
+            .select(col("k"),
+              when(pmod(col("k"), lit(7)) === 0, col("bal") + 100.0)
+                .otherwise(col("bal")).as("bal")) // updates
+            .unionByName(v1.filter(pmod(col("k"), lit(41)) === 0)
+              .select((col("k") + 20000000L).as("k"), col("bal"))) // inserts
+          v2.write.mode("overwrite").parquet(s"$root/v2")
+        }
+        val a = s.read.parquet(s"$root/v1").withColumnRenamed("bal", "old_bal")
+        val b = s.read.parquet(s"$root/v2").withColumnRenamed("bal", "new_bal")
+        a.join(b, Seq("k"), "full_outer")
+          .select(col("k"),
+            when(col("old_bal").isNull, lit("insert"))
+              .when(col("new_bal").isNull, lit("delete"))
+              .when(col("old_bal") =!= col("new_bal"), lit("update"))
+              .as("op"),
+            col("old_bal"), col("new_bal"))
+          .filter(col("op").isNotNull)
+          .orderBy("k")
+      },
+      Some("""
+        WITH v1 AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+        v2 AS (
+          SELECT k, CASE WHEN k % 7 = 0 THEN bal + 100.0 ELSE bal END AS bal
+          FROM v1 WHERE k % 31 <> 0
+          UNION ALL
+          SELECT k + 20000000 AS k, bal FROM v1 WHERE k % 41 = 0)
+        SELECT coalesce(v1.k, v2.k) AS k,
+               CASE WHEN v1.k IS NULL THEN 'insert'
+                    WHEN v2.k IS NULL THEN 'delete'
+                    WHEN v1.bal <> v2.bal THEN 'update' END AS op,
+               v1.bal AS old_bal, v2.bal AS new_bal
+        FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+        WHERE CASE WHEN v1.k IS NULL THEN 'insert'
+                   WHEN v2.k IS NULL THEN 'delete'
+                   WHEN v1.bal <> v2.bal THEN 'update' END IS NOT NULL
+        ORDER BY k"""),
+    ),
+
+    // ------------------------------------------------------------------
+    // Nested struct round-trip: documents reshaped into a nested
+    // (meta, stats) struct schema, written as parquet (nested groups
+    // on disk), read back, and projected by dot-path — with a filter
+    // ON a nested field, which must still push down to the scan.
+    // Output is flattened so the oracle compares flat cells.
+    "src_struct_nested" -> Q(
+      (s, dir) => {
+        val out = tmp(dir, "nested")
+        if (!new java.io.File(s"$out/_SUCCESS").isFile) {
+          Tables.documents(s, dir)
+            .select(col("doc_id"),
+              struct(col("lang"), col("source")).as("meta"),
+              struct(col("n_chars"),
+                size(split(col("text"), "\\s+")).as("n_tokens")).as("stats"))
+            .write.mode("overwrite").parquet(out)
+        }
+        s.read.parquet(out)
+          .filter(col("meta.lang") === "en")
+          .select(col("doc_id"), col("meta.lang").as("lang"),
+            col("meta.source").as("source"),
+            col("stats.n_chars").as("n_chars"),
+            col("stats.n_tokens").as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, lang, source, n_chars,
+               CAST(len(regexp_split_to_array(text, '\s+')) AS INTEGER)
+                 AS n_tokens
+        FROM documents WHERE lang = 'en' ORDER BY doc_id"""),
+    ),
   )
 }

@@ -118,6 +118,25 @@ class StreamingSpec extends SparkSpec {
     assert(canon(streamed) == canon(batch))
   }
 
+  test("Trigger.AvailableNow drains the backlog then self-terminates") {
+    // the operational catch-up mode: process everything currently on
+    // disk as a bounded streaming run (checkpoint-compatible with the
+    // continuous deployment), then stop
+    val q = streamedEvents
+      .groupBy("event_type").count()
+      .writeStream.format("memory").queryName("avail_now_t")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(!q.isActive, "AvailableNow query must self-terminate")
+    val got = spark.table("avail_now_t").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("streaming KMV sketch distinct equals the batch twin") {
     val streamed = runToCompletion(
       streamedEvents
