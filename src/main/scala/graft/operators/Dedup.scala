@@ -453,6 +453,55 @@ object Dedup {
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // ------------------------------------------------------------------
+    // INCREMENTAL dedup — the shape every production ingest actually
+    // runs: a small new batch (sources src18/src19 stand in for
+    // today's crawl) probed against the HISTORY's inverted shingle
+    // index, never history x history. The join is asymmetric (new x
+    // all, proportional to the batch), history's exploded index is
+    // the persisted artifact a resident pipeline keeps between
+    // batches, and candidate verification only touches pairs sharing
+    // a shingle. DuckDB brute-forces the same cross pairs.
+    "dedup_incremental" -> Q(
+      (s, dir) => {
+        val sh = docShingles(s, dir)
+          .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+            "doc_id")
+        val isNew = col("source").isin("src18", "src19")
+        val hist = sh.filter(!isNew)
+          .select(col("doc_id").as("id_hist"), col("n_sh").as("nh"),
+            explode(col("shingles")).as("sh"))
+        val probe = sh.filter(isNew)
+          .select(col("doc_id").as("id_new"), col("n_sh").as("nn"),
+            explode(col("shingles")).as("sh"))
+        probe.join(hist, Seq("sh"))
+          .groupBy("id_new", "id_hist", "nn", "nh")
+          .agg(count(lit(1)).as("inter"))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (col("nn") + col("nh") - col("inter")))
+          .filter(col("jaccard") >= 0.5)
+          .select("id_new", "id_hist", "jaccard")
+          .orderBy("id_new", "id_hist")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, source,
+               string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'),
+                            ' ') toks
+             FROM documents),
+        sh AS (SELECT doc_id, source,
+                 list_distinct([array_to_string(toks[i:i+2], ' ')
+                                for i in range(1, len(toks) - 1)]) shingles
+               FROM t WHERE len(toks) >= 3),
+        p AS (SELECT n.doc_id id_new, h.doc_id id_hist,
+                CAST(len(list_intersect(n.shingles, h.shingles)) AS DOUBLE) /
+                  (len(n.shingles) + len(h.shingles)
+                   - len(list_intersect(n.shingles, h.shingles))) j
+              FROM sh n JOIN sh h
+                ON n.source IN ('src18', 'src19')
+               AND h.source NOT IN ('src18', 'src19'))
+        SELECT id_new, id_hist, j AS jaccard FROM p
+        WHERE j >= 0.5 ORDER BY id_new, id_hist"""))
   )
 }
