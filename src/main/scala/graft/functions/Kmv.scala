@@ -59,24 +59,26 @@ object Kmv {
 
     def zero: Array[Byte] = Array.emptyByteArray
 
+    // byte-level reduce: the common cases (above the k-th minimum,
+    // duplicate) never unpack the state — one wrap + binary search.
     def reduce(buf: Array[Byte], boxed: java.lang.Long): Array[Byte] = {
       if (boxed == null) return buf
       val x = key(boxed.longValue)
-      val xs = unpack(buf)
-      val i = java.util.Arrays.binarySearch(xs, x)
-      if (i >= 0) buf // already present
-      else {
-        val at = -i - 1
-        if (at >= k) buf // larger than current k-th minimum: irrelevant
-        else {
-          val n = math.min(xs.length + 1, k)
-          val next = new Array[Long](n)
-          System.arraycopy(xs, 0, next, 0, at)
-          next(at) = x
-          System.arraycopy(xs, at, next, at + 1, n - at - 1)
-          pack(next)
-        }
+      val bb = java.nio.ByteBuffer.wrap(buf)
+      val n = buf.length / 8
+      if (n >= k && x >= bb.getLong((k - 1) * 8)) return buf
+      var lo = 0; var hi = n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (bb.getLong(mid * 8) < x) lo = mid + 1 else hi = mid
       }
+      if (lo < n && bb.getLong(lo * 8) == x) return buf // already present
+      val m = math.min(n + 1, k)
+      val next = new Array[Byte](m * 8)
+      System.arraycopy(buf, 0, next, 0, lo * 8)
+      java.nio.ByteBuffer.wrap(next).putLong(lo * 8, x)
+      System.arraycopy(buf, lo * 8, next, lo * 8 + 8, (m - lo) * 8 - 8)
+      next
     }
 
     def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {

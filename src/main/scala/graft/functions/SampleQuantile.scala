@@ -54,27 +54,32 @@ object SampleQuantile {
 
     def zero: Array[Byte] = Array.emptyByteArray
 
+    // reduce works DIRECTLY on the packed bytes: the common cases (a
+    // hash above the k-th minimum, a duplicate) cost one buffer wrap
+    // and a binary search — no per-row unpack/repack of the whole
+    // state, which would turn a 16 KB buffer into gigabytes of copy
+    // traffic over a large group.
     def reduce(buf: Array[Byte], in: (java.lang.Long, java.lang.Double)): Array[Byte] = {
       val (h0, v0) = in
       if (h0 == null || v0 == null) return buf
       val h = key(h0.longValue)
-      val xs = unpack(buf)
-      val n = xs.length / 2
-      // binary search over the hash positions (even indices)
+      val bb = java.nio.ByteBuffer.wrap(buf)
+      val n = buf.length / 16
+      if (n >= k && h >= bb.getLong((k - 1) * 16)) return buf
       var lo = 0; var hi = n
       while (lo < hi) {
         val mid = (lo + hi) >>> 1
-        if (xs(2 * mid) < h) lo = mid + 1 else hi = mid
+        if (bb.getLong(mid * 16) < h) lo = mid + 1 else hi = mid
       }
-      if (lo < n && xs(2 * lo) == h) return buf // same row hash: seen
-      if (lo >= k) return buf // larger than the k-th smallest hash
+      if (lo < n && bb.getLong(lo * 16) == h) return buf // row hash seen
       val m = math.min(n + 1, k)
-      val next = new Array[Long](2 * m)
-      System.arraycopy(xs, 0, next, 0, 2 * lo)
-      next(2 * lo) = h
-      next(2 * lo + 1) = java.lang.Double.doubleToLongBits(v0.doubleValue)
-      System.arraycopy(xs, 2 * lo, next, 2 * lo + 2, 2 * m - 2 * lo - 2)
-      pack(next)
+      val next = new Array[Byte](m * 16)
+      System.arraycopy(buf, 0, next, 0, lo * 16)
+      val nb = java.nio.ByteBuffer.wrap(next)
+      nb.putLong(lo * 16, h)
+      nb.putLong(lo * 16 + 8, java.lang.Double.doubleToLongBits(v0.doubleValue))
+      System.arraycopy(buf, lo * 16, next, lo * 16 + 16, (m - lo) * 16 - 16)
+      next
     }
 
     def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
