@@ -220,6 +220,39 @@ object ClickHouse {
         FROM ranked GROUP BY n_name ORDER BY n_name""")),
 
     // ------------------------------------------------------------------
+    // Deterministic per-group mode (CH `topK(1)` / ANSI mode with a
+    // pinned tie-break): two-stage exact — count per (group, value)
+    // with map-side combine, then one max_by keyed on (count, value)
+    // so ties break toward the lexicographically LARGEST value in
+    // both engines. Never materializes per-group value lists, so
+    // per-group state is O(distinct values) at stage 1 and O(1) at
+    // stage 2 — the 100 TB shape (a collect_list + driver count
+    // would not be).
+    "ch_mode" -> Q(
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("o_orderstatus")
+          .agg(
+            max_by(col("o_orderpriority"),
+              struct(col("cnt"), col("o_orderpriority"))).as("mode_priority"),
+            max(col("cnt")).as("mode_n"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""
+        WITH counted AS (
+          SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+          FROM orders GROUP BY 1, 2),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+            ORDER BY cnt DESC, o_orderpriority DESC) AS rn
+          FROM counted)
+        SELECT o_orderstatus, o_orderpriority AS mode_priority,
+               cnt AS mode_n
+        FROM ranked WHERE rn = 1 ORDER BY o_orderstatus""")),
+
+    // ------------------------------------------------------------------
     // topK: most frequent part brands. Exact count-based top-k is the
     // scalable path for bounded-cardinality columns (partial agg then
     // a k-row global sort); the oracle checks it exactly at test SF.

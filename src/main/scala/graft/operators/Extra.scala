@@ -642,6 +642,33 @@ object Extra {
                  PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS INTEGER)
                  AS uniq_types_5
-        FROM events ORDER BY user_id, ts_us, event_id"""))
+        FROM events ORDER BY user_id, ts_us, event_id""")),
+
+    // ------------------------------------------------------------------
+    // Generator expressions (CH numbers()/range() + arrayJoin, SQL
+    // UNNEST(generate_series)): each June-1995 order expands to its
+    // 7-day "active week" via sequence() + explode — pure per-row
+    // codegen'd generation, no shuffle until the closing rollup — and
+    // the per-day concurrency profile is aggregated. The generated
+    // rows never exist as a table: at 100 TB the expansion streams
+    // through the aggregate's map-side combine.
+    "q_generate" -> Q(
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .filter(col("o_orderdate").between("1995-06-01", "1995-06-30"))
+          .select(explode(sequence(col("o_orderdate").cast("date"),
+            date_add(col("o_orderdate").cast("date"), 6))).as("active_day"))
+          .groupBy(col("active_day").cast("string").as("active_day"))
+          .agg(count(lit(1)).as("n_active"))
+          .orderBy("active_day")
+      },
+      Some("""
+        SELECT CAST(CAST(d.d AS DATE) AS VARCHAR) AS active_day,
+               count(*) AS n_active
+        FROM orders,
+             LATERAL UNNEST(generate_series(o_orderdate,
+               o_orderdate + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS d(d)
+        WHERE o_orderdate BETWEEN DATE '1995-06-01' AND DATE '1995-06-30'
+        GROUP BY 1 ORDER BY active_day"""))
   )
 }

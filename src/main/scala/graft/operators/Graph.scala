@@ -72,6 +72,37 @@ object Graph {
       base.select(col("dst").as("src"), col("src").as("dst")))
   }
 
+  /** Multi-source BFS: hop distance from `sources` to every node
+    * within `maxDepth` hops. Classic frontier iteration in the Spark
+    * idiom — each superstep is one (frontier JOIN edges) shuffle plus
+    * an anti join against the visited set; the frontier only ever
+    * holds NEW nodes, so total work is O(edges x depth) worst case
+    * and the driver holds no graph state. Lineage is cut per step
+    * (localCheckpoint) exactly as in [[pageRank]].
+    */
+  def shortestPaths(edges: DataFrame, sources: DataFrame, maxDepth: Int)
+      : DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.persist(lvl)
+    var visited = sources.select(col("node"), lit(0).as("dist"))
+      .localCheckpoint(eager = true)
+    var frontier = visited
+    try {
+      var d = 0
+      while (d < maxDepth && !frontier.isEmpty) {
+        d += 1
+        val next = frontier.join(e, frontier("node") === e("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .withColumn("dist", lit(d))
+          .localCheckpoint(eager = true)
+        visited = visited.unionByName(next).localCheckpoint(eager = true)
+        frontier = next
+      }
+      visited
+    } finally e.unpersist(blocking = false): Unit
+  }
+
   val all: Map[String, Q] = Map(
     // ------------------------------------------------------------------
     // PageRank on the trading graph — iterative -> rows-only for the
@@ -108,6 +139,41 @@ object Graph {
                 UNION ALL SELECT dst, src FROM pairs),
         deg AS (SELECT src, count(*) AS degree FROM sym GROUP BY src)
         SELECT degree, count(*) AS n_nodes FROM deg
-        GROUP BY degree ORDER BY degree"""))
+        GROUP BY degree ORDER BY degree""")),
+
+    // ------------------------------------------------------------------
+    // Multi-source BFS distances on the trading graph, sources = the
+    // first 20 customers that traded, 3 hops. EXACT (hop counts, not
+    // ranks), so it oracles against DuckDB's recursive CTE — UNION
+    // (not UNION ALL) recursion keeps the working set to distinct
+    // (node, dist) rows, the same dedup-per-frontier the Spark side's
+    // anti join performs. Output is the per-distance layer profile
+    // (count + key checksum), which pins every node's distance
+    // without emitting 10k+ node rows.
+    "graph_shortest_path" -> Q(
+      (s, dir) => {
+        val edges = tradeEdges(s, dir)
+        val sources = edges.select(col("src").as("node"))
+          .filter(col("node") <= 20).distinct()
+        shortestPaths(edges, sources, maxDepth = 3)
+          .groupBy("dist")
+          .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"))
+          .orderBy("dist")
+      },
+      Some("""
+        WITH RECURSIVE pairs AS (
+          SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        sym AS (SELECT src, dst FROM pairs
+                UNION ALL SELECT dst, src FROM pairs),
+        bfs(node, dist) AS (
+          SELECT DISTINCT src AS node, 0 AS dist FROM sym WHERE src <= 20
+          UNION
+          SELECT s.dst, b.dist + 1 FROM bfs b
+          JOIN sym s ON s.src = b.node WHERE b.dist < 3),
+        best AS (SELECT node, min(dist) AS dist FROM bfs GROUP BY node)
+        SELECT dist, count(*) AS n_nodes,
+               CAST(sum(node) AS BIGINT) AS node_sum
+        FROM best GROUP BY dist ORDER BY dist"""))
   )
 }

@@ -130,9 +130,11 @@ object Incremental {
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     // ------------------------------------------------------------------
-    // KMV distinct sketch per group: EXACT below k (here the 150-user
-    // universe sits under k=256, so the oracle is count(DISTINCT)),
-    // fixed 8k-byte mergeable state at any cardinality — the
+    // KMV distinct sketch per group: EXACT below k — k=4096 covers
+    // the distinct-user universe at every shipped SF (1500 at sf0.1),
+    // so the oracle is count(DISTINCT); the round-3 sf0.1 cross-check
+    // caught k=256 silently switching groups into estimation mode.
+    // Fixed 32 KiB mergeable state at any cardinality — the
     // incremental/streaming answer when distinct state must survive
     // merges without holding the key space (estimation error spec'd
     // at forced overflow in IncrementalSpec).
@@ -140,7 +142,7 @@ object Incremental {
       (s, dir) => {
         Tables.events(s, dir)
           .groupBy("event_type")
-          .agg(graft.functions.Kmv(256, xxhash64(col("user_id")))
+          .agg(graft.functions.Kmv(4096, xxhash64(col("user_id")))
             .as("uniq_users"))
           .orderBy("event_type")
       },

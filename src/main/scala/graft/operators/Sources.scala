@@ -3,7 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.Dec._
 import graft.{Sql => S}
-import graft.sources.Sink
+import graft.sources.{Sink, TimeTravel}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -460,7 +460,75 @@ object Sources {
       },
       Some("""
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-        FROM orders WHERE o_custkey = 42 ORDER BY o_orderkey"""))
+        FROM orders WHERE o_custkey = 42 ORDER BY o_orderkey""")),
+
+    // ------------------------------------------------------------------
+    // Snapshot time travel (graft.sources.TimeTravel): v1 commits the
+    // pre-1997 orders, v2 APPENDS the rest; the query reads BOTH
+    // versions after v2 is published and returns per-version yearly
+    // rollups. A pass proves v1 still reads exactly its snapshot
+    // (append never rewrote its files) and v2 composes to the full
+    // table. TimeTravelSpec additionally proves overwrite isolation
+    // and manifest-flip atomicity properties.
+    "src_time_travel" -> Q(
+      (s, dir) => {
+        val root = tmp(dir, "timetravel")
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val o = Tables.orders(s, dir)
+        val v1 = TimeTravel.commitAppend(
+          o.filter(col("o_orderdate") < "1997-01-01"), root)
+        val v2 = TimeTravel.commitAppend(
+          o.filter(col("o_orderdate") >= "1997-01-01"), root)
+        def roll(v: Int) = TimeTravel.readVersion(s, root, v)
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("version", lit(v))
+        roll(v1).unionByName(roll(v2))
+          .select("version", "o_year", "n", "total")
+          .orderBy("version", "o_year")
+      },
+      Some(s"""
+        SELECT 1 AS version, year(o_orderdate) AS o_year, count(*) AS n,
+               ${S.dsum("o_totalprice")} AS total
+        FROM orders WHERE o_orderdate < DATE '1997-01-01' GROUP BY 2
+        UNION ALL
+        SELECT 2, year(o_orderdate), count(*), ${S.dsum("o_totalprice")}
+        FROM orders GROUP BY 2
+        ORDER BY version, o_year""")),
+
+    // ------------------------------------------------------------------
+    // Small-file compaction (Sink.compactPartitioned): a fragmented
+    // day-partitioned layout (forced 16-way split per append — the
+    // shape continuous ingest leaves behind) is rewritten to ONE
+    // sorted file per partition in a NEW directory (publish = pointer
+    // flip, never in-place). The query returns per-day rollups of the
+    // COMPACTED copy; the oracle runs on the source table, so a pass
+    // proves compaction is row-exact. TtlDropSpec asserts the layout
+    // half: exactly one file per partition afterwards.
+    "sink_compact" -> Q(
+      (s, dir) => {
+        val frag = tmp(dir, "compact_in")
+        val out = tmp(dir, "compact_out")
+        Tables.events(s, dir)
+          .select("event_id", "user_id", "event_type", "ts_us", "value")
+          .withColumn("ev_day",
+            from_unixtime(expr("ts_us div 1000000"), "yyyy-MM-dd"))
+          .repartition(16) // fragment: every task writes every partition
+          .write.mode("overwrite").partitionBy("ev_day").parquet(frag)
+        Sink.compactPartitioned(s, frag, out, "ev_day",
+          Seq("user_id", "ts_us"))
+        s.read.parquet(out)
+          .groupBy(col("ev_day").cast("string").as("ev_day"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("uniq_users"),
+            dsum(col("value")).as("total"))
+          .orderBy("ev_day")
+      },
+      Some(s"""
+        SELECT strftime(ts, '%Y-%m-%d') AS ev_day, count(*) AS n,
+               count(DISTINCT user_id) AS uniq_users, ${S.dsum("value")} AS total
+        FROM events GROUP BY 1 ORDER BY ev_day"""))
   )
 
   /** The bucketed-orders catalog table, (re)written once per (JVM,

@@ -58,4 +58,23 @@ class GraphSpec extends SparkSpec {
     assert(ranks.zip(ranks.tail).forall { case (x, y) => x >= y },
       "not sorted by rank")
   }
+
+  test("shortestPaths computes exact hop distances with a depth cap") {
+    // chain 10-11-12-13-14 plus a shortcut 10->13, symmetrized
+    val raw = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (10L, 13L))
+      .toDF("src", "dst")
+    val sym = raw.unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
+    val sources = Seq(10L).toDF("node")
+    val got = Graph.shortestPaths(sym, sources, maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 12 is reachable in 2 both via 11 and via 13 — distance must be
+    // the MIN, and 14 (dist 2 via the shortcut) must be found even
+    // though the chain route is 4 hops
+    assert(got == Map(10L -> 0, 11L -> 1, 13L -> 1, 12L -> 2, 14L -> 2))
+
+    // depth 1 stops at the frontier: no dist-2 nodes
+    val d1 = Graph.shortestPaths(sym, sources, maxDepth = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d1 == Map(10L -> 0, 11L -> 1, 13L -> 1))
+  }
 }
