@@ -3,7 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.Dec._
 import graft.{Sql => S}
-import graft.sources.{Sink, TimeTravel}
+import graft.sources.{Dq, Sink, TimeTravel}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -528,7 +528,81 @@ object Sources {
       Some(s"""
         SELECT strftime(ts, '%Y-%m-%d') AS ev_day, count(*) AS n,
                count(DISTINCT user_id) AS uniq_users, ${S.dsum("value")} AS total
-        FROM events GROUP BY 1 ORDER BY ev_day"""))
+        FROM events GROUP BY 1 ORDER BY ev_day""")),
+
+    // ------------------------------------------------------------------
+    // Declarative data-quality expectations (graft.sources.Dq): five
+    // scan rules compile into ONE aggregate pass over orders (one
+    // scan however many rules), plus one broadcast anti-join
+    // referential check against customer. The value-range rule is
+    // deliberately one that FIRES, so a pass proves real counting,
+    // not all-zeros.
+    "dq_checks" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val scan = Dq.scanChecks(o, Seq(
+          Dq.uniqueRule("dup_orderkey", col("o_orderkey")),
+          Dq.rowRule("null_orderdate", col("o_orderdate").isNull),
+          Dq.rowRule("neg_totalprice", col("o_totalprice") < 0),
+          Dq.rowRule("bad_status",
+            !col("o_orderstatus").isin("F", "O", "P")),
+          Dq.rowRule("price_over_300k", col("o_totalprice") > 300000)))
+        scan.unionByName(Dq.refCheck("fk_custkey", o, col("o_custkey"),
+            Tables.customer(s, dir), col("c_custkey")))
+          .orderBy("rule")
+      },
+      Some("""
+        SELECT 'dup_orderkey' AS rule,
+               count(*) - count(DISTINCT o_orderkey) AS violations FROM orders
+        UNION ALL SELECT 'null_orderdate',
+               count(*) FILTER (WHERE o_orderdate IS NULL) FROM orders
+        UNION ALL SELECT 'neg_totalprice',
+               count(*) FILTER (WHERE o_totalprice < 0) FROM orders
+        UNION ALL SELECT 'bad_status',
+               count(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P'))
+               FROM orders
+        UNION ALL SELECT 'price_over_300k',
+               count(*) FILTER (WHERE o_totalprice > 300000) FROM orders
+        UNION ALL SELECT 'fk_custkey',
+               (SELECT count(*) FROM orders
+                LEFT JOIN customer ON o_custkey = c_custkey
+                WHERE c_custkey IS NULL)
+        ORDER BY rule""")),
+
+    // ------------------------------------------------------------------
+    // Write-audit-publish: the incremental batch is STAGED (invisible
+    // to readers), audited by the dq engine, and only a clean audit
+    // publishes it — one rename + one manifest write, no data copy.
+    // The query returns the published table's yearly rollup; the
+    // oracle is the full source table, so a pass proves the staged
+    // batch became exactly visible. TimeTravelSpec proves the abort
+    // half: a failing audit leaves every published version untouched.
+    "sink_wap" -> Q(
+      (s, dir) => {
+        val root = tmp(dir, "wap")
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val o = Tables.orders(s, dir)
+        TimeTravel.commitAppend(
+          o.filter(col("o_orderdate") < "1997-01-01"), root): Unit
+        TimeTravel.stage(
+          o.filter(col("o_orderdate") >= "1997-01-01"), root, "inc")
+        val audit = Dq.scanChecks(TimeTravel.readStaged(s, root, "inc"), Seq(
+          Dq.uniqueRule("dup_orderkey", col("o_orderkey")),
+          Dq.rowRule("null_orderdate", col("o_orderdate").isNull),
+          Dq.rowRule("neg_totalprice", col("o_totalprice") < 0)))
+        if (Dq.passes(audit)) TimeTravel.publishStaged(s, root, "inc"): Unit
+        else TimeTravel.abortStaged(s, root, "inc")
+        TimeTravel.readLatest(s, root)
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_year")
+      },
+      Some(s"""
+        SELECT year(o_orderdate) AS o_year, count(*) AS n,
+               ${S.dsum("o_totalprice")} AS total
+        FROM orders GROUP BY 1 ORDER BY o_year"""))
   )
 
   /** The bucketed-orders catalog table, (re)written once per (JVM,

@@ -99,4 +99,43 @@ object TimeTravel {
   /** Read the latest snapshot. */
   def readLatest(spark: SparkSession, root: String): DataFrame =
     readVersion(spark, root, currentVersion(spark, root))
+
+  // ---- write-audit-publish (WAP) ------------------------------------
+
+  /** Stage a batch WITHOUT publishing: files land under
+    * data/stage-<tag>, invisible to every reader (readers only follow
+    * manifests). The staged copy is what an audit runs against.
+    */
+  def stage(df: DataFrame, root: String, tag: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(s"$root/data/stage-$tag")
+
+  /** Read a staged (unpublished) batch for auditing. */
+  def readStaged(spark: SparkSession, root: String, tag: String): DataFrame =
+    spark.read.parquet(s"$root/data/stage-$tag")
+
+  /** Promote an audited staged batch to the next snapshot: one
+    * directory rename + one manifest write — no data is copied, so
+    * publish cost is independent of batch size. Returns the new
+    * version.
+    */
+  def publishStaged(spark: SparkSession, root: String, tag: String,
+      append: Boolean = true): Int = {
+    val f = fs(spark, root)
+    val parent = currentVersion(spark, root)
+    val v = parent + 1
+    val dataDir = s"data/s$v"
+    require(f.rename(new Path(root, s"data/stage-$tag"), new Path(root, dataDir)),
+      s"stage-$tag does not exist or s$v is taken")
+    val dirs =
+      if (append && parent > 0) readManifest(spark, root, parent) :+ dataDir
+      else Seq(dataDir)
+    writeManifest(spark, root, v, dirs)
+    v
+  }
+
+  /** Drop a staged batch that failed its audit. Published versions
+    * are untouched — the failed data never became visible.
+    */
+  def abortStaged(spark: SparkSession, root: String, tag: String): Unit =
+    fs(spark, root).delete(new Path(root, s"data/stage-$tag"), true): Unit
 }

@@ -48,6 +48,37 @@ class TimeTravelSpec extends SparkSpec {
     assert(v1Files == before, "overwrite touched a historical data file")
   }
 
+  test("WAP: a failing audit aborts the stage; published versions untouched") {
+    val root = freshRoot("wap")
+    val o = Tables.orders(spark, sf)
+    val v1 = TimeTravel.commitAppend(o, root)
+    val rows1 = TimeTravel.readVersion(spark, root, v1).count()
+
+    // corrupt batch: planted NULL order dates
+    val bad = o.limit(50).withColumn("o_orderdate",
+      lit(null).cast(o.schema("o_orderdate").dataType))
+    TimeTravel.stage(bad, root, "bad")
+    val audit = Dq.scanChecks(TimeTravel.readStaged(spark, root, "bad"), Seq(
+      Dq.rowRule("null_orderdate", col("o_orderdate").isNull),
+      Dq.uniqueRule("dup_orderkey", col("o_orderkey"))))
+    assert(!Dq.passes(audit), "planted corruption passed the audit")
+    TimeTravel.abortStaged(spark, root, "bad")
+
+    // nothing moved: same current version, same rows, stage gone
+    assert(TimeTravel.currentVersion(spark, root) == v1)
+    assert(TimeTravel.readLatest(spark, root).count() == rows1)
+    assert(!new java.io.File(s"$root/data/stage-bad").exists())
+
+    // the clean batch sails through the same gate
+    TimeTravel.stage(o.limit(10), root, "good")
+    val audit2 = Dq.scanChecks(TimeTravel.readStaged(spark, root, "good"),
+      Seq(Dq.rowRule("null_orderdate", col("o_orderdate").isNull)))
+    assert(Dq.passes(audit2))
+    val v2 = TimeTravel.publishStaged(spark, root, "good")
+    assert(v2 == v1 + 1)
+    assert(TimeTravel.readLatest(spark, root).count() == rows1 + 10)
+  }
+
   test("a commit never reshuffles reads: pushdown survives time travel") {
     val root = freshRoot("pushdown")
     TimeTravel.commitAppend(Tables.orders(spark, sf), root): Unit
