@@ -137,6 +137,51 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("checkpoint restart recovers aggregation state: no loss, no reprocess") {
+    // The deployment property AvailableNow only implies: a STOPPED
+    // stateful query restarted from its checkpoint must (a) remember
+    // aggregate state from before the stop and (b) skip files it
+    // already consumed. Run 1 drains half the events and stops; more
+    // files arrive; run 2 restarts from the same checkpoint and must
+    // produce the FULL counts while its source reads only the new
+    // file.
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_restart"
+    val dataDir = s"$base/data"; val ckpt = s"$base/ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val e = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts_us", "value")
+    val half1 = e.filter(pmod(col("event_id"), lit(2)) === 0)
+    val half2 = e.filter(pmod(col("event_id"), lit(2)) === 1)
+    half1.coalesce(1).write.mode("append").parquet(dataDir)
+
+    @volatile var last: Map[String, Long] = Map.empty
+    def runDrain(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(dataDir)
+        .groupBy("event_type").count()
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val rows = b.collect()
+          if (rows.nonEmpty)
+            last = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000): Unit
+    }
+    def counts(df: DataFrame): Map[String, Long] =
+      df.groupBy("event_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    runDrain()
+    assert(last == counts(half1), "run 1 must see exactly the staged half")
+
+    half2.coalesce(1).write.mode("append").parquet(dataDir)
+    runDrain() // NEW query, SAME checkpoint
+    assert(last == counts(e),
+      "restart must recover run-1 state and add only the new file")
+  }
+
   test("streaming KMV sketch distinct equals the batch twin") {
     val streamed = runToCompletion(
       streamedEvents
