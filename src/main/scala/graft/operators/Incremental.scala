@@ -5,6 +5,7 @@ import graft.Dec._
 import graft.{Sql => S}
 import graft.sources.Sink
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Incremental-maintenance surface: ClickHouse materialized-view
   * semantics (per-insert partial-state merge into an aggregate
@@ -97,6 +98,42 @@ object Incremental {
                AND o_orderdate <  TIMESTAMP '1997-07-20'
                AND o_orderstatus = 'F')
         GROUP BY 1 ORDER BY o_month""")),
+
+    // ------------------------------------------------------------------
+    // Predicate UPDATE mutation (CH `ALTER TABLE ... UPDATE`), the
+    // copy-on-write twin of sink_delete_mutation: a mispriced July
+    // window is repriced +5% in place; only partitions DISCOVERED to
+    // contain matches are rewritten (Sink.updateWhere), others stay
+    // byte-identical. Oracle applies the same CASE to the source, so
+    // a pass proves both the update arithmetic and that untouched
+    // rows survived the rewrite unchanged.
+    "sink_update_mutation" -> Q(
+      (s, dir) => {
+        val out = tmp(dir, "updmut")
+        Tables.orders(s, dir)
+          .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+          .write.mode("overwrite").partitionBy("o_month").parquet(out)
+        val pred = col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-08-01").cast("timestamp") &&
+          col("o_orderstatus") === "O"
+        Sink.updateWhere(s, out, "o_month", pred, Seq(
+          "o_totalprice" ->
+            (d(col("o_totalprice")) * lit(1.05).cast(DecimalType(3, 2)))
+              .cast("double")))
+        s.read.parquet(out)
+          .groupBy(col("o_month").cast("string").as("o_month"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_month")
+      },
+      Some(s"""
+        SELECT strftime(o_orderdate, '%Y-%m') AS o_month, count(*) AS n,
+               CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1997-07-01'
+                          AND o_orderdate <  TIMESTAMP '1997-08-01'
+                          AND o_orderstatus = 'O'
+                 THEN CAST(CAST(${S.d("o_totalprice")} * CAST(1.05 AS DECIMAL(3,2))
+                   AS DOUBLE) AS DECIMAL(12,4))
+                 ELSE ${S.d("o_totalprice")} END) AS DOUBLE) AS total
+        FROM orders GROUP BY 1 ORDER BY o_month""")),
 
     // ------------------------------------------------------------------
     // Projection routing (CH `ALTER TABLE ... ADD PROJECTION`): a

@@ -244,6 +244,35 @@ object Sink {
     affected
   }
 
+  /** Predicate UPDATE (ClickHouse `ALTER TABLE ... UPDATE col = expr
+    * WHERE pred`) with the same partition-scoped copy-on-write shape
+    * as [[deleteWhere]]: discover which partitions hold matching rows
+    * via a pruned scan, then rewrite ONLY those partitions with each
+    * assignment applied under `when(pred, ...)`. Untouched partitions
+    * keep their files byte-for-byte. Returns the affected partition
+    * values.
+    */
+  def updateWhere(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      partitionCol: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Seq[(String, org.apache.spark.sql.Column)]): Seq[String] = {
+    val t = spark.read.parquet(path)
+    val affected = t.filter(predicate)
+      .select(col(partitionCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (affected.nonEmpty) {
+      val updated = set.foldLeft(t.filter(col(partitionCol).isin(affected: _*))) {
+        case (df, (c, v)) => df.withColumn(c, when(predicate, v).otherwise(col(c)))
+      }
+      updated.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol)
+        .parquet(path)
+    }
+    affected
+  }
+
   /** ClickHouse-style table layout on write: PARTITION BY a derived
     * key (classically the month), ORDER BY sort columns within each
     * partition — the layout that makes partition pruning + range

@@ -63,6 +63,40 @@ class IncrementalSpec extends SparkSpec {
     assert(survivors.count() == 0, "matching rows survived the delete")
   }
 
+  test("update mutation rewrites ONLY partitions containing matches") {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_updspec"
+    Tables.orders(spark, sf)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.mode("overwrite").partitionBy("o_month").parquet(out)
+    def fileSnapshot(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(out))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.lastModified).toMap
+    }
+    val pred = col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+      col("o_orderdate") < lit("1997-08-01").cast("timestamp")
+    val rowsBefore = spark.read.parquet(out).count()
+    val matchTotalBefore = spark.read.parquet(out).filter(pred)
+      .agg(sum(col("o_totalprice"))).head.getDouble(0)
+    val before = fileSnapshot()
+    val affected = Sink.updateWhere(spark, out, "o_month", pred,
+      Seq("o_totalprice" -> (col("o_totalprice") * 2)))
+    assert(affected == Seq("1997-07"), s"wrong affected set: $affected")
+    val after = fileSnapshot()
+    val untouchedBefore = before.filter(!_._1.contains("o_month=1997-07"))
+    val untouchedAfter = after.filter(!_._1.contains("o_month=1997-07"))
+    assert(untouchedBefore == untouchedAfter,
+      "files outside the affected partition were rewritten")
+    // row count preserved (update, not delete) and values doubled
+    assert(spark.read.parquet(out).count() == rowsBefore)
+    val matchTotalAfter = spark.read.parquet(out).filter(pred)
+      .agg(sum(col("o_totalprice"))).head.getDouble(0)
+    assert(math.abs(matchTotalAfter - 2 * matchTotalBefore) < 1e-6,
+      s"expected doubled total, got $matchTotalAfter vs 2x$matchTotalBefore")
+  }
+
   test("projection routing: plan scans the projection, not the base table") {
     val df = SparkEntry.registry("mv_route").fn(spark, sf)
     val p = df.queryExecution.executedPlan.toString
