@@ -26,7 +26,78 @@ object TextAnalysis {
   private def scoreSql(lang: String) =
     s"CAST(len(list_filter(string_split(text, ' '), t -> t IN (${inList(stop(lang))}))) AS INTEGER)"
 
+  /** Iterative BPE tokenizer training (Sennrich-style, word-level):
+    * greedy top-pair merges applied corpus-wide. Spark shape:
+    *
+    *   - The ONE corpus-sized job is the initial word-frequency
+    *     aggregate (map-side combined scan). Everything after runs on
+    *     the VOCAB-sized (word, freq, symbols) state — supersteps
+    *     cost is independent of corpus bytes, which is what makes BPE
+    *     trainable at 100 TB.
+    *   - Each step: adjacent symbol pairs via slice+zip_with
+    *     (codegen'd), one freq-weighted count, a deterministic top-1
+    *     (score desc, pair asc — ties never flap), then the merge is
+    *     applied to every word in one HOF fold (greedy left-to-right,
+    *     non-overlapping: "aaa" + (a,a) -> [aa, a]). The interpreted
+    *     lambda touches vocab rows only, never the corpus.
+    *   - Lineage is checkpoint-cut per step like [[graft.operators.Graph.pageRank]].
+    *
+    * Returns the merge table (step, left, right, score) — the learned
+    * tokenizer.
+    */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, merges: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var state = words
+      .select(col("freq"), split(col("w"), "").as("syms"))
+      .localCheckpoint(eager = true)
+    val learned = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var step = 0
+    var exhausted = false
+    while (step < merges && !exhausted) {
+      step += 1
+      val n = size(col("syms"))
+      val pairs = state.select(col("freq"), explode(
+        zip_with(slice(col("syms"), lit(1), n - 1),
+          slice(col("syms"), lit(2), n - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      val top = pairs
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("score"))
+        .orderBy(col("score").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        learned += ((step, a, b, top(0).getLong(2)))
+        state = state.withColumn("syms",
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, x) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat_ws("", element_at(acc, -1), x))))
+              .otherwise(concat(acc, array(x)))))
+          .localCheckpoint(eager = true)
+      }
+    }
+    learned.toSeq.toDF("step", "left", "right", "score")
+  }
+
   val all: Map[String, Q] = Map(
+    // ------------------------------------------------------------------
+    // Iterative BPE training (see bpeTrain): 10 greedy merges over the
+    // documents corpus. Iterative + driver-coordinated -> rows-only
+    // for the driver; TextSpec pins the first four merges of the
+    // classic low/lower/newest/widest corpus by hand.
+    "txt_bpe_train" -> Q(
+      (s, dir) => bpeTrain(Tables.documents(s, dir), 10),
+      None),
+
     // ------------------------------------------------------------------
     //
 
