@@ -390,6 +390,49 @@ object ClickHouse {
         ORDER BY cents DESC, o_orderpriority ASC LIMIT 3""")),
 
     // ------------------------------------------------------------------
+    // quantileExact-style DISCONTINUOUS percentile (a member of the
+    // data, no interpolation — CH quantileExact / ANSI
+    // percentile_disc). Engine-portable by pinning the rank formula
+    // itself — the value at row_number ceil(p*n) under a total order
+    // — instead of trusting two engines' builtin index conventions to
+    // agree. One window pass + one aggregate; picks are conditional
+    // maxes, so per-group state is O(1).
+    "ch_quantile_disc" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val wn = Window.partitionBy("o_orderpriority")
+        def pick(p: Double) =
+          max(when(col("rn") === ceil(col("n") * p),
+            d(col("o_totalprice")))).cast("double")
+        Tables.orders(s, dir)
+          .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wn))
+          .groupBy("o_orderpriority")
+          .agg(pick(0.25).as("p25"), pick(0.5).as("p50"),
+            pick(0.9).as("p90"), max(col("n")).as("n"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""
+        WITH r AS (
+          SELECT o_orderpriority, o_totalprice, o_orderkey,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey) AS rn,
+                 count(*) OVER (PARTITION BY o_orderpriority) AS n
+          FROM orders)
+        SELECT o_orderpriority,
+               CAST(max(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT)
+                 THEN ${S.d("o_totalprice")} END) AS DOUBLE) AS p25,
+               CAST(max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                 THEN ${S.d("o_totalprice")} END) AS DOUBLE) AS p50,
+               CAST(max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
+                 THEN ${S.d("o_totalprice")} END) AS DOUBLE) AS p90,
+               max(n) AS n
+        FROM r GROUP BY 1 ORDER BY o_orderpriority""")),
+
+    // ------------------------------------------------------------------
     // quantile/quantiles: exact interpolated percentiles per group.
     "ch_quantiles" -> Q(
       (s, dir) => {
