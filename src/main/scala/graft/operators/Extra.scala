@@ -669,6 +669,44 @@ object Extra {
              LATERAL UNNEST(generate_series(o_orderdate,
                o_orderdate + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS d(d)
         WHERE o_orderdate BETWEEN DATE '1995-06-01' AND DATE '1995-06-30'
-        GROUP BY 1 ORDER BY active_day"""))
+        GROUP BY 1 ORDER BY active_day""")),
+
+    // ------------------------------------------------------------------
+    // Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    // user via the classic day_number - row_number grouping key (two
+    // window passes, one aggregate — no self-join, no iteration).
+    // Output is each user's islands with start/end/length; the same
+    // constant-shift trick both engines compute identically.
+    "q_gaps_islands" -> Q(
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy("day_n")
+        Tables.events(s, dir)
+          .select(col("user_id"),
+            to_date(col("ts")).as("day"),
+            datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+              .as("day_n"))
+          .distinct()
+          .withColumn("grp", col("day_n") - row_number().over(byUser))
+          .groupBy("user_id", "grp")
+          .agg(min(col("day")).cast("string").as("island_start"),
+            max(col("day")).cast("string").as("island_end"),
+            count(lit(1)).as("days"))
+          .drop("grp")
+          .orderBy("user_id", "island_start")
+      },
+      Some("""
+        WITH d AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+                 datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_n
+          FROM events),
+        g AS (
+          SELECT user_id, day,
+                 day_n - row_number() OVER (PARTITION BY user_id
+                   ORDER BY day_n) AS grp
+          FROM d)
+        SELECT user_id, CAST(min(day) AS VARCHAR) AS island_start,
+               CAST(max(day) AS VARCHAR) AS island_end, count(*) AS days
+        FROM g GROUP BY user_id, grp
+        ORDER BY user_id, island_start"""))
   )
 }
