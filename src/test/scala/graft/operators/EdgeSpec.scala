@@ -58,6 +58,26 @@ class EdgeSpec extends SparkSpec {
     assert(mapped.bad.count() === 2L)
   }
 
+  test("time travel: reading an uncommitted version fails loudly, not silently") {
+    import graft.sources.TimeTravel
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_tt_edge"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    TimeTravel.commitAppend(Tables.nation(spark, sf), root): Unit
+    intercept[Exception] { TimeTravel.readVersion(spark, root, 7).count() }
+    // current version is still readable after the failed probe
+    assert(TimeTravel.readLatest(spark, root).count() > 0)
+  }
+
+  test("dq: a single-rule check and an all-clean audit both behave") {
+    import graft.sources.Dq
+    val one = Dq.scanChecks(Tables.nation(spark, sf),
+      Seq(Dq.rowRule("null_name", col("n_name").isNull)))
+    val rows = one.collect()
+    assert(rows.length === 1 && rows.head.getString(0) === "null_name" &&
+      rows.head.getLong(1) === 0L)
+    assert(Dq.passes(one))
+  }
+
   test("interval join with a window smaller than any gap returns empty") {
     val e = Tables.events(spark, sf)
       .filter(col("event_type") === "error")
