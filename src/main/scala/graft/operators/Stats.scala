@@ -733,6 +733,79 @@ object Stats {
     // of absolute deviations in a second — both interpolated
     // identically in the two engines, and |x - m| is a single exact
     // IEEE subtraction.
+    // ------------------------------------------------------------------
+    // Pearson chi-square independence test + Cramer's V over the
+    // (orderstatus x orderpriority) contingency table. All counts are
+    // exact longs; every per-cell double term uses the IDENTICAL IEEE
+    // tree in both engines ((rt*ct)/n, dev*dev/exp — products stay
+    // under 2^53 so the double casts are exact); and the closing sum
+    // runs as a SHARED FOLD over the cells in (status, priority)
+    // order — Spark aggregate() and DuckDB list_reduce add the same
+    // 15 doubles in the same order, so the statistic is bit-identical
+    // with no decimal-rounding crutch (the ch_sequencecount device
+    // applied to floating-point reduction).
+    "ch_chi_square" -> Q(
+      (s, dir) => {
+        val wAll = Window.partitionBy(lit(1))
+        val cells = Tables.orders(s, dir)
+          .groupBy(col("o_orderstatus").as("st"), col("o_orderpriority").as("pr"))
+          .agg(count(lit(1)).as("obs"))
+          .withColumn("rt", sum(col("obs")).over(Window.partitionBy("st")))
+          .withColumn("ct", sum(col("obs")).over(Window.partitionBy("pr")))
+          .withColumn("n", sum(col("obs")).over(wAll))
+          .withColumn("nr", size(collect_set(col("st")).over(wAll)))
+          .withColumn("nc", size(collect_set(col("pr")).over(wAll)))
+        val expv = (col("rt").cast("double") * col("ct").cast("double")) /
+          col("n").cast("double")
+        val dev = col("obs").cast("double") - expv
+        val chi = aggregate(
+          expr("transform(cells, c -> c.term)"), lit(0.0), (acc, x) => acc + x)
+        cells
+          .withColumn("term", dev * dev / expv)
+          .groupBy("n", "nr", "nc")
+          .agg(sort_array(collect_list(struct(col("st"), col("pr"),
+            col("term")))).as("cells"))
+          .select(col("n"),
+            chi.as("chi2"),
+            ((col("nr") - 1) * (col("nc") - 1)).cast("long").as("dof"),
+            sqrt(chi / (col("n").cast("double") *
+              least(col("nr") - 1, col("nc") - 1).cast("double")))
+              .as("cramers_v"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT o_orderstatus AS st, o_orderpriority AS pr,
+                 count(*) AS obs
+          FROM orders GROUP BY 1, 2),
+        t AS (
+          SELECT st, pr, obs,
+                 CAST(sum(obs) OVER (PARTITION BY st) AS BIGINT) AS rt,
+                 CAST(sum(obs) OVER (PARTITION BY pr) AS BIGINT) AS ct,
+                 CAST(sum(obs) OVER () AS BIGINT) AS n
+          FROM c),
+        term AS (
+          SELECT st, pr, n,
+                 (CAST(obs AS DOUBLE)
+                    - (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+                      / CAST(n AS DOUBLE))
+                 * (CAST(obs AS DOUBLE)
+                    - (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+                      / CAST(n AS DOUBLE))
+                 / ((CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+                    / CAST(n AS DOUBLE)) AS term
+          FROM t),
+        agg AS (
+          SELECT max(n) AS n,
+                 list_reduce(list_prepend(0.0,
+                   list(term ORDER BY st, pr)), (a, x) -> a + x) AS chi2,
+                 count(DISTINCT st) AS nr, count(DISTINCT pr) AS nc
+          FROM term)
+        SELECT n, chi2,
+               CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+               sqrt(chi2 / (CAST(n AS DOUBLE)
+                 * CAST(least(nr - 1, nc - 1) AS DOUBLE))) AS cramers_v
+        FROM agg""")),
+
     "ch_mad" -> Q(
       (s, dir) => {
         val med = Tables.lineitem(s, dir)
