@@ -734,6 +734,56 @@ object Stats {
     // identically in the two engines, and |x - m| is a single exact
     // IEEE subtraction.
     // ------------------------------------------------------------------
+    // Two-sample Kolmogorov-Smirnov statistic (CH
+    // kolmogorovSmirnovTest's D): D = max_v |F1(v) - F2(v)| computed
+    // EXACTLY — per distinct value one row of (cnt_a, cnt_b), one
+    // cumulative window pass, and the sup norm as the INTEGER
+    // max |ca*n2 - cb*n1| with a single closing division, so the
+    // double is bit-identical cross-engine by construction. The
+    // global cumulative window is one partition here; at 100 TB the
+    // same prefix-sum runs range-partitioned (two passes: per-range
+    // totals, then per-range offset + local cumsum).
+    "ch_ks_test" -> Q(
+      (s, dir) => {
+        val byVal = Window.orderBy("v").rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)
+        val cum = Tables.lineitem(s, dir)
+          .filter(col("l_returnflag").isin("A", "N"))
+          .groupBy(col("l_extendedprice").as("v"))
+          .agg(count_if(col("l_returnflag") === "A").as("a"),
+            count_if(col("l_returnflag") === "N").as("b"))
+          .withColumn("ca", sum(col("a")).over(byVal))
+          .withColumn("cb", sum(col("b")).over(byVal))
+        // totals first (one tiny job), then the exact sup norm — the
+        // driver-side scalars are two longs, not data
+        val t = cum.agg(max(col("ca")).as("n1"), max(col("cb")).as("n2"))
+          .head()
+        val (n1, n2) = (t.getLong(0), t.getLong(1))
+        cum.agg(
+            max(abs(col("ca") * lit(n2) - col("cb") * lit(n1))).as("d_num"))
+          .select(lit(n1).as("n1"), lit(n2).as("n2"), col("d_num"),
+            (col("d_num").cast("double") /
+              lit((n1 * n2).toDouble)).as("d"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT l_extendedprice AS v,
+                 count(*) FILTER (WHERE l_returnflag = 'A') AS a,
+                 count(*) FILTER (WHERE l_returnflag = 'N') AS b
+          FROM lineitem WHERE l_returnflag IN ('A', 'N') GROUP BY 1),
+        c AS (
+          SELECT v,
+                 CAST(sum(a) OVER (ORDER BY v) AS BIGINT) AS ca,
+                 CAST(sum(b) OVER (ORDER BY v) AS BIGINT) AS cb
+          FROM f),
+        t AS (SELECT max(ca) AS n1, max(cb) AS n2 FROM c)
+        SELECT t.n1, t.n2,
+               CAST(max(abs(ca * t.n2 - cb * t.n1)) AS BIGINT) AS d_num,
+               CAST(max(abs(ca * t.n2 - cb * t.n1)) AS DOUBLE)
+                 / CAST(t.n1 * t.n2 AS DOUBLE) AS d
+        FROM c, t GROUP BY t.n1, t.n2""")),
+
+    // ------------------------------------------------------------------
     // Pearson chi-square independence test + Cramer's V over the
     // (orderstatus x orderpriority) contingency table. All counts are
     // exact longs; every per-cell double term uses the IDENTICAL IEEE
