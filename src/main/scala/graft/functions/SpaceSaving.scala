@@ -79,3 +79,34 @@ final class SpaceSaving(val capacity: Int) extends Serializable {
     counts.iterator.map { case (key, c) => (key, c, errors.getOrElse(key, 0L)) }
       .toSeq.sortBy { case (key, c, _) => (-c, key) }.take(k)
 }
+
+object SpaceSaving {
+  import org.apache.spark.sql.{Column, Encoder, Encoders}
+  import org.apache.spark.sql.expressions.Aggregator
+  import org.apache.spark.sql.functions.udaf
+
+  /** The sketch as a Column aggregate (usable in batch AND streaming
+    * aggregations, unlike the RDD treeAggregate path): finish emits
+    * the deterministic top-k (count desc, key asc) as
+    * array<struct<key, cnt>>. Exact whenever the group's distinct
+    * cardinality fits `capacity` — which is what makes the test-SF
+    * oracle a plain GROUP BY count.
+    */
+  final class TopKAgg(capacity: Int, k: Int)
+      extends Aggregator[String, SpaceSaving, Seq[(String, Long)]] {
+    def zero: SpaceSaving = new SpaceSaving(capacity)
+    def reduce(b: SpaceSaving, a: String): SpaceSaving =
+      if (a == null) b else b.add(a)
+    def merge(a: SpaceSaving, b: SpaceSaving): SpaceSaving = a.merge(b)
+    def finish(r: SpaceSaving): Seq[(String, Long)] =
+      r.topK(k).map { case (key, c, _) => (key, c) }
+    def bufferEncoder: Encoder[SpaceSaving] =
+      Encoders.javaSerialization[SpaceSaving]
+    def outputEncoder: Encoder[Seq[(String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
+  }
+
+  /** `spaceSavingTopK(capacity, k)(col)` as a Column aggregate. */
+  def topk(capacity: Int, k: Int, c: Column): Column =
+    udaf(new TopKAgg(capacity, k), Encoders.STRING)(c)
+}

@@ -220,6 +220,41 @@ object Streaming {
       Some("""
         SELECT date_trunc('hour', ts) AS window_start,
                count(DISTINCT user_id) AS approx_uniq
-        FROM events GROUP BY 1 ORDER BY window_start"""))
+        FROM events GROUP BY 1 ORDER BY window_start""")),
+
+    // ------------------------------------------------------------------
+    // Space-saving top-k inside a (streamable) windowed aggregation:
+    // per hour, the 3 heaviest event types from a capacity-64 sketch —
+    // bounded state per window whatever the type cardinality, the
+    // heavy-hitter companion to stream_kmv_uniq's distinct sketch.
+    // Exact below capacity (5 types here), hence the plain GROUP BY
+    // count oracle; StreamingSpec runs the same aggregate through a
+    // genuine readStream.
+    "stream_topk" -> Q(
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(graft.functions.SpaceSaving.topk(64, 3, col("event_type"))
+            .as("top"))
+          .select(col("window.start").as("window_start"),
+            posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("window_start"),
+            (col("pos") + 1).cast("int").as("rank"),
+            col("t._1").as("event_type"), col("t._2").as("cnt"))
+          .orderBy("window_start", "rank")
+      },
+      Some("""
+        WITH c AS (
+          SELECT date_trunc('hour', ts) AS ws, event_type,
+                 count(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        r AS (
+          SELECT ws, event_type, cnt,
+                 CAST(row_number() OVER (PARTITION BY ws
+                   ORDER BY cnt DESC, event_type) AS INTEGER) AS rank
+          FROM c)
+        SELECT ws AS window_start, rank, event_type,
+               CAST(cnt AS BIGINT) AS cnt
+        FROM r WHERE rank <= 3 ORDER BY window_start, rank"""))
   )
 }

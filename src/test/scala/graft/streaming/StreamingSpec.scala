@@ -182,6 +182,24 @@ class StreamingSpec extends SparkSpec {
       "restart must recover run-1 state and add only the new file")
   }
 
+  test("streaming space-saving top-k equals the batch twin") {
+    val streamed = runToCompletion(
+      streamedEvents
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(graft.functions.SpaceSaving.topk(64, 3, col("event_type"))
+          .as("top"))
+        .select(unix_micros(col("window.start")).as("ws_us"),
+          posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("ws_us"), col("pos"),
+          col("t._1").as("event_type"), col("t._2").as("cnt")),
+      "stream_topk_t", "complete")
+    val batch = SparkEntry.registry("stream_topk").fn(spark, sf)
+      .select(unix_micros(col("window_start")).as("ws_us"),
+        (col("rank") - 1).cast("int").as("pos"), col("event_type"), col("cnt"))
+    assert(canon(streamed) == canon(batch))
+  }
+
   test("streaming KMV sketch distinct equals the batch twin") {
     val streamed = runToCompletion(
       streamedEvents
