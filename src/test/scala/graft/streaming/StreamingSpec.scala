@@ -182,6 +182,50 @@ class StreamingSpec extends SparkSpec {
       "restart must recover run-1 state and add only the new file")
   }
 
+  test("foreachBatch -> write-audit-publish quarantines corrupt micro-batches") {
+    import graft.sources.{Dq, TimeTravel}
+    // two staged files = two micro-batches (maxFilesPerTrigger=1):
+    // batch of evens is clean, batch of odds carries planted NULL
+    // event types — the dq audit must publish the first and abort the
+    // second, leaving the table at exactly one clean version
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_swap"
+    val dataDir = s"$base/in"; val root = s"$base/table"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val e = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts_us", "value")
+    e.filter(pmod(col("event_id"), lit(2)) === 0)
+      .coalesce(1).write.mode("append").parquet(dataDir)
+    Thread.sleep(1100)
+    e.filter(pmod(col("event_id"), lit(2)) === 1)
+      .withColumn("event_type",
+        when(pmod(col("event_id"), lit(7)) === 1, lit(null: String))
+          .otherwise(col("event_type")))
+      .coalesce(1).write.mode("append").parquet(dataDir)
+
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dataDir)
+      .writeStream
+      .foreachBatch { (b: DataFrame, epoch: Long) =>
+        val tag = f"e$epoch%06d"
+        TimeTravel.stage(b, root, tag)
+        val audit = Dq.scanChecks(TimeTravel.readStaged(spark, root, tag),
+          Seq(Dq.rowRule("null_event_type", col("event_type").isNull)))
+        if (Dq.passes(audit)) TimeTravel.publishStaged(spark, root, tag): Unit
+        else TimeTravel.abortStaged(spark, root, tag)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000): Unit
+
+    assert(TimeTravel.currentVersion(spark, root) == 1,
+      "exactly one clean micro-batch must have published")
+    val clean = e.filter(pmod(col("event_id"), lit(2)) === 0)
+    assert(TimeTravel.readLatest(spark, root).count() == clean.count())
+    // nothing of the corrupt batch leaked, staged or published
+    assert(!new java.io.File(s"$root/data").listFiles()
+      .exists(_.getName.startsWith("stage-")), "aborted stage left behind")
+  }
+
   test("streaming space-saving top-k equals the batch twin") {
     val streamed = runToCompletion(
       streamedEvents
