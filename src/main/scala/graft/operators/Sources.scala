@@ -570,6 +570,59 @@ object Sources {
         ORDER BY rule""")),
 
     // ------------------------------------------------------------------
+    // Column profiling (ANALYZE-style statistics collection, the
+    // input to CBO and pruning): min/max/exact-NDV/null-count for
+    // five orders columns in ONE scan — 20 aggregates in a single
+    // hash aggregation, then a stack() unpivot to long format.
+    // min/max surface as strings through type-stable casts (decimal
+    // for the money column so both engines render identically).
+    "dq_profile" -> Q(
+      (s, dir) => {
+        val cols = Seq(
+          "o_orderkey" -> col("o_orderkey"),
+          "o_custkey" -> col("o_custkey"),
+          "o_orderstatus" -> col("o_orderstatus"),
+          "o_totalprice" -> col("o_totalprice").cast(DecimalType(12, 2)),
+          "o_orderdate" -> col("o_orderdate").cast("date"))
+        val aggs = cols.flatMap { case (n, c) => Seq(
+          min(c).cast("string").as(s"${n}_min"),
+          max(c).cast("string").as(s"${n}_max"),
+          countDistinct(c).as(s"${n}_ndv"),
+          count_if(c.isNull).as(s"${n}_nulls")) }
+        val stacked = cols.map { case (n, _) =>
+          s"'$n', ${n}_min, ${n}_max, ${n}_ndv, ${n}_nulls" }.mkString(", ")
+        Tables.orders(s, dir)
+          .agg(aggs.head, aggs.tail: _*)
+          .select(expr(s"stack(${cols.size}, $stacked) " +
+            "AS (column_name, min_v, max_v, ndv, nulls)"))
+          .orderBy("column_name")
+      },
+      Some("""
+        SELECT 'o_orderkey' AS column_name,
+               CAST(min(o_orderkey) AS VARCHAR) AS min_v,
+               CAST(max(o_orderkey) AS VARCHAR) AS max_v,
+               count(DISTINCT o_orderkey) AS ndv,
+               count(*) FILTER (WHERE o_orderkey IS NULL) AS nulls
+        FROM orders
+        UNION ALL SELECT 'o_custkey', CAST(min(o_custkey) AS VARCHAR),
+               CAST(max(o_custkey) AS VARCHAR), count(DISTINCT o_custkey),
+               count(*) FILTER (WHERE o_custkey IS NULL) FROM orders
+        UNION ALL SELECT 'o_orderstatus', min(o_orderstatus),
+               max(o_orderstatus), count(DISTINCT o_orderstatus),
+               count(*) FILTER (WHERE o_orderstatus IS NULL) FROM orders
+        UNION ALL SELECT 'o_totalprice',
+               CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR),
+               CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR),
+               count(DISTINCT o_totalprice),
+               count(*) FILTER (WHERE o_totalprice IS NULL) FROM orders
+        UNION ALL SELECT 'o_orderdate',
+               CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR),
+               CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR),
+               count(DISTINCT o_orderdate),
+               count(*) FILTER (WHERE o_orderdate IS NULL) FROM orders
+        ORDER BY column_name""")),
+
+    // ------------------------------------------------------------------
     // Write-audit-publish: the incremental batch is STAGED (invisible
     // to readers), audited by the dq engine, and only a clean audit
     // publishes it — one rename + one manifest write, no data copy.
