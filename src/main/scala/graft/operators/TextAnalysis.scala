@@ -99,8 +99,49 @@ object TextAnalysis {
       None),
 
     // ------------------------------------------------------------------
-    //
+    // Vocabulary growth curve (Heaps' law measurement, the tokenizer-
+    // sizing input) over 3-gram shingles: cumulative distinct-shingle
+    // count after each decile of the corpus WITHOUT any windowed
+    // distinct — each shingle contributes only its FIRST-occurrence
+    // decile (one min per shingle), then a 10-row cumulative sum.
+    // Two narrow aggregations however large the corpus.
+    "txt_vocab_growth" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val firsts = docs.crossJoin(broadcast(n))
+          .select(expr("CAST((doc_id * 10) div n_docs AS INT)").as("decile"),
+            explode(expr("""
+              transform(sequence(1, size(split(lower(text), '\\s+')) - 2),
+                i -> concat_ws(' ', slice(split(lower(text), '\\s+'), i, 3)))
+              """)).as("term"))
+          .groupBy("term").agg(min(col("decile")).as("first_decile"))
+        firsts.groupBy("first_decile")
+          .agg(count(lit(1)).as("new_terms"))
+          .withColumn("vocab_size",
+            sum(col("new_terms")).over(Window.orderBy("first_decile")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .orderBy("first_decile")
+      },
+      Some("""
+        WITH firsts AS (
+          SELECT unnest([array_to_string(tl[i:i+2], ' ')
+                         for i in range(1, len(tl) - 1)]) AS term,
+                 CAST((doc_id * 10) // (SELECT count(*) FROM documents)
+                   AS INTEGER) AS decile
+          FROM (SELECT doc_id,
+                  regexp_split_to_array(lower(text), '\s+') AS tl
+                FROM documents)),
+        f AS (SELECT term, min(decile) AS first_decile FROM firsts
+              GROUP BY term),
+        d AS (SELECT first_decile, count(*) AS new_terms FROM f GROUP BY 1)
+        SELECT first_decile, new_terms,
+               CAST(sum(new_terms) OVER (ORDER BY first_decile
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+        FROM d ORDER BY first_decile""")),
 
+    // ------------------------------------------------------------------
     // Language ID: stopword-hit scoring per candidate language plus a
     // CJK-character count; argmax with a fixed priority order on ties.
     "txt_lang_id" -> Q(
