@@ -287,8 +287,16 @@ object Ann {
     // double exactly, is rounded to 6 decimals (no double is ever ON
     // a scale-6 tie, midpoints are not binary-representable, so both
     // engines' tie rules are moot), then sums exactly as
-    // DECIMAL(18,6) — the mean is one IEEE divide of identical
-    // operands in both engines.
+    // DECIMAL(18,6). The mean is then rounded to 6 decimals in pure
+    // INTEGER micro-unit arithmetic — HALF_UP((2|m|+cnt) div 2cnt) —
+    // and formatted from integers, because %.6f of an IEEE quotient
+    // is NOT cross-engine stable: the JVM formats the double's
+    // shortest decimal representation (so a quotient like
+    // -0.0230924999...8, shortest repr -0.0230925, HALF_UPs to
+    // -0.023093) while C/fmt printf correctly rounds the exact binary
+    // value (-0.023092). Integer arithmetic sidesteps the divergence.
+    // Output is the string-joined centroid (ch_grouparray's portable
+    // scalar device).
     "emb_centroid" -> Q(
       (s, dir) => {
         Tables.embeddings(s, dir)
@@ -297,12 +305,21 @@ object Ann {
             round(col("v").cast("double"), 6)
               .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("v6"))
           .groupBy("label", "i")
-          .agg((sum(col("v6")).cast("double") / count(lit(1))).as("c"),
+          .agg((sum(col("v6")) * lit(1000000)).cast("long").as("m"),
             count(lit(1)).as("cnt"))
+          // c6 = HALF_UP(m / cnt) in scale-6 micro units, exactly.
+          .withColumn("c6",
+            when(col("m") >= 0,
+              expr("(2 * m + cnt) div (2 * cnt)"))
+              .otherwise(-expr("(2 * (-m) + cnt) div (2 * cnt)")))
+          .withColumn("cs", format_string("%s%d.%06d",
+            when(col("c6") < 0, lit("-")).otherwise(lit("")),
+            expr("abs(c6) div 1000000"), expr("abs(c6) % 1000000")))
           .groupBy("label")
           .agg(
-            transform(array_sort(collect_list(struct(col("i"), col("c")))),
-              x => x("c")).as("centroid"),
+            concat_ws(",",
+              transform(array_sort(collect_list(struct(col("i"), col("cs")))),
+                x => x("cs"))).as("centroid"),
             max(col("cnt")).as("n_vectors"))
           .orderBy("label")
       },
@@ -313,12 +330,21 @@ object Ann {
         e AS (SELECT label, i,
                 CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6)) AS v6
               FROM e0),
-        m AS (SELECT label, i, CAST(sum(v6) AS DOUBLE) / count(*) AS c,
+        m AS (SELECT label, i, CAST(sum(v6) * 1000000 AS BIGINT) AS m,
                      count(*) AS cnt
-              FROM e GROUP BY label, i)
-        SELECT label, array_agg(c ORDER BY i) AS centroid,
+              FROM e GROUP BY label, i),
+        r AS (SELECT label, i, cnt,
+                CASE WHEN m >= 0 THEN (2 * m + cnt) // (2 * cnt)
+                     ELSE -((2 * (-m) + cnt) // (2 * cnt)) END AS c6
+              FROM m)
+        SELECT label,
+               array_to_string(array_agg(
+                 printf('%s%d.%06d',
+                   CASE WHEN c6 < 0 THEN '-' ELSE '' END,
+                   abs(c6) // 1000000, abs(c6) % 1000000)
+                 ORDER BY i), ',') AS centroid,
                max(cnt) AS n_vectors
-        FROM m GROUP BY label ORDER BY label"""))
+        FROM r GROUP BY label ORDER BY label"""))
   )
 
   /** Product-quantization codebooks: one seeded KMeans per subspace

@@ -199,33 +199,41 @@ object Stats {
     // 3-order moving spend. One window pass (exact decimal frame
     // sums) + one aggregation; the array is assembled from a struct
     // sort so the order is the window order, not arrival order.
+    // Output shape: each element is %.6f-formatted BEFORE the collect
+    // and the array is string-joined (as ch_grouparray does) so the
+    // result column is a portable scalar in every harness. The
+    // formatting is cross-engine exact: the doubles are bit-identical
+    // by construction and no double's exact decimal expansion can tie
+    // at the 7th digit (that would need a 5^7 denominator), so
+    // HALF_UP (JVM) and half-even (C printf) agree.
     "ch_moving_sum" -> Q(
       (s, dir) => {
         val w = Window.partitionBy("o_custkey")
           .orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, 0)
         Tables.orders(s, dir)
-          .withColumn("mv",
-            sum(d(col("o_totalprice"))).over(w).cast(DOut).cast("double"))
+          .withColumn("mv", format_string("%.6f",
+            sum(d(col("o_totalprice"))).over(w).cast(DOut).cast("double")))
           .groupBy("o_custkey")
           .agg(
-            transform(
+            concat_ws(",", transform(
               array_sort(collect_list(
                 struct(col("o_orderdate"), col("o_orderkey"), col("mv")))),
-              x => x("mv")).as("moving_sums"),
+              x => x("mv"))).as("moving_sums"),
             count(lit(1)).as("n_orders"))
           .orderBy("o_custkey")
       },
       Some(s"""
         WITH w AS (
           SELECT o_custkey, o_orderdate, o_orderkey,
-                 CAST(CAST(sum(${S.d("o_totalprice")}) OVER (
+                 printf('%.6f', CAST(CAST(sum(${S.d("o_totalprice")}) OVER (
                    PARTITION BY o_custkey
                    ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-                   AS DECIMAL(38,6)) AS DOUBLE) AS mv
+                   AS DECIMAL(38,6)) AS DOUBLE)) AS mv
           FROM orders)
         SELECT o_custkey,
-               array_agg(mv ORDER BY o_orderdate, o_orderkey) AS moving_sums,
+               array_to_string(array_agg(mv ORDER BY o_orderdate, o_orderkey),
+                 ',') AS moving_sums,
                count(*) AS n_orders
         FROM w GROUP BY o_custkey ORDER BY o_custkey"""),
     ),
@@ -236,44 +244,48 @@ object Stats {
     // are computed by WINDOW functions before the collect — exact
     // decimal lag-deltas and running sums — so no per-group array is
     // ever re-walked; the collect is pure assembly. First delta is 0,
-    // matching CH arrayDifference.
+    // matching CH arrayDifference. Elements are %.6f-formatted before
+    // the collect and string-joined for portable scalar output (see
+    // ch_moving_sum note on cross-engine formatting exactness).
     "ch_arraydiff" -> Q(
       (s, dir) => {
         val w = Window.partitionBy("o_custkey")
           .orderBy("o_orderdate", "o_orderkey")
         val p = d(col("o_totalprice"))
         Tables.orders(s, dir)
-          .withColumn("delta",
-            (p - lag(p, 1, 0).over(w)).cast("double"))
-          .withColumn("cum",
+          .withColumn("delta", format_string("%.6f",
+            (p - lag(p, 1, 0).over(w)).cast("double")))
+          .withColumn("cum", format_string("%.6f",
             sum(p).over(w.rowsBetween(Window.unboundedPreceding, 0))
-              .cast(DOut).cast("double"))
+              .cast(DOut).cast("double")))
           .groupBy("o_custkey")
           .agg(
-            transform(array_sort(collect_list(
+            concat_ws(",", transform(array_sort(collect_list(
                 struct(col("o_orderdate"), col("o_orderkey"), col("delta")))),
-              x => x("delta")).as("deltas"),
-            transform(array_sort(collect_list(
+              x => x("delta"))).as("deltas"),
+            concat_ws(",", transform(array_sort(collect_list(
                 struct(col("o_orderdate"), col("o_orderkey"), col("cum")))),
-              x => x("cum")).as("cumsum"))
+              x => x("cum"))).as("cumsum"))
           .orderBy("o_custkey")
       },
       Some(s"""
         WITH w AS (
           SELECT o_custkey, o_orderdate, o_orderkey,
-                 CAST(${S.d("o_totalprice")}
+                 printf('%.6f', CAST(${S.d("o_totalprice")}
                       - lag(${S.d("o_totalprice")}, 1, 0) OVER (
                         PARTITION BY o_custkey
-                        ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS delta,
-                 CAST(CAST(sum(${S.d("o_totalprice")}) OVER (
+                        ORDER BY o_orderdate, o_orderkey) AS DOUBLE)) AS delta,
+                 printf('%.6f', CAST(CAST(sum(${S.d("o_totalprice")}) OVER (
                         PARTITION BY o_custkey
                         ORDER BY o_orderdate, o_orderkey
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                      AS DECIMAL(38,6)) AS DOUBLE) AS cum
+                      AS DECIMAL(38,6)) AS DOUBLE)) AS cum
           FROM orders)
         SELECT o_custkey,
-               array_agg(delta ORDER BY o_orderdate, o_orderkey) AS deltas,
-               array_agg(cum ORDER BY o_orderdate, o_orderkey) AS cumsum
+               array_to_string(array_agg(delta ORDER BY o_orderdate, o_orderkey),
+                 ',') AS deltas,
+               array_to_string(array_agg(cum ORDER BY o_orderdate, o_orderkey),
+                 ',') AS cumsum
         FROM w GROUP BY o_custkey ORDER BY o_custkey"""),
     ),
 
@@ -304,7 +316,10 @@ object Stats {
     // as a sorted array. The rank filter runs BEFORE the collect, so
     // per-group state is bounded at N rows everywhere — a group with
     // a million rows collects five (CH's bounded groupArraySorted
-    // semantics, not collect-then-slice).
+    // semantics, not collect-then-slice). Elements are formatted
+    // AFTER the numeric struct sort (the price is the sort key, so it
+    // must stay numeric through array_sort) and string-joined for
+    // portable scalar output (see ch_moving_sum note).
     "ch_grouparray_sorted" -> Q(
       (s, dir) => {
         val w = Window.partitionBy("o_custkey")
@@ -313,10 +328,10 @@ object Stats {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .groupBy("o_custkey")
-          .agg(transform(array_sort(collect_list(
+          .agg(concat_ws(",", transform(array_sort(collect_list(
               struct(d(col("o_totalprice")).cast("double").as("p"),
                 col("o_orderkey")))),
-            x => x("p")).as("low5"))
+            x => format_string("%.6f", x("p")))).as("low5"))
           .orderBy("o_custkey")
       },
       Some(s"""
@@ -327,7 +342,8 @@ object Stats {
                    ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn
           FROM orders)
         SELECT o_custkey,
-               array_agg(p ORDER BY p, o_orderkey) AS low5
+               array_to_string(array_agg(printf('%.6f', p)
+                 ORDER BY p, o_orderkey), ',') AS low5
         FROM r WHERE rn <= 5
         GROUP BY o_custkey ORDER BY o_custkey"""),
     ),

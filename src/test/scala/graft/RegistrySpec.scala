@@ -30,6 +30,23 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("every oracled query emits only atomic (harness-portable) columns") {
+    // The driver's pandas canonicalization sort_values-es every output
+    // column; array/map/struct columns are unhashable there and turn a
+    // correct answer into an ERR row (round-3 ch_arraydiff et al.).
+    // Arrays must be string-joined (ch_grouparray's device) before the
+    // result leaves the query.
+    import org.apache.spark.sql.types._
+    for ((name, q) <- SparkEntry.registry if q.oracle.isDefined) {
+      val bad = q.fn(spark, sf).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => s"${f.name}:${f.dataType.simpleString}"
+      }
+      assert(bad.isEmpty, s"$name emits non-atomic columns: ${bad.mkString(", ")}")
+    }
+  }
+
   test("ch_uniq_hll approximation is within 5% of exact") {
     val rows = SparkEntry.registry("ch_uniq_hll").fn(spark, sf).collect()
     for (r <- rows) {

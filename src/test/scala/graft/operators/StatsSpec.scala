@@ -69,7 +69,8 @@ class StatsSpec extends SparkSpec {
       .limit(50).collect()
     assert(rows.nonEmpty)
     for (r <- rows) {
-      val mv = r.getSeq[Double](r.fieldIndex("moving_sums"))
+      // portable scalar output: the array is %.6f-formatted + joined
+      val mv = r.getString(r.fieldIndex("moving_sums")).split(",").map(_.toDouble)
       assert(mv.length === r.getAs[Long]("n_orders"))
       // moving sums are bounded by 3x the max single window element
       assert(mv.forall(_ > 0))
@@ -126,16 +127,18 @@ class StatsSpec extends SparkSpec {
     val dim = Tables.embeddings(spark, sf)
       .select(size(col("embedding"))).head().getInt(0)
     for (r <- rows)
-      assert(r.getSeq[Double](r.fieldIndex("centroid")).length === dim)
-    // spot-check one label against a direct computation
+      assert(r.getString(r.fieldIndex("centroid")).split(",").length === dim)
+    // spot-check one label against a direct computation (output is the
+    // scale-6 HALF_UP-rounded mean, so tolerance is half an ulp of 1e-6)
     val lab = rows.head.getAs[Int]("label")
     val vecs = Tables.embeddings(spark, sf)
       .filter(col("label") === lab)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(v => math.round(v.toDouble * 1e6) / 1e6))
     val mean0 = vecs.map(_.head).sum / vecs.length
-    val got0 = rows.head.getSeq[Double](rows.head.fieldIndex("centroid")).head
-    assert(math.abs(mean0 - got0) < 1e-9)
+    val got0 = rows.head.getString(rows.head.fieldIndex("centroid"))
+      .split(",").head.toDouble
+    assert(math.abs(mean0 - got0) <= 5.01e-7)
   }
 
   test("ch_grouparray_sorted arrays are bounded at 5 and ascending") {
@@ -143,7 +146,7 @@ class StatsSpec extends SparkSpec {
       .limit(100).collect()
     assert(rows.nonEmpty)
     for (r <- rows) {
-      val a = r.getSeq[Double](r.fieldIndex("low5"))
+      val a = r.getString(r.fieldIndex("low5")).split(",").map(_.toDouble).toSeq
       assert(a.length <= 5 && a == a.sorted)
     }
   }
