@@ -452,16 +452,36 @@ object Stats {
 
     // ------------------------------------------------------------------
     // LIMIT WITH TIES (top-10 order totals keeping ties): Spark has
-    // no WITH TIES, so the semantics are a rank() filter — which is
-    // also the honest distributed plan (a global rank over a sorted
-    // exchange, then the filter).
+    // no WITH TIES, and a global rank() over the raw table would move
+    // every row to ONE task (the WindowExec single-partition
+    // warning — a driver-killer at scale). The scale-safe plan: (1)
+    // distributed top-k (orderBy+limit plans as TakeOrderedAndProject:
+    // per-partition top-10, driver merge of 10-row heads) yields the
+    // 10th price as a bounded driver scalar; (2) filter price >=
+    // threshold keeps at most 9 + ties rows; (3) rank INSIDE the tiny
+    // survivor set — survivors are a prefix of the global sort order,
+    // so their local rank IS the global rank — via a broadcast
+    // non-equi join against the <=10-distinct-price histogram
+    // (rank = 1 + number of survivor rows with a higher price).
+    // No unpartitioned window anywhere in the plan.
     "q_limit_ties" -> Q(
       (s, dir) => {
-        val w = Window.orderBy(col("o_totalprice").desc)
-        Tables.orders(s, dir)
-          .withColumn("rnk", rank().over(w).cast("int"))
+        val orders = Tables.orders(s, dir)
+        val threshold = orders
+          .select(col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc).limit(10)
+          .agg(min(col("o_totalprice"))).head().get(0)
+        val survivors = orders
+          .filter(col("o_totalprice") >= lit(threshold))
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val hist = survivors
+          .groupBy(col("o_totalprice").as("p2"))
+          .agg(count(lit(1)).as("n2"))
+        survivors
+          .join(broadcast(hist), col("o_totalprice") < col("p2"), "left")
+          .groupBy("o_orderkey", "o_totalprice")
+          .agg((coalesce(sum(col("n2")), lit(0)) + 1).cast("int").as("rnk"))
           .filter(col("rnk") <= 10)
-          .select(col("o_orderkey"), col("o_totalprice"), col("rnk"))
           .orderBy(col("rnk"), col("o_orderkey"))
       },
       Some("""

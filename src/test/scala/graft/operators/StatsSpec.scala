@@ -151,6 +151,23 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q_limit_ties has no window and matches the rank-filter reference") {
+    val df = graft.SparkEntry.registry("q_limit_ties").fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"q_limit_ties must not plan any WindowExec (global-rank scale trap):\n$plan")
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("o_totalprice").desc)
+    val ref = Tables.orders(spark, sf)
+      .withColumn("rnk", rank().over(w).cast("int"))
+      .filter(col("rnk") <= 10)
+      .select(col("o_orderkey"), col("o_totalprice"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    assert(got === ref)
+  }
+
   test("salted two-stage distinct equals the plain distinct aggregation") {
     val got = graft.SparkEntry.registry("q_salted_agg").fn(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
