@@ -772,24 +772,22 @@ object Stats {
     // ------------------------------------------------------------------
     // Two-sample Kolmogorov-Smirnov statistic (CH
     // kolmogorovSmirnovTest's D): D = max_v |F1(v) - F2(v)| computed
-    // EXACTLY — per distinct value one row of (cnt_a, cnt_b), one
-    // cumulative window pass, and the sup norm as the INTEGER
-    // max |ca*n2 - cb*n1| with a single closing division, so the
-    // double is bit-identical cross-engine by construction. The
-    // global cumulative window is one partition here; at 100 TB the
-    // same prefix-sum runs range-partitioned (two passes: per-range
-    // totals, then per-range offset + local cumsum).
+    // EXACTLY — per distinct value one row of (cnt_a, cnt_b), a
+    // RANGE-PARTITIONED two-pass prefix sum (graft.plans.PrefixSum:
+    // per-range totals -> broadcast offsets -> local cumsum; no
+    // single-partition window, so hundreds of millions of distinct
+    // values never funnel through one task), and the sup norm as the
+    // INTEGER max |ca*n2 - cb*n1| with a single closing division, so
+    // the double is bit-identical cross-engine by construction.
     "ch_ks_test" -> Q(
       (s, dir) => {
-        val byVal = Window.orderBy("v").rowsBetween(
-          Window.unboundedPreceding, Window.currentRow)
-        val cum = Tables.lineitem(s, dir)
+        val counts = Tables.lineitem(s, dir)
           .filter(col("l_returnflag").isin("A", "N"))
           .groupBy(col("l_extendedprice").as("v"))
           .agg(count_if(col("l_returnflag") === "A").as("a"),
             count_if(col("l_returnflag") === "N").as("b"))
-          .withColumn("ca", sum(col("a")).over(byVal))
-          .withColumn("cb", sum(col("b")).over(byVal))
+        val cum = graft.plans.PrefixSum.cumsumLong(
+          counts, Seq("v"), Seq("a", "b"), Seq("ca", "cb"))
         // totals first (one tiny job), then the exact sup norm — the
         // driver-side scalars are two longs, not data
         val t = cum.agg(max(col("ca")).as("n1"), max(col("cb")).as("n2"))
