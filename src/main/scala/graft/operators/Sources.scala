@@ -14,7 +14,8 @@ import org.apache.spark.sql.types._
   * original parquet, so a pass proves the round-trip is lossless.
   * Temp outputs are keyed by scale-factor dir so concurrent verify
   * runs do not collide. (No spark-avro datasource jar ships in this
-  * Spark build, so the avro row is N/A — see SURVEY §2 note.)
+  * Spark build; src_avro instead rides graft.sources.Avro, an
+  * avro-core DataFileReader/Writer bridge parallelized by file.)
   */
 object Sources {
 
@@ -73,6 +74,25 @@ object Sources {
         s.read.orc(out).orderBy("o_orderkey")
       },
       Some("SELECT * FROM orders ORDER BY o_orderkey")),
+
+    // ------------------------------------------------------------------
+    // Avro round trip WITHOUT the spark-avro datasource (absent from
+    // this build): container files written one-per-partition and read
+    // back one-task-per-file through the avro-core bridge
+    // (sources/Avro.scala). The oracle runs on the original parquet,
+    // so a pass proves the typed round trip is lossless.
+    "src_avro" -> Q(
+      (s, dir) => {
+        val out = tmp(dir, "avro")
+        graft.sources.Avro.write(Tables.supplier(s, dir).repartition(4), out)
+        val schema = StructType(Seq(
+          StructField("s_suppkey", LongType),
+          StructField("s_name", StringType),
+          StructField("s_nationkey", IntegerType),
+          StructField("s_acctbal", DoubleType)))
+        graft.sources.Avro.read(s, out, schema).orderBy("s_suppkey")
+      },
+      Some("SELECT * FROM supplier ORDER BY s_suppkey")),
 
     // ------------------------------------------------------------------
     // Text source: one line per row, parsed back with split().
