@@ -40,12 +40,53 @@ object Projections {
       sums: Map[String, Attribute],
       mins: Map[String, Attribute],
       maxs: Map[String, Attribute],
-      measureType: Map[String, DataType])
+      measureType: Map[String, DataType],
+      signature: String,
+      baseFingerprint: String)
 
   private val registry = new ConcurrentHashMap[String, Spec]()
 
   def clear(): Unit = registry.clear()
-  def lookup(path: String): Option[Spec] = Option(registry.get(path))
+
+  /** A projection answers a query only while the base table it was
+    * built from is UNCHANGED — CH keeps projection parts in lockstep
+    * with table parts transactionally; here (plain parquet dirs, no
+    * transaction log) freshness is re-verified at lookup time against
+    * a content fingerprint of the base directory. The fingerprint is
+    * one recursive listing — the same metadata operation planning the
+    * base scan itself performs to build its file index, so routing
+    * adds no new scale cost class. A stale entry self-evicts.
+    */
+  def lookup(path: String): Option[Spec] =
+    Option(registry.get(path)).filter { spec =>
+      val fresh =
+        try fingerprint(SparkSession.active, path) == spec.baseFingerprint
+        catch { case _: Exception => false }
+      if (!fresh) registry.remove(path)
+      fresh
+    }
+
+  /** (name, length, mtime) digest of the base table's data files. */
+  def fingerprint(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith("."))
+        buf += s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(buf.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def signatureOf(
+      keys: Seq[String], measures: Seq[(String, DataType)]): String =
+    s"keys=${keys.mkString(",")};measures=${
+      measures.map { case (m, t) => s"$m:${t.sql}" }.mkString(",")}"
 
   /** Qualified-path key, so `/x/y.parquet` and `file:/x/y.parquet`
     * hit the same entry.
@@ -63,11 +104,20 @@ object Projections {
     */
   def register(spark: SparkSession, basePath: String, projPath: String,
       keys: Seq[String], measures: Seq[(String, DataType)]): Unit = {
-    // Idempotent per base path: a re-register would otherwise let the
-    // rule route the projection REBUILD query to the projection file
-    // it is about to overwrite (read-under-delete). CH mirrors this:
-    // adding an existing projection is a no-op.
-    if (registry.containsKey(normalize(spark, basePath))) return
+    val key = normalize(spark, basePath)
+    val sig = signatureOf(keys, measures)
+    val fp = fingerprint(spark, basePath)
+    Option(registry.get(key)) match {
+      // Same projection over an unchanged base: no-op (CH mirrors
+      // this — adding an existing projection does nothing).
+      case Some(spec) if spec.signature == sig && spec.baseFingerprint == fp =>
+        return
+      // Different key/measure set, or the base changed since: DROP
+      // the entry BEFORE rebuilding, or the rebuild's own aggregate
+      // would be routed to the stale projection file it is about to
+      // overwrite (read-under-delete).
+      case _ => registry.remove(key)
+    }
     val aggs = Seq(count(lit(1)).as("n")) ++ measures.flatMap { case (m, t) =>
       val c = col(m).cast(t)
       Seq(sum(c).as(s"sum_$m"), min(c).as(s"min_$m"), max(c).as(s"max_$m"))
@@ -77,14 +127,15 @@ object Projections {
       .write.mode("overwrite").parquet(projPath)
     val plan = spark.read.parquet(projPath).queryExecution.analyzed
     val byName = plan.output.map(a => a.name -> a).toMap
-    registry.put(normalize(spark, basePath), Spec(
+    registry.put(key, Spec(
       plan,
       keys.map(k => k -> byName(k)).toMap,
       byName("n"),
       measures.map { case (m, _) => m -> byName(s"sum_$m") }.toMap,
       measures.map { case (m, _) => m -> byName(s"min_$m") }.toMap,
       measures.map { case (m, _) => m -> byName(s"max_$m") }.toMap,
-      measures.toMap))
+      measures.toMap,
+      sig, fp))
   }
 }
 
@@ -115,7 +166,11 @@ object ProjectionRoute extends Rule[LogicalPlan] {
     */
   private def rewriteAgg(f: AggregateFunction, spec: Projections.Spec)
       : Option[Expression] = f match {
-    case Count(Seq(Literal(_, _))) | Count(Seq()) =>
+    // count(lit) with a NON-NULL literal only: SQL defines
+    // count(NULL) = 0, which sum(n) would turn into the row count.
+    case Count(Seq(Literal(v, _))) if v != null =>
+      Some(Sum(spec.n).toAggregateExpression())
+    case Count(Seq()) =>
       Some(Sum(spec.n).toAggregateExpression())
     case Sum(c, _) => measureOf(c).collect {
       case (m, t) if spec.measureType.get(m).contains(t) =>

@@ -223,6 +223,20 @@ object Sink {
     * byte-for-byte — at 100 TB a delete touching one month rewrites
     * one month, not the table.
     *
+    * NULL semantics: DELETE removes only rows where the predicate is
+    * TRUE — rows where it evaluates NULL (e.g. a comparison against a
+    * NULL cell) are KEPT, so the keep-filter is `!coalesce(pred,
+    * false)`, not `!pred` (which would silently drop NULL rows).
+    *
+    * Atomicity: the rewrite rides Spark's dynamic partition overwrite
+    * (per-partition staging + commit via the Hadoop commit protocol).
+    * Each partition swaps atomically, but a mid-job failure can leave
+    * SOME affected partitions rewritten and others not — the mutation
+    * is idempotent (re-running deletes nothing new), so the recovery
+    * is re-run, matching ClickHouse's own eventually-applied mutation
+    * model. Readers needing a consistent cut should read through the
+    * snapshot layer ([[TimeTravel]]) instead of raw paths.
+    *
     * Returns the affected partition values (diagnostics / spec).
     */
   def deleteWhere(
@@ -235,7 +249,7 @@ object Sink {
       .select(col(partitionCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq
     if (affected.nonEmpty) {
-      t.filter(col(partitionCol).isin(affected: _*) && !predicate)
+      t.filter(col(partitionCol).isin(affected: _*) && !coalesce(predicate, lit(false)))
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partitionCol)

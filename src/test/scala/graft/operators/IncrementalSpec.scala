@@ -124,6 +124,71 @@ class IncrementalSpec extends SparkSpec {
     assert(got == expected, s"routed subset-grouping differs: $got vs $expected")
   }
 
+  test("delete mutation keeps rows where the predicate is NULL") {
+    // SQL/CH DELETE WHERE removes rows where the predicate is TRUE;
+    // a NULL evaluation (comparison against a NULL cell) must KEEP
+    // the row, not silently drop it with the !pred rewrite.
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_delnull"
+    Seq((1L, "a", java.lang.Double.valueOf(10.0)),
+        (2L, "a", null.asInstanceOf[java.lang.Double]),
+        (3L, "b", java.lang.Double.valueOf(5.0)))
+      .toDF("id", "p", "v")
+      .write.mode("overwrite").partitionBy("p").parquet(out)
+    val affected = Sink.deleteWhere(spark, out, "p", col("v") > 6.0)
+    assert(affected == Seq("a"), s"wrong affected set: $affected")
+    val left = spark.read.parquet(out)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(left == Set(2L, 3L),
+      s"expected the NULL-predicate row (id=2) to survive, got $left")
+  }
+
+  test("projection self-evicts when the base table changes") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_stalespec"
+    val base = s"$dir/base_orders"
+    val proj = s"$dir/graft_staleproj"
+    Tables.orders(spark, sf).write.mode("overwrite").parquet(base)
+    graft.plans.Projections.register(spark, base, proj,
+      Seq("o_orderstatus"), Seq("o_totalprice" -> graft.Dec.D))
+    def q() = spark.read.parquet(base)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    assert(q().queryExecution.executedPlan.toString.contains("graft_staleproj"),
+      "fresh projection not routed")
+    // mutate the base AFTER registration: routing must stop, and the
+    // answer must come from the (bigger) base, not the stale proj
+    Tables.orders(spark, sf).limit(500)
+      .write.mode("append").parquet(base)
+    val afterAppend = q()
+    assert(!afterAppend.queryExecution.executedPlan.toString
+        .contains("graft_staleproj"),
+      "stale projection still routed after base append")
+    val expected = spark.read.parquet(base)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(afterAppend.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == expected)
+    // re-register rebuilds against the new base and routes again
+    graft.plans.Projections.register(spark, base, proj,
+      Seq("o_orderstatus"), Seq("o_totalprice" -> graft.Dec.D))
+    val rebuilt = q()
+    assert(rebuilt.queryExecution.executedPlan.toString.contains("graft_staleproj"),
+      "rebuilt projection not routed")
+    assert(rebuilt.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == expected,
+      "rebuilt projection answers differ from base recompute")
+  }
+
+  test("count of a NULL literal stays 0 under projection routing") {
+    SparkEntry.registry("mv_route").fn(spark, sf) // ensures registration
+    // SQL: count(NULL) = 0 on every group; the naive sum(n) rewrite
+    // would return the group row count instead. (Spark's own
+    // NullPropagation usually folds count(NULL) to literal 0 before
+    // the rule sees it; the rewriteAgg non-null guard covers the
+    // unfolded path. Either way the VALUES must be 0.)
+    val q = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy("o_orderpriority").agg(count(lit(null)).as("c"))
+    assert(q.collect().forall(_.getLong(1) == 0L), "count(NULL) != 0")
+  }
+
   test("incremental MV refresh equals full recompute") {
     val mv = SparkEntry.registry("mv_incremental").fn(spark, sf)
     val full = Tables.orders(spark, sf)
