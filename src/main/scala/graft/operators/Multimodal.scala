@@ -7,19 +7,75 @@ import org.apache.spark.sql.functions._
   *
   * The pipeline pattern: media rides as an opaque `binary` column
   * with typed metadata beside it; decode/feature-extraction runs as
-  * partition-local batch work (`mapPartitions`) so a real decoder
-  * (image/audio libs) would amortize per-batch init and never touch
-  * the driver. The decoders themselves are NOT available in this
-  * container, so the decode step is a clearly-marked deterministic
-  * fake — the Spark-side plumbing (schema, partitioning, batch
-  * shape) is real and spec'd.
+  * partition-local batch work (`mapPartitions`) so the decoder
+  * amortizes per-batch init and never touches the driver.
+  * `mm_feature_extract` runs a REAL image decode (JDK
+  * `javax.imageio` PNG) over deterministically synthesized images,
+  * which makes the pixel statistics recomputable in the oracle from
+  * the generative formula; `mm_phash` derives its bucketing features
+  * from payload byte statistics (so payload-equal docs provably
+  * collide).
   */
 object Multimodal {
 
-  /** Deterministic FAKE decode: stands in for image/audio decoding,
-    * which is unavailable in this environment. Derives a fixed-size
-    * feature vector from the payload bytes only — stable across
-    * partitionings and runs.
+  /** Deterministic per-doc test image: pixel channels are pure
+    * integer arithmetic in (doc_id, x, y), so any engine can
+    * recompute the decoded statistics without an image library.
+    * Sizes vary per doc (8..12 x 8..14) to exercise real framing.
+    */
+  def encodePng(docId: Long): Array[Byte] = {
+    val w = (8 + docId % 5).toInt
+    val h = (8 + docId % 7).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((docId * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((docId * 17 + x * 11 + y * 3) % 256).toInt
+        val b = ((docId * 29 + x * 5 + y * 19) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode via JDK `javax.imageio` (PNG is lossless, so
+    * decoded pixels equal the synthesized ones exactly): width,
+    * height, per-channel pixel sums and red min/max — all integers,
+    * hence exactly comparable cross-engine.
+    */
+  def decodePngStats(png: Array[Byte])
+      : (Int, Int, Long, Long, Long, Int, Int) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val w = img.getWidth; val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var mn = 255; var mx = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val px = img.getRGB(x, y)
+        val r = (px >> 16) & 0xff
+        sr += r; sg += (px >> 8) & 0xff; sb += px & 0xff
+        if (r < mn) mn = r
+        if (r > mx) mx = r
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, sr, sg, sb, mn, mx)
+  }
+
+  /** Deterministic byte-statistic features (NOT a media decode):
+    * a fixed-size vector derived from the payload bytes only —
+    * stable across partitionings and runs, and equal for equal
+    * payloads, which is the law mm_phash's bucketing relies on.
     */
   def fakeDecodeFeatures(payload: Array[Byte]): Array[Float] = {
     val n = payload.length
@@ -62,25 +118,39 @@ object Multimodal {
         FROM documents ORDER BY doc_id""")),
 
     // ------------------------------------------------------------------
-    // Feature extraction over the binary column via mapPartitions:
-    // batch-shaped, executor-local, driver never sees a payload.
-    // Fake-decode -> rows-only for the driver; MultimodalSpec pins
-    // determinism, shape, and partitioning-invariance.
+    // REAL image decode over a binary media column, batch-shaped via
+    // mapPartitions (executor-local: payloads never reach the
+    // driver; a codec would init once per batch). The images are
+    // deterministic per-doc PNGs whose pixels are integer arithmetic
+    // in (doc_id, x, y), so the ORACLE recomputes the decoded pixel
+    // statistics from the generative formula — a pass proves the
+    // encode -> javax.imageio decode -> stats path is bit-faithful.
     "mm_feature_extract" -> Q(
       (s, dir) => {
         import s.implicits._
-        val bin = Tables.documents(s, dir)
-          .select(col("doc_id"), col("text").cast("binary").as("payload"))
-          .as[(Long, Array[Byte])]
-        bin.mapPartitions { it =>
-          // batch loop: a real decoder would init its codec once here
-          it.map { case (id, payload) => (id, fakeDecodeFeatures(payload)) }
-        }.toDF("doc_id", "features")
-          .select(col("doc_id") +:
-            (0 until 8).map(i => col("features").getItem(i).as(s"f$i")): _*)
+        val ids = Tables.documents(s, dir).select("doc_id").as[Long]
+        ids.mapPartitions { it =>
+          it.map { id =>
+            val (w, h, sr, sg, sb, mn, mx) = decodePngStats(encodePng(id))
+            (id, w, h, sr, sg, sb, mn, mx)
+          }
+        }.toDF("doc_id", "w", "h", "sum_r", "sum_g", "sum_b", "min_r", "max_r")
           .orderBy("doc_id")
       },
-      None),
+      Some("""
+        SELECT d.doc_id,
+               CAST(8 + d.doc_id % 5 AS INTEGER) AS w,
+               CAST(8 + d.doc_id % 7 AS INTEGER) AS h,
+               CAST(sum((d.doc_id*31 + p.x*7  + p.y*13) % 256) AS BIGINT) AS sum_r,
+               CAST(sum((d.doc_id*17 + p.x*11 + p.y*3 ) % 256) AS BIGINT) AS sum_g,
+               CAST(sum((d.doc_id*29 + p.x*5  + p.y*19) % 256) AS BIGINT) AS sum_b,
+               CAST(min((d.doc_id*31 + p.x*7  + p.y*13) % 256) AS INTEGER) AS min_r,
+               CAST(max((d.doc_id*31 + p.x*7  + p.y*13) % 256) AS INTEGER) AS max_r
+        FROM documents d
+        JOIN (SELECT gx.range AS x, gy.range AS y
+              FROM range(0, 12) gx, range(0, 14) gy) p
+          ON p.x < 8 + d.doc_id % 5 AND p.y < 8 + d.doc_id % 7
+        GROUP BY d.doc_id ORDER BY d.doc_id""")),
 
     // ------------------------------------------------------------------
     // Frame sampling over a video-like binary container: the payload
@@ -173,9 +243,10 @@ object Multimodal {
     // scalar row) into a bit code, bucket by the code — media whose
     // features land the same side of every mean are candidate
     // duplicates. The real-pipeline shape (pHash/aHash over decoded
-    // pixels) with the decode faked as above; only (doc_id, code)
-    // shuffles. Rows-only for the driver; MultimodalSpec pins
-    // determinism and the identical-payload -> identical-code law.
+    // pixels) using payload byte-stat features (equal payloads =>
+    // equal features, the collision law the spec pins); only
+    // (doc_id, code) shuffles. Rows-only for the driver;
+    // MultimodalSpec pins determinism and the collision law.
     "mm_phash" -> Q(
       (s, dir) => {
         import s.implicits._

@@ -13,6 +13,24 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.fakeDecodeFeatures(Array.emptyByteArray).length == 8)
   }
 
+  test("png encode -> imageio decode round-trips the pixel formula") {
+    // the REAL decode: javax.imageio reads back exactly the pixels
+    // the generative formula wrote (PNG is lossless)
+    for (id <- Seq(0L, 7L, 123L)) {
+      val (w, h, sr, sg, sb, mn, mx) =
+        Multimodal.decodePngStats(Multimodal.encodePng(id))
+      assert(w == (8 + id % 5).toInt && h == (8 + id % 7).toInt)
+      val rs = for (x <- 0 until w; y <- 0 until h)
+        yield ((id * 31 + x * 7 + y * 13) % 256).toInt
+      assert(sr == rs.map(_.toLong).sum && mn == rs.min && mx == rs.max)
+      val gs = for (x <- 0 until w; y <- 0 until h)
+        yield (id * 17 + x * 11 + y * 3) % 256
+      val bs = for (x <- 0 until w; y <- 0 until h)
+        yield (id * 29 + x * 5 + y * 19) % 256
+      assert(sg == gs.sum && sb == bs.sum)
+    }
+  }
+
   test("feature extraction is invariant to partitioning") {
     val base = SparkEntry.registry("mm_feature_extract").fn(spark, sf)
     val a = base.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
