@@ -643,6 +643,39 @@ object Sources {
         ORDER BY column_name""")),
 
     // ------------------------------------------------------------------
+    // The 100 TB-shaped twin of dq_profile: HLL approximate NDV
+    // (approx_count_distinct, rsd=1%) in the SAME single-scan
+    // 20-aggregate shape — but with NO Expand (the exact twin plans
+    // an Expand that multiplies scan rows 4x) and bounded sketch
+    // state per column instead of unbounded exact-distinct state.
+    // This is what ANALYZE actually runs at scale. Estimator values
+    // are engine-specific -> rows-only; DqSpec pins each estimate
+    // within 5% of the exact twin and asserts the plan has no
+    // Expand.
+    "dq_profile_approx" -> Q(
+      (s, dir) => {
+        val cols = Seq(
+          "o_orderkey" -> col("o_orderkey"),
+          "o_custkey" -> col("o_custkey"),
+          "o_orderstatus" -> col("o_orderstatus"),
+          "o_totalprice" -> col("o_totalprice").cast(DecimalType(12, 2)),
+          "o_orderdate" -> col("o_orderdate").cast("date"))
+        val aggs = cols.flatMap { case (n, c) => Seq(
+          min(c).cast("string").as(s"${n}_min"),
+          max(c).cast("string").as(s"${n}_max"),
+          approx_count_distinct(c, 0.01).as(s"${n}_ndv"),
+          count_if(c.isNull).as(s"${n}_nulls")) }
+        val stacked = cols.map { case (n, _) =>
+          s"'$n', ${n}_min, ${n}_max, ${n}_ndv, ${n}_nulls" }.mkString(", ")
+        Tables.orders(s, dir)
+          .agg(aggs.head, aggs.tail: _*)
+          .select(expr(s"stack(${cols.size}, $stacked) " +
+            "AS (column_name, min_v, max_v, ndv, nulls)"))
+          .orderBy("column_name")
+      },
+      None),
+
+    // ------------------------------------------------------------------
     // Write-audit-publish: the incremental batch is STAGED (invisible
     // to readers), audited by the dq engine, and only a clean audit
     // publishes it — one rename + one manifest write, no data copy.

@@ -101,6 +101,34 @@ class SinkSpec extends SparkSpec {
     } finally c.close()
   }
 
+  test("approx profile: NDV within 5% of exact, and no Expand in the plan") {
+    val exact = graft.SparkEntry.registry("dq_profile").fn(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approxDf = graft.SparkEntry.registry("dq_profile_approx").fn(spark, sf)
+    // the scale property: HLL sketches aggregate in ONE pass — the
+    // exact twin's 4 countDistinct force an Expand (4x the scan rows)
+    val plan = approxDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"approx profile plans an Expand:\n$plan")
+    val exactPlan = graft.SparkEntry.registry("dq_profile").fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"),
+      "expected the exact twin to carry the Expand this variant removes")
+    val rows = approxDf.collect()
+    assert(rows.length == exact.size)
+    rows.foreach { r =>
+      val (name, est) = (r.getString(0), r.getLong(3))
+      val ex = exact(name).toDouble
+      assert(math.abs(est - ex) / math.max(ex, 1.0) < 0.05,
+        s"$name: approx NDV $est off >5% from exact ${exact(name)}")
+    }
+    // min/max/null counts are NOT approximated — they must be equal
+    val exactRest = graft.SparkEntry.registry("dq_profile").fn(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2), r.getLong(4))).toMap
+    rows.foreach { r =>
+      assert(exactRest(r.getString(0)) == ((r.getString(1), r.getString(2), r.getLong(4))))
+    }
+  }
+
   test("JDBC sink round-trips nulls and typed columns") {
     import org.apache.spark.sql.types._
     val url = derbyUrl("types")
