@@ -8,6 +8,38 @@ import org.apache.spark.sql.SparkSession
   * columns and undercount the real work).
   */
 object Bench {
+  // Fixed xorshift64 workload for spin calibration; the result is
+  // returned (and consumed by the caller) so JIT cannot eliminate it.
+  private def spin(iters: Long): Long = {
+    var x = 0x9E3779B97F4A7C15L; var i = 0L
+    while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    x
+  }
+
+  @volatile private var blackhole = 0L
+
+  /** Environment fingerprint: 1-min load average plus wall-times of a
+    * fixed single-thread and an all-core spin (~0.2 s each,
+    * uncontended). A contended host — the failure mode that has
+    * invalidated two rounds of driver bench artifacts — inflates
+    * these proportionally, so a bad measurement is self-evident from
+    * the artifact alone.
+    */
+  private def envFingerprint(cpus: Int): String = {
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val it = 400000000L
+    val t1 = System.nanoTime(); blackhole ^= spin(it)
+    val spin1 = (System.nanoTime() - t1) / 1e6
+    val t2 = System.nanoTime()
+    val threads = (1 to cpus).map { _ =>
+      new Thread(() => { blackhole ^= spin(it) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val spinAll = (System.nanoTime() - t2) / 1e6
+    f"""{"load1m":$load%.2f,"spin1_ms":$spin1%.0f,"spin${cpus}x_ms":$spinAll%.0f}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -41,15 +73,24 @@ object Bench {
     val only = args.drop(1).toSet
     val qs = SparkEntry.benchQueries.toSeq.sortBy(_._1)
       .filter(kv => only.isEmpty || only(kv._1))
+    val envStart = envFingerprint(cpus.toInt)
     // Best-of-2 per query: the first run pays one-time plan costs
     // (whole-stage-codegen Janino compilation, file listing, JIT);
     // the second run measures steady-state throughput, which is what
     // a resident engine delivers. The min is taken over SUCCESSFUL
     // runs only — a query that succeeded once still reports a time;
-    // a query that failed both runs is listed in "failed".
+    // a query that failed both runs is listed in "failed". When the
+    // two samples disagree >1.5x the host was noisy during one of
+    // them — take a third so the min is a steady-state time.
     val results = qs.map { case (name, fn) =>
-      name -> Seq(run(fn), run(fn)).flatten.minOption
+      val twice = Seq(run(fn), run(fn)).flatten
+      val samples =
+        if (twice.size == 2 && twice.max / twice.min > 1.5) twice ++ run(fn)
+        else twice
+      name -> samples.minOption
     }
+    val envEnd = envFingerprint(cpus.toInt)
+    val env = s"""{"start":$envStart,"end":$envEnd,"cpus":$cpus}"""
     def dict(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val ok = results.collect { case (k, Some(v)) => k -> v }
@@ -57,7 +98,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = ok.map(_._2).sum
     def line(queries: Seq[(String, Double)]) =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${dict(queries)},"failed":$failed,"n_queries":${ok.size},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${dict(queries)},"failed":$failed,"n_queries":${ok.size},"env":$env,"sf":"$sfDir"}"""
     // Full per-query timings go to a file (argv(0) or ./bench_out.json).
     // The driver reads only the LAST ~2000 chars of this process's
     // stdout and sbt appends "[success] ..." chatter after us, so the
