@@ -6,20 +6,29 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 /** Iterative graph compute in the Spark idiom: each superstep is one
-  * keyed join + one aggregation (contributions shuffled by dst), the
-  * driver holds no graph state, and per-step contributions round to
-  * scale-12 decimals so the whole iteration is bit-identical under
-  * any partitioning (same device as [[Ann.pcaTopComponent]]).
+  * keyed join + one aggregation (contributions shuffled by dst) and
+  * the driver holds no graph state. Rank is FIXED-POINT: a BIGINT
+  * count of 1e-12 units of rank mass, so every superstep is integer
+  * div + integer sum — bit-identical under any partitioning AND any
+  * engine (the "keep the statistic integer" device; this is what
+  * lets the driver oracle an iterative operator cell-exactly).
   */
 object Graph {
 
-  /** PageRank over an edge list. Dangling nodes are avoided by
-    * construction here (callers pass symmetrized edges); the general
-    * dangling-mass redistribution would add one scalar aggregate per
-    * step. Rank mass is conserved: sum(rank) = 1 every step (spec'd).
+  /** One unit of rank mass = 1e-12 (rank resolution). */
+  val RankUnit: Long = 1000000000000L
+
+  /** PageRank over an edge list, damping d = dNum/dDen (default
+    * 17/20 = 0.85). Dangling nodes are avoided by construction here
+    * (callers pass symmetrized edges); the general dangling-mass
+    * redistribution would add one scalar aggregate per step. Output
+    * is (node, rank_u, rank): `rank_u` the exact integer unit count,
+    * `rank` its value via one closing division. Mass is conserved up
+    * to integer truncation: RankUnit - sum(rank_u) is tiny and
+    * non-negative (spec'd).
     */
-  def pageRank(edges: DataFrame, iters: Int = 10, d: Double = 0.85)
-      : DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int = 10,
+      dNum: Int = 17, dDen: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // degree is LOOP-INVARIANT: join it onto the edges once, outside
     // the supersteps — the resident (src, dst, deg) edge index is
@@ -29,26 +38,30 @@ object Graph {
       .persist(lvl)
     val nodes = e.select(col("src").as("node")).distinct().persist(lvl)
     val n = nodes.count()
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    // (1-d)/n in units, truncated — the teleport mass per node
+    val baseU = ((dDen - dNum) * RankUnit) / (dDen * n)
+    var ranks = nodes.withColumn("rank_u", lit(RankUnit / n))
     try {
       for (_ <- 1 to iters) {
         // ranks is node-count rows — broadcasts at any realistic
         // cells-per-executor budget; the only shuffle per superstep
         // is the dst-keyed contribution aggregation
         val contribs = eDeg.join(ranks, col("src") === col("node"))
-          .select(col("dst"),
-            round(col("rank") / col("deg"), 12)
-              .cast(DecimalType(28, 12)).as("c"))
-          .groupBy("dst").agg(sum(col("c")).as("in"))
+          .select(col("dst"), expr("rank_u div deg").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("mass_in"))
         ranks = nodes.join(contribs, col("node") === col("dst"), "left")
           .select(col("node"),
-            (lit((1 - d) / n) +
-              lit(d) * coalesce(col("in").cast("double"), lit(0.0))).as("rank"))
+            (lit(baseU) + expr(
+              s"($dNum * coalesce(mass_in, CAST(0 AS BIGINT))) div $dDen"))
+              .as("rank_u"))
         // cut the lineage each step: chained join plans otherwise
         // grow the optimizer's work quadratically
         ranks = ranks.localCheckpoint(eager = false)
       }
-      ranks.persist(lvl).count(): Unit // materialize before unpersists
+      ranks = ranks
+        .withColumn("rank", col("rank_u") / lit(1e12))
+        .persist(lvl)
+      ranks.count(): Unit // materialize before unpersists
       ranks
     } finally {
       eDeg.unpersist(blocking = false)
@@ -105,20 +118,53 @@ object Graph {
 
   val all: Map[String, Q] = Map(
     // ------------------------------------------------------------------
-    // PageRank on the trading graph — iterative -> rows-only for the
-    // driver; GraphSpec pins a hand-computed graph, mass conservation,
-    // and determinism. Top-20 output keeps the row set stable; 6
-    // supersteps suffice for a stable top-20 ordering on this graph
-    // (each superstep costs one dst-keyed shuffle of the edge list —
-    // the honest unit cost of distributed graph iteration).
+    // PageRank on the trading graph — CELL-EXACTLY oracled despite
+    // being iterative: fixed-point integer rank units make every
+    // superstep pure integer arithmetic, so DuckDB replays the same
+    // 6 supersteps (unrolled CTEs below) to identical bigints. Top-20
+    // output keeps the row set stable; each superstep costs one
+    // dst-keyed shuffle of the edge list — the honest unit cost of
+    // distributed graph iteration. GraphSpec additionally pins a
+    // hand-computed graph, mass conservation, and determinism.
     "graph_pagerank" -> Q(
       (s, dir) => {
         pageRank(tradeEdges(s, dir), iters = 6)
-          .select(col("node"), round(col("rank"), 10).as("rank"))
-          .orderBy(col("rank").desc, col("node"))
+          .select(col("node"), col("rank_u"), col("rank"))
+          .orderBy(col("rank_u").desc, col("node"))
           .limit(20)
       },
-      None),
+      Some {
+        val prelude = """
+        WITH pairs AS (
+          SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        sym AS (SELECT src, dst FROM pairs
+                UNION ALL SELECT dst, src FROM pairs),
+        deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+        edeg AS (SELECT s.src, s.dst, d.deg
+                 FROM sym s JOIN deg d ON s.src = d.src),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT node,
+                 1000000000000 // (SELECT n FROM nn) AS rank_u
+               FROM nodes)"""
+        // one CTE per superstep: same integer recurrence as pageRank
+        val steps = (1 to 6).map { i =>
+          s"""r$i AS (
+          SELECT nd.node,
+            (3 * 1000000000000) // (20 * (SELECT n FROM nn))
+              + (17 * coalesce(m.mass_in, 0)) // 20 AS rank_u
+          FROM nodes nd LEFT JOIN (
+            SELECT e.dst, CAST(SUM(r.rank_u // e.deg) AS BIGINT) AS mass_in
+            FROM edeg e JOIN r${i - 1} r ON e.src = r.node
+            GROUP BY e.dst) m ON m.dst = nd.node)"""
+        }.mkString(",\n", ",\n", "")
+        prelude + steps + """
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(rank_u AS BIGINT) AS rank_u,
+               CAST(rank_u AS BIGINT) / 1e12 AS rank
+        FROM r6 ORDER BY rank_u DESC, node LIMIT 20"""
+      }),
 
     // ------------------------------------------------------------------
     // Degree distribution of the same graph — the non-iterative

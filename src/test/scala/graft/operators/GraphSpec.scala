@@ -11,52 +11,56 @@ class GraphSpec extends SparkSpec {
     (1L, 2L), (2L, 3L), (3L, 1L), (3L, 2L), (4L, 1L), (1L, 4L))
     .toDF("src", "dst")
 
-  /** The same recurrence, computed in plain Scala. */
-  private def reference(iters: Int, d: Double): Map[Long, Double] = {
+  /** The same fixed-point recurrence, computed in plain Scala longs. */
+  private def reference(iters: Int): Map[Long, Long] = {
     val out = Map(1L -> Seq(2L, 4L), 2L -> Seq(3L), 3L -> Seq(1L, 2L),
       4L -> Seq(1L))
     val n = 4
-    var r = Map(1L -> 0.25, 2L -> 0.25, 3L -> 0.25, 4L -> 0.25)
+    val baseU = (3L * Graph.RankUnit) / (20L * n)
+    var r = (1L to 4L).map(_ -> Graph.RankUnit / n).toMap
     for (_ <- 1 to iters) {
-      val contrib = scala.collection.mutable.Map[Long, BigDecimal]()
-        .withDefaultValue(BigDecimal(0))
-      for ((s, ds) <- out; t <- ds) {
-        // mirror the engine's scale-12 rounding of rank/degree
-        val c = BigDecimal(r(s) / ds.length)
-          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
-        contrib(t) = contrib(t) + c
-      }
-      r = (1L to 4L).map(v =>
-        v -> ((1 - d) / n + d * contrib(v).toDouble)).toMap
+      val contrib = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      for ((s, ds) <- out; t <- ds)
+        contrib(t) += r(s) / ds.length // integer truncation, as the engine
+      r = (1L to 4L).map(v => v -> (baseU + (17L * contrib(v)) / 20L)).toMap
     }
     r
   }
 
   test("pagerank matches the hand recurrence on a 4-node graph") {
     val got = Graph.pageRank(edges, iters = 6)
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val want = reference(6, 0.85)
-    for ((k, v) <- want)
-      assert(math.abs(got(k) - v) < 1e-9, s"node $k: ${got(k)} vs $v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = reference(6)
+    assert(got == want, s"$got vs $want")
   }
 
   test("pagerank conserves rank mass and is deterministic") {
     val a = Graph.pageRank(edges.repartition(1), iters = 5)
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val b = Graph.pageRank(edges.repartition(7), iters = 5)
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b, "pagerank not partition-invariant")
-    assert(math.abs(a.values.sum - 1.0) < 1e-6,
-      s"rank mass not conserved: ${a.values.sum}")
+    // fixed-point truncation only ever LOSES mass, and very little:
+    // sum(rank_u) <= RankUnit with a deficit bounded by a few units
+    // per node per step
+    val mass = a.values.sum
+    assert(mass <= Graph.RankUnit, s"mass grew: $mass")
+    assert(Graph.RankUnit - mass < 1000L * 4 * 5,
+      s"rank mass lost beyond truncation bound: $mass")
   }
 
   test("trade-graph pagerank returns ranked rows at sf0.001") {
     val df = graft.SparkEntry.registry("graph_pagerank").fn(spark, sf)
     val rows = df.collect()
     assert(rows.length == 20)
-    val ranks = rows.map(_.getDouble(1))
+    val ranks = rows.map(_.getLong(1))
     assert(ranks.zip(ranks.tail).forall { case (x, y) => x >= y },
       "not sorted by rank")
+    // rank is exactly the closing division of the integer unit count
+    rows.foreach { r =>
+      assert(r.getDouble(2) == r.getLong(1) / 1e12)
+    }
   }
 
   test("shortestPaths computes exact hop distances with a depth cap") {
