@@ -111,20 +111,34 @@ object Analytics {
 
     // ------------------------------------------------------------------
     // Approximate quantiles (CH quantileTDigest shape): estimator
-    // values are engine-specific -> rows-only; the spec bounds error
-    // against the exact percentiles.
+    // values are engine-specific and cannot be cross-engine pinned,
+    // but the Greenwald-Khanna RANK guarantee (accuracy=1000 -> rank
+    // error <= n/1000) is the operator's contract — so the output
+    // re-ranks each estimate against the data (one broadcast join of
+    // the 3 estimate rows back onto lineitem) and emits a boolean per
+    // quantile that the empirical rank landed within 0.005 of the
+    // target; the oracle asserts the booleans. A broken estimator now
+    // fails the hard driver gate.
     "ch_quantiles_approx" -> Q(
       (s, dir) => {
-        Tables.lineitem(s, dir)
-          .groupBy("l_returnflag")
+        val li = Tables.lineitem(s, dir)
+        val est = li.groupBy("l_returnflag")
           .agg(approx_percentile(col("l_extendedprice"),
             array(lit(0.25), lit(0.5), lit(0.75), lit(0.9)), lit(1000)).as("ps"))
-          .select(col("l_returnflag"),
-            col("ps").getItem(0).as("p25"), col("ps").getItem(1).as("p50"),
-            col("ps").getItem(2).as("p75"), col("ps").getItem(3).as("p90"))
+        def rankOk(i: Int, q: Double) =
+          (abs(count_if(col("l_extendedprice") <= col("ps").getItem(i))
+            / count(lit(1)) - lit(q)) <= lit(0.005)).as(s"p${(q * 100).toInt}_rank_ok")
+        li.join(broadcast(est), "l_returnflag")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            rankOk(0, 0.25), rankOk(1, 0.5), rankOk(2, 0.75), rankOk(3, 0.9))
           .orderBy("l_returnflag")
       },
-      None),
+      Some("""
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+               TRUE AS p25_rank_ok, TRUE AS p50_rank_ok,
+               TRUE AS p75_rank_ok, TRUE AS p90_rank_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ------------------------------------------------------------------
     // End-to-end pipeline composition: raw events -> stateful

@@ -609,17 +609,29 @@ object ClickHouse {
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // ------------------------------------------------------------------
-    // uniq (HLL): approx_count_distinct next to the exact value.
-    // Not SQL-oracle-able (estimator-specific); spec bounds the error.
+    // uniq (HLL): approx_count_distinct next to the exact value. The
+    // estimate itself is estimator-specific (cannot be cross-engine
+    // pinned), but its ERROR BOUND — the operator's actual contract —
+    // is: the output carries the exact NDV plus a boolean that the
+    // HLL estimate landed within 2.5x the requested rsd, and the
+    // oracle asserts that boolean is TRUE. A drifting estimator now
+    // fails the hard driver gate, not just the ScalaTest spec.
     "ch_uniq_hll" -> Q(
       (s, dir) => {
         Tables.events(s, dir)
           .groupBy("event_type")
-          .agg(approx_count_distinct(col("user_id"), 0.02).as("uniq_users_approx"),
+          .agg(approx_count_distinct(col("user_id"), 0.02).as("approx"),
             countDistinct(col("user_id")).as("uniq_users_exact"))
+          .select(col("event_type"), col("uniq_users_exact"),
+            (abs(col("approx") - col("uniq_users_exact")) <=
+              col("uniq_users_exact") * lit(0.05)).as("hll_within_5pct"))
           .orderBy("event_type")
       },
-      None),
+      Some("""
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users_exact,
+               TRUE AS hll_within_5pct
+        FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // ------------------------------------------------------------------
     // groupArray / groupUniqArray, sorted and string-joined so the

@@ -254,9 +254,12 @@ object TextAnalysis {
 
     // ------------------------------------------------------------------
     // Rolling polynomial fingerprint via the native codegen'd
-    // PolyHash64 expression. Not ANSI-SQL-expressible -> rows-only in
-    // the driver; PolyHashSpec pins the value against the reference
-    // implementation.
+    // PolyHash64 expression. The hash is pure wrap-around integer
+    // arithmetic over UTF-8 bytes, so DuckDB replays it exactly: a
+    // per-char list_reduce in HUGEINT mod 2^64, re-signed at the end.
+    // (documents.text is ASCII at every SF, so unicode(c) == the
+    // byte.) PolyHashSpec additionally pins the expression against
+    // the reference implementation including non-ASCII inputs.
     "txt_fingerprint" -> Q(
       (s, dir) => {
         GraftFunctions.register(s)
@@ -264,7 +267,21 @@ object TextAnalysis {
           .select(col("doc_id"), expr("graft_polyhash(text)").as("fingerprint"))
           .orderBy("doc_id")
       },
-      None),
+      Some("""
+        SELECT doc_id,
+          CAST(CASE WHEN h >= 9223372036854775808 THEN
+                 h - 18446744073709551616 ELSE h END AS BIGINT)
+            AS fingerprint
+        FROM (
+          SELECT doc_id,
+            list_reduce(
+              list_prepend(CAST(0 AS HUGEINT),
+                [CAST(unicode(c) AS HUGEINT)
+                 for c in string_split(text, '')]),
+              (acc, x) -> (acc * 1000003 + x)
+                % CAST(18446744073709551616 AS HUGEINT)) AS h
+          FROM documents)
+        ORDER BY doc_id""")),
 
     // ------------------------------------------------------------------
     // TF-IDF keyword extraction: top-3 terms per doc by tf * (N/df).
