@@ -20,22 +20,34 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects (its timestamps are micros). Read nanos as a raw long
-    * (`ts_ns`) and derive `ts_us` (micros, = DuckDB `epoch_us(ts)`)
-    * plus a micros `ts` timestamp for time arithmetic. Queries that
-    * OUTPUT event time must emit `ts_us` (bigint) so results
-    * hash-match the oracle at micro precision regardless of whether
-    * the oracle engine keeps or truncates the nanos; `ts` is safe
-    * for comparisons against ms/us-aligned bounds (truncation
-    * cannot flip those comparisons).
+  /** `events.ts` has shipped as two different physical parquet types
+    * across testdata generations: TIMESTAMP(NANOS) (which Spark's
+    * reader rejects unless nanos are surfaced as a raw long) and
+    * plain timestamp[us]. Branch on the type the reader actually
+    * produces so the engine is robust to either layout:
+    *   - LongType (nanos-as-long): derive `ts_us = ts_ns div 1000`.
+    *   - Timestamp/TimestampNTZ (micros): `ts_us = unix_micros(ts)`
+    *     (session TZ is UTC, so the NTZ cast is exact).
+    * Both paths emit the same logical columns: `ts_us` (bigint
+    * micros, = DuckDB `epoch_us(ts)`) and a micros `ts` timestamp
+    * for time arithmetic. Queries that OUTPUT event time must emit
+    * `ts_us` (bigint) so results hash-match the oracle at micro
+    * precision regardless of oracle-engine precision handling.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us", expr("ts_ns div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw
+          .withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case _ =>
+        raw
+          .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

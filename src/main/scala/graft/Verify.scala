@@ -25,6 +25,17 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Loud failure: materialize the query's output dir with an error
+        // marker (and no parquet) so the driver's compare sees the name,
+        // fails to read it, and records an `err` row — instead of the
+        // round-4 mode where a missing dir silently omitted the operator
+        // and a 42-query regression looked like a smaller registry.
+        try {
+          val dir = Paths.get(s"$outDir/$name")
+          Files.createDirectories(dir)
+          Files.writeString(dir.resolve("_ERROR.txt"),
+            s"$name\n${e.getClass.getName}: ${e.getMessage}\n")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
