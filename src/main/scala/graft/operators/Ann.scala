@@ -97,8 +97,13 @@ object Ann {
     */
   private def corpusFingerprint(dir: String): String = {
     val root = new java.io.File(s"$dir/embeddings.parquet")
+    // fail fast on a missing corpus: a constant fingerprint here would
+    // let a stale cached index serve for a corpus that no longer exists
+    require(root.exists(), s"ANN corpus not found: $root")
     val parts =
-      if (root.isDirectory) root.listFiles().sortBy(_.getName)
+      if (root.isDirectory)
+        Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName)
       else Array(root)
     val desc = parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
       .mkString(s"$dir|", ",", "")
@@ -112,44 +117,123 @@ object Ann {
   /** Disk-backed memo for trained index state (centroids/codebooks):
     * an ANN index is trained once and served many times — FAISS/IVF
     * deployments persist the index exactly like this. The in-process
-    * map serves repeat calls; the on-disk copy (tmpdir, keyed by
-    * corpus fingerprint + params) survives JVM boundaries, so a fresh
-    * driver process (the per-round bench) measures PROBE cost, not a
-    * re-train. Stale entries self-invalidate via the fingerprint;
-    * writes are atomic (temp + rename). Training is seeded, so a
-    * cache hit and a re-train are bit-identical.
+    * map serves repeat calls; the on-disk copy (per-user 0700 tmpdir,
+    * keyed by corpus fingerprint + train version + params) survives
+    * JVM boundaries, so a fresh driver process (the per-round bench)
+    * measures PROBE cost, not a re-train. Stale entries
+    * self-invalidate via the fingerprint; writes are atomic (temp +
+    * rename). Training is seeded, so a cache hit and a re-train are
+    * bit-identical. Hits/misses log to stderr so warm vs cold bench
+    * runs are distinguishable from the artifact.
+    *
+    * The on-disk format is RAW shape + doubles (magic, rank, dims,
+    * row-major values via DataOutputStream) — never Java object
+    * serialization: a planted or corrupt file can at worst yield
+    * wrong doubles, which the shape check rejects anyway, never code
+    * execution on load.
     */
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), AnyRef]()
-  private def diskCached[T](key: String, train: => T): T = {
-    def load(f: java.io.File): Option[T] =
+
+  /** Mixed into every disk key so ANY change to the training recipe
+    * (seed, maxIter, init, storage codec) invalidates persisted
+    * entries instead of silently serving state trained by older code.
+    * Bump the literal whenever the training path changes.
+    */
+  private val TrainVersion = "v2-s42i10"
+
+  private val CacheMagic = 0x47414E31 // "GAN1"
+
+  private def cacheDir(): java.io.File = {
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft-ann-index-" + System.getProperty("user.name", "anon"))
+    if (!dir.exists()) {
+      try
+        java.nio.file.Files.createDirectories(dir.toPath,
+          java.nio.file.attribute.PosixFilePermissions.asFileAttribute(
+            java.nio.file.attribute.PosixFilePermissions
+              .fromString("rwx------"))): Unit
+      catch {
+        case _: UnsupportedOperationException => // non-posix fallback
+          dir.mkdirs()
+          dir.setReadable(false, false); dir.setReadable(true, true)
+          dir.setWritable(false, false); dir.setWritable(true, true)
+          dir.setExecutable(false, false); dir.setExecutable(true, true): Unit
+      }
+    }
+    dir
+  }
+
+  /** Load-or-train a shaped double tensor. `validShape` rejects any
+    * on-disk entry whose dims don't match what the caller is about to
+    * use (wrong cells/m/ks, truncated file, planted payload).
+    */
+  private def diskCachedDoubles(key: String, validShape: Seq[Int] => Boolean,
+      train: => (Seq[Int], Array[Double])): (Seq[Int], Array[Double]) = {
+    val dir = cacheDir()
+    val f = new java.io.File(dir, key + ".bin")
+    def load(): Option[(Seq[Int], Array[Double])] =
       if (!f.isFile) None
       else try {
-        val in = new java.io.ObjectInputStream(
-          new java.io.BufferedInputStream(new java.io.FileInputStream(f)))
-        try Some(in.readObject().asInstanceOf[T]) finally in.close()
+        val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+          new java.io.FileInputStream(f)))
+        try {
+          if (in.readInt() != CacheMagic) None
+          else {
+            val rank = in.readInt()
+            if (rank < 1 || rank > 4) None
+            else {
+              val dims = Seq.fill(rank)(in.readInt())
+              val n = dims.foldLeft(1L)(_ * _.toLong)
+              if (dims.exists(_ <= 0) || n > 50000000L || !validShape(dims))
+                None
+              else {
+                val a = new Array[Double](n.toInt)
+                var i = 0
+                while (i < a.length) { a(i) = in.readDouble(); i += 1 }
+                Some((dims, a))
+              }
+            }
+          }
+        } finally in.close()
       } catch { case _: Throwable => None }
-    val dir = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft-ann-index")
-    dir.mkdirs()
-    val f = new java.io.File(dir, key + ".bin")
-    load(f).getOrElse {
-      val v = train
-      try {
-        val tmp = java.io.File.createTempFile(key, ".tmp", dir)
-        val out = new java.io.ObjectOutputStream(
-          new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp)))
-        try out.writeObject(v) finally out.close()
-        tmp.renameTo(f): Unit
-      } catch { case _: Throwable => () } // cache write is best-effort
-      v
+    load() match {
+      case Some(v) =>
+        System.err.println(s"graft-ann-cache: hit $key")
+        v
+      case None =>
+        System.err.println(s"graft-ann-cache: miss $key (training)")
+        val v = train
+        try {
+          val tmp = java.io.File.createTempFile(key, ".tmp", dir)
+          val out = new java.io.DataOutputStream(
+            new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp)))
+          try {
+            out.writeInt(CacheMagic)
+            out.writeInt(v._1.length)
+            v._1.foreach(out.writeInt)
+            v._2.foreach(out.writeDouble)
+          } finally out.close()
+          tmp.renameTo(f): Unit
+        } catch { case _: Throwable => () } // cache write is best-effort
+        v
     }
   }
+
   def fitCellsCached(corpus: String, cells: Int, emb: => DataFrame): Seq[Seq[Double]] =
     centroidCache.computeIfAbsent(
       (corpus, s"cells$cells"),
-      _ => diskCached(s"${corpusFingerprint(corpus)}-cells$cells",
-        fitCells(emb, cells))
+      _ => {
+        val (dims, flat) = diskCachedDoubles(
+          s"${corpusFingerprint(corpus)}-$TrainVersion-cells$cells",
+          dims => dims.length == 2 && dims.head == cells,
+          {
+            val cents = fitCells(emb, cells)
+            (Seq(cents.length, cents.head.length), cents.flatten.toArray)
+          })
+        flat.grouped(dims(1)).map(_.toSeq).toSeq
+      }
     ).asInstanceOf[Seq[Seq[Double]]]
 
   /** IVF-bucketed cosine THRESHOLD pairs — the scale twin of the
@@ -409,19 +493,26 @@ object Ann {
       : Seq[Seq[Seq[Double]]] =
     centroidCache.computeIfAbsent(
       (dir, s"pq$m-$ks"),
-      _ => diskCached(s"${corpusFingerprint(dir)}-pq$m-$ks", {
-        val emb = Tables.embeddings(s, dir)
-          .select(l2normExpr(col("embedding")).as("nv"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val dim = emb.select(size(col("nv"))).head.getInt(0)
-          val subLen = dim / m
-          (0 until m).map { sub =>
-            fitCells(emb.select(slice(col("nv"), sub * subLen + 1, subLen)
-              .as("nv")), ks)
-          }
-        } finally { emb.unpersist(blocking = false): Unit }
-      })
+      _ => {
+        val (dims, flat) = diskCachedDoubles(
+          s"${corpusFingerprint(dir)}-$TrainVersion-pq$m-$ks",
+          dims => dims.length == 3 && dims.head == m && dims(1) == ks,
+          {
+            val emb = Tables.embeddings(s, dir)
+              .select(l2normExpr(col("embedding")).as("nv"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val dim = emb.select(size(col("nv"))).head.getInt(0)
+              val subLen = dim / m
+              val books = (0 until m).map { sub =>
+                fitCells(emb.select(slice(col("nv"), sub * subLen + 1, subLen)
+                  .as("nv")), ks)
+              }
+              (Seq(m, ks, subLen), books.flatten.flatten.toArray)
+            } finally { emb.unpersist(blocking = false): Unit }
+          })
+        flat.grouped(dims(2)).map(_.toSeq).grouped(dims(1)).map(_.toSeq).toSeq
+      }
     ).asInstanceOf[Seq[Seq[Seq[Double]]]]
 
   /** PQ + ADC top-k — the memory-bound serving path: each corpus
