@@ -8,12 +8,17 @@ import org.apache.spark.sql.types.DecimalType
   * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle
   * query over the same parquet tables. `bench = false` marks entries
   * excluded from the headline benchmark set (e.g. O(n^2) correctness
-  * baselines that have a dedicated scale-path variant).
+  * baselines that have a dedicated scale-path variant). `benchFn`,
+  * when set, is the shape the BENCHMARK runs instead of `fn` — for
+  * operators whose verify shape carries extra oracle-ability
+  * machinery (e.g. an in-query exact-NDV certificate) that is not
+  * part of the operator's production cost.
   */
 final case class Q(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    bench: Boolean = true)
+    bench: Boolean = true,
+    benchFn: Option[(SparkSession, String) => DataFrame] = None)
 
 /** Exact fixed-point aggregation helpers.
   *

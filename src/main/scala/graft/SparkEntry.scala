@@ -24,9 +24,11 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    registry.collect { case (k, Q(_, Some(sql), _)) => k -> sql.trim }
+    registry.collect { case (k, q) if q.oracle.isDefined =>
+      k -> q.oracle.get.trim }
 
-  /** Headline subset for Bench (excludes correctness-only baselines). */
+  /** Headline subset for Bench (excludes correctness-only baselines;
+    * runs an operator's benchFn shape when one is registered). */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
-    registry.collect { case (k, q) if q.bench => k -> q.fn }
+    registry.collect { case (k, q) if q.bench => k -> q.benchFn.getOrElse(q.fn) }
 }

@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import graft.Dec._
 import graft.{Sql => S}
 import graft.sources.{Dq, Sink, TimeTravel}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -649,42 +650,59 @@ object Sources {
     // an Expand that multiplies scan rows 4x) and bounded sketch
     // state per column instead of unbounded exact-distinct state.
     // This is what ANALYZE actually runs at scale. Estimator VALUES
-    // are engine-specific, so — the ch_quantiles_approx device — the
-    // output carries a per-column CERTIFICATE instead: ndv_ok =
-    // |HLL - exact| <= 5% * exact (rsd 1% leaves wide margin), with
-    // the exact counts from per-column single-distinct aggregations
-    // (each rewrites to a two-phase agg; only MULTI-column exact NDV
-    // in one agg forces the Expand this twin exists to avoid, so the
-    // whole plan stays Expand-free — SinkSpec asserts it). The DuckDB
+    // are engine-specific, so the VERIFY shape (the fn the oracle
+    // gate runs) — the ch_quantiles_approx device — carries a
+    // per-column CERTIFICATE instead: ndv_ok = |HLL - exact| <= 5% *
+    // exact (rsd 1% leaves wide margin), with the exact counts from
+    // per-column single-distinct aggregations (each rewrites to a
+    // two-phase agg; only MULTI-column exact NDV in one agg forces
+    // the Expand this twin exists to avoid, so even the certified
+    // plan stays Expand-free — SinkSpec asserts it). The DuckDB
     // oracle recomputes the exact profile and asserts TRUE: a broken
-    // estimator now fails the hard driver gate.
-    "dq_profile_approx" -> Q(
-      (s, dir) => {
-        val cols = Seq(
-          "o_orderkey" -> col("o_orderkey"),
-          "o_custkey" -> col("o_custkey"),
-          "o_orderstatus" -> col("o_orderstatus"),
-          "o_totalprice" -> col("o_totalprice").cast(DecimalType(12, 2)),
-          "o_orderdate" -> col("o_orderdate").cast("date"))
-        val aggs = cols.flatMap { case (n, c) => Seq(
+    // estimator fails the hard driver gate. The BENCHED shape
+    // (benchFn) is the pure one-pass HLL profile — the certificate's
+    // five exact-NDV scans are verify machinery, not operator cost,
+    // so the benchmark measures the single bounded-state scan a
+    // 100 TB ANALYZE would actually run.
+    "dq_profile_approx" -> {
+      val profCols = Seq(
+        "o_orderkey" -> col("o_orderkey"),
+        "o_custkey" -> col("o_custkey"),
+        "o_orderstatus" -> col("o_orderstatus"),
+        "o_totalprice" -> col("o_totalprice").cast(DecimalType(12, 2)),
+        "o_orderdate" -> col("o_orderdate").cast("date"))
+      def approxRow(s: SparkSession, dir: String): DataFrame = {
+        val aggs = profCols.flatMap { case (n, c) => Seq(
           min(c).cast("string").as(s"${n}_min"),
           max(c).cast("string").as(s"${n}_max"),
           approx_count_distinct(c, 0.01).as(s"${n}_ndv"),
           count_if(c.isNull).as(s"${n}_nulls")) }
-        val approxRow = Tables.orders(s, dir).agg(aggs.head, aggs.tail: _*)
-        val withExact = cols.foldLeft(approxRow) { case (df, (n, c)) =>
-          df.crossJoin(broadcast(Tables.orders(s, dir)
-            .agg(countDistinct(c).as(s"${n}_xndv"))))
+        Tables.orders(s, dir).agg(aggs.head, aggs.tail: _*)
+      }
+      val pureProfile: (SparkSession, String) => DataFrame = (s, dir) => {
+        val stacked = profCols.map { case (n, _) =>
+          s"'$n', ${n}_min, ${n}_max, ${n}_ndv, ${n}_nulls" }.mkString(", ")
+        approxRow(s, dir)
+          .select(expr(s"stack(${profCols.size}, $stacked) " +
+            "AS (column_name, min_v, max_v, ndv, nulls)"))
+          .orderBy("column_name")
+      }
+      val certified: (SparkSession, String) => DataFrame = (s, dir) => {
+        val withExact = profCols.foldLeft(approxRow(s, dir)) {
+          case (df, (n, c)) =>
+            df.crossJoin(broadcast(Tables.orders(s, dir)
+              .agg(countDistinct(c).as(s"${n}_xndv"))))
         }
-        val stacked = cols.map { case (n, _) =>
+        val stacked = profCols.map { case (n, _) =>
           s"'$n', ${n}_min, ${n}_max, " +
             s"abs(${n}_ndv - ${n}_xndv) <= 0.05d * ${n}_xndv, ${n}_nulls"
         }.mkString(", ")
         withExact
-          .select(expr(s"stack(${cols.size}, $stacked) " +
+          .select(expr(s"stack(${profCols.size}, $stacked) " +
             "AS (column_name, min_v, max_v, ndv_ok, nulls)"))
           .orderBy("column_name")
-      },
+      }
+      Q(certified,
       Some("""
         SELECT 'o_orderkey' AS column_name,
                CAST(min(o_orderkey) AS VARCHAR) AS min_v,
@@ -708,7 +726,9 @@ object Sources {
                CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR),
                TRUE,
                count(*) FILTER (WHERE o_orderdate IS NULL) FROM orders
-        ORDER BY column_name""")),
+        ORDER BY column_name"""),
+        benchFn = Some(pureProfile))
+    },
 
     // ------------------------------------------------------------------
     // Write-audit-publish: the incremental batch is STAGED (invisible

@@ -109,6 +109,15 @@ class SinkSpec extends SparkSpec {
     // countDistinct in one agg forces an Expand (4x the scan rows)
     val plan = approxDf.queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), s"approx profile plans an Expand:\n$plan")
+    // the BENCHED shape is the pure one-pass HLL profile: Expand-free
+    // AND a single scan of orders (the certificate's five exact-NDV
+    // scans are verify machinery, excluded from the measured operator)
+    val benchPlan = graft.SparkEntry.registry("dq_profile_approx").benchFn
+      .getOrElse(fail("dq_profile_approx must register a bench shape"))
+      .apply(spark, sf).queryExecution.executedPlan.toString
+    assert(!benchPlan.contains("Expand"))
+    val scans = "Scan parquet".r.findAllIn(benchPlan).size
+    assert(scans == 1, s"bench shape should scan orders once, saw $scans")
     val exactPlan = graft.SparkEntry.registry("dq_profile").fn(spark, sf)
       .queryExecution.executedPlan.toString
     assert(exactPlan.contains("Expand"),
