@@ -18,59 +18,87 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Deterministic per-doc test image: pixel channels are pure
-    * integer arithmetic in (doc_id, x, y), so any engine can
-    * recompute the decoded statistics without an image library.
-    * Sizes vary per doc (8..12 x 8..14) to exercise real framing.
+  /** Per-partition PNG codec: resolves the javax.imageio ImageReader
+    * and ImageWriter ONCE and reuses them for every image in the
+    * batch. `ImageIO.read`/`write` walk the service-provider registry
+    * and allocate a fresh reader/writer per call, which dominated the
+    * decode bench at hundreds of images per partition — reader reuse
+    * via `setInput` is the standard imageio batch idiom. NOT
+    * thread-safe: one instance per partition iterator.
     */
-  def encodePng(docId: Long): Array[Byte] = {
-    val w = (8 + docId % 5).toInt
-    val h = (8 + docId % 7).toInt
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val r = ((docId * 31 + x * 7 + y * 13) % 256).toInt
-        val g = ((docId * 17 + x * 11 + y * 3) % 256).toInt
-        val b = ((docId * 29 + x * 5 + y * 19) % 256).toInt
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
-        x += 1
+  final class PngCodec {
+    private val reader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+    private val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+
+    /** Deterministic per-doc test image: pixel channels are pure
+      * integer arithmetic in (doc_id, x, y), so any engine can
+      * recompute the decoded statistics without an image library.
+      * Sizes vary per doc (8..12 x 8..14) to exercise real framing.
+      */
+    def encode(docId: Long): Array[Byte] = {
+      val w = (8 + docId % 5).toInt
+      val h = (8 + docId % 7).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((docId * 31 + x * 7 + y * 13) % 256).toInt
+          val g = ((docId * 17 + x * 11 + y * 3) % 256).toInt
+          val b = ((docId * 29 + x * 5 + y * 19) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
       }
-      y += 1
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try { writer.setOutput(ios); writer.write(img) } finally ios.close()
+      bos.toByteArray
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+
+    /** REAL image decode (PNG is lossless, so decoded pixels equal
+      * the synthesized ones exactly): width, height, per-channel
+      * pixel sums and red min/max — all integers, hence exactly
+      * comparable cross-engine.
+      */
+    def decodeStats(png: Array[Byte])
+        : (Int, Int, Long, Long, Long, Int, Int) = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(png))
+      val img =
+        try { reader.setInput(iis, true, true); reader.read(0) }
+        finally iis.close()
+      val w = img.getWidth; val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var mn = 255; var mx = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val px = img.getRGB(x, y)
+          val r = (px >> 16) & 0xff
+          sr += r; sg += (px >> 8) & 0xff; sb += px & 0xff
+          if (r < mn) mn = r
+          if (r > mx) mx = r
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, sr, sg, sb, mn, mx)
+    }
   }
 
-  /** REAL image decode via JDK `javax.imageio` (PNG is lossless, so
-    * decoded pixels equal the synthesized ones exactly): width,
-    * height, per-channel pixel sums and red min/max — all integers,
-    * hence exactly comparable cross-engine.
+  /** One-shot conveniences (specs, single images) — the batch path
+    * holds a [[PngCodec]] per partition instead.
     */
+  def encodePng(docId: Long): Array[Byte] = new PngCodec().encode(docId)
   def decodePngStats(png: Array[Byte])
-      : (Int, Int, Long, Long, Long, Int, Int) = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
-    val w = img.getWidth; val h = img.getHeight
-    var sr = 0L; var sg = 0L; var sb = 0L
-    var mn = 255; var mx = 0
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val px = img.getRGB(x, y)
-        val r = (px >> 16) & 0xff
-        sr += r; sg += (px >> 8) & 0xff; sb += px & 0xff
-        if (r < mn) mn = r
-        if (r > mx) mx = r
-        x += 1
-      }
-      y += 1
-    }
-    (w, h, sr, sg, sb, mn, mx)
-  }
+      : (Int, Int, Long, Long, Long, Int, Int) =
+    new PngCodec().decodeStats(png)
 
   /** Deterministic byte-statistic features (NOT a media decode):
     * a fixed-size vector derived from the payload bytes only —
@@ -130,8 +158,11 @@ object Multimodal {
         import s.implicits._
         val ids = Tables.documents(s, dir).select("doc_id").as[Long]
         ids.mapPartitions { it =>
+          // codec per PARTITION, not per row: reader/writer resolution
+          // through the imageio registry is the per-call cost
+          val codec = new PngCodec
           it.map { id =>
-            val (w, h, sr, sg, sb, mn, mx) = decodePngStats(encodePng(id))
+            val (w, h, sr, sg, sb, mn, mx) = codec.decodeStats(codec.encode(id))
             (id, w, h, sr, sg, sb, mn, mx)
           }
         }.toDF("doc_id", "w", "h", "sum_r", "sum_g", "sum_b", "min_r", "max_r")
