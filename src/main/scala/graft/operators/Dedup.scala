@@ -280,27 +280,43 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Engine-portable simhash features (for [[all]]'s dedup_simhash):
-    * distinct 3-word shingle STRINGS, each md5'd — md5 of the same
-    * UTF-8 text yields the same hex in Spark and DuckDB, so the
-    * 64-bit feature hash (first 16 hex chars, assembled from two
-    * 32-bit `conv` halves because one 16-char conv would overflow
-    * signed bigint) is cross-engine identical, which makes the whole
-    * signature -> hamming -> pair-set pipeline DuckDB-oracle-able
-    * cell-exactly. At corpus scale swap md5 for xxhash64 (one line)
-    * if feature hashing ever shows in a profile — the signature
-    * pipeline is hash-agnostic. Expects a `toks` column (normalized
-    * token array, the jaccard operators' proven tokenization).
+  /** Distinct 3-word shingle strings from a `toks` column (the
+    * jaccard operators' proven tokenization) — shared by both simhash
+    * feature-hash modes below.
     */
-  val simhashFeatureExpr: String = """
-    transform(
-      array_distinct(IF(size(toks) >= 3,
-        transform(sequence(1, size(toks) - 2),
-          i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
-                         element_at(toks, i + 2))),
-        CAST(array() AS array<string>))),
-      s -> shiftleft(CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT), 32)
-           | CAST(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT))"""
+  private val simhashShingles: String = """
+    array_distinct(IF(size(toks) >= 3,
+      transform(sequence(1, size(toks) - 2),
+        i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+                       element_at(toks, i + 2))),
+      CAST(array() AS array<string>)))"""
+
+  /** Conf key selecting dedup_simhash's feature hash:
+    *  - "md5" (default): md5 of the same UTF-8 text yields the same
+    *    hex in Spark and DuckDB, so the 64-bit feature hash (first 16
+    *    hex chars, assembled from two 32-bit `conv` halves because one
+    *    16-char conv would overflow signed bigint) is cross-engine
+    *    identical — the whole signature -> hamming -> pair-set
+    *    pipeline oracles cell-exactly. The oracle-ability mode.
+    *  - "xxhash64": one codegen'd hash per shingle instead of an md5
+    *    plus two base-16 convs — the cheaper hash for a 100 TB corpus,
+    *    at the cost of DuckDB replayability. The scale mode.
+    * The signature pipeline downstream of the features is
+    * hash-agnostic; DedupSpec asserts BOTH modes yield valid near-dup
+    * pair sets (subset of exact jaccard pairs, high recall).
+    */
+  val SimhashHashConfKey = "spark.graft.simhash.featureHash"
+
+  /** Engine-portable simhash features for the chosen hash mode. */
+  def simhashFeatureExpr(hash: String): String = hash match {
+    case "md5" => s"""
+      transform($simhashShingles,
+        s -> shiftleft(CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT), 32)
+             | CAST(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT))"""
+    case "xxhash64" => s"transform($simhashShingles, s -> xxhash64(s))"
+    case other => throw new IllegalArgumentException(
+      s"$SimhashHashConfKey must be 'md5' or 'xxhash64', got '$other'")
+  }
 
   /** DuckDB oracle for [[all]]'s dedup_simhash: recompute the same
     * md5-derived signatures bit-by-bit (votes per hex-digit bit, so
@@ -466,14 +482,17 @@ object Dedup {
         // small vocabulary most docs share most token SETS, so shingles
         // are what separates near-dups from merely same-domain docs)
         graft.functions.GraftFunctions.register(s)
+        // feature hash is a session conf: md5 (default, oracle mode)
+        // or xxhash64 (scale mode) — see SimhashHashConfKey
+        val hash = s.conf.get(SimhashHashConfKey, "md5")
         val sigs = Tables.documents(s, dir)
           .repartition(s.sparkContext.defaultParallelism)
           .withColumn("toks", split(normText(col("text")), " "))
-          .selectExpr("doc_id", s"$simhashFeatureExpr AS fh")
+          .selectExpr("doc_id", s"${simhashFeatureExpr(hash)} AS fh")
           .filter(size(col("fh")) > 0)
           .withColumn("sig", expr("graft_simhash(fh)"))
           .select("doc_id", "sig")
-        simhashPairs(sigs, memoKey = Some(s"$dir:md5")).orderBy("id_a", "id_b")
+        simhashPairs(sigs, memoKey = Some(s"$dir:$hash")).orderBy("id_a", "id_b")
       },
       Some(simhashOracle)),
 

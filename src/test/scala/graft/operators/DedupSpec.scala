@@ -39,6 +39,20 @@ class DedupSpec extends SparkSpec {
       s"recall too low: ${sim.size}/${exact.size}")
   }
 
+  test("simhash scale mode (xxhash64 features) also yields a valid pair set") {
+    // same validity law as the md5 default: no false positives vs the
+    // exact jaccard pair set, and high recall — the banding pipeline
+    // is feature-hash-agnostic, only oracle-replayability differs
+    val exact = pairs("dedup_ngram_jaccard")
+    spark.conf.set(Dedup.SimhashHashConfKey, "xxhash64")
+    try {
+      val sim = pairs("dedup_simhash")
+      assert((sim -- exact).isEmpty, s"false positives: ${(sim -- exact).take(5)}")
+      assert(sim.size >= (exact.size * 0.7).toInt,
+        s"recall too low: ${sim.size}/${exact.size}")
+    } finally spark.conf.unset(Dedup.SimhashHashConfKey)
+  }
+
   test("simhashPairs finds all hamming<=6 pairs and caps hot buckets") {
     val base = 0x0123456789ABCDEFL
     val near = Seq(
