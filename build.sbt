@@ -11,9 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
-// sbt's "[success] Total time" epilogue prints ~80 chars after Bench's
-// JSON line; Bench compensates by keeping its stdout line well under
-// the driver's 2000-char tail buffer (full timings go to bench_out.json).
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench`
+// as JSON. Two sbt behaviors used to break that: the "[info] " prefix
+// on forked-process output, and the "[success] Total time" epilogue
+// printed after it. StdoutOutput passes the forked JVM's stdout
+// through verbatim, and showSuccess := false drops the epilogue — so
+// Bench's single JSON line is genuinely the final stdout line.
+// (Bench also keeps the line well under the driver's 2000-char tail
+// buffer; full timings go to bench_out.json.)
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
