@@ -372,12 +372,17 @@ object Ann {
       None),
 
     // ------------------------------------------------------------------
-    // Top-PC projection per vector (see pcaTopComponent). Iterative
-    // result -> rows-only; AnnSpec asserts partition-invariance,
+    // Top-PC projection per vector (see pcaTopComponent) — CELL-
+    // EXACTLY oracled despite being iterative: every per-step
+    // statistic is a floor-quantized BIGINT sum and every derived
+    // double comes from the same IEEE ops in the same order, so the
+    // unrolled-CTE DuckDB replay below (the graph_pagerank device,
+    // floating-point edition) reproduces v — and hence every pc1 —
+    // to the bit. AnnSpec additionally asserts partition-invariance,
     // variance capture, and determinism.
     "emb_pca" -> Q(
       (s, dir) => pcaTopComponent(s, dir)._2,
-      None),
+      Some(pcaOracleSql(8))),
 
     // ------------------------------------------------------------------
     // int8 symmetric quantization of the embedding column (the
@@ -593,12 +598,20 @@ object Ann {
     * dimensionality-reduction / whitening primitive of an embedding
     * pipeline. Each step is ONE tiny aggregation: v <- normalize(
     * sum_x x * (x . v)), where the per-dimension contributions are
-    * rounded to scale-12 decimals so the sums are EXACT — the result
-    * is bit-identical under any partitioning (a raw double sum would
-    * drift with partition order), asserted in AnnSpec. Driver state
-    * is one dim-length vector per step; the corpus is never
-    * collected. iters=8 suffices: the Rayleigh quotient stabilizes to
-    * 9 decimals on this corpus by iteration 6.
+    * quantized to 1e-12 units via floor() so each step's statistic is
+    * an exact BIGINT sum — bit-identical under any partitioning (a
+    * raw double sum would drift with partition order), asserted in
+    * AnnSpec. floor (not decimal rounding) is the load-bearing
+    * choice: floor of a double is a pure IEEE op every engine
+    * computes identically, where decimal HALF_UP rounding routes
+    * through a decimal string/int128 representation that differs
+    * between engines on boundary values — with floor, the whole
+    * iteration is replayable by the DuckDB oracle to the bit
+    * (normalization is scale-invariant, so the 1e12 factor cancels
+    * and never needs dividing back out). Driver state is one
+    * dim-length vector per step; the corpus is never collected.
+    * iters=8 suffices: the Rayleigh quotient stabilizes to 9 decimals
+    * on this corpus by iteration 6.
     */
   def pcaTopComponent(s: SparkSession, dir: String, iters: Int = 8)
       : (Seq[Double], DataFrame) = {
@@ -614,18 +627,81 @@ object Ann {
       val sums = emb
         .select(dot(col("nv"), typedLit(v)).as("proj"), col("nv"))
         .select(posexplode(col("nv")).as(Seq("pos", "x")), col("proj"))
-        .select(col("pos"), round(col("x") * col("proj"), 12)
-          .cast(org.apache.spark.sql.types.DecimalType(30, 12)).as("c"))
-        .groupBy("pos").agg(sum(col("c")).as("s"))
-        .collect().map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
-      val raw = Seq.tabulate(dim)(sums(_))
+        .select(col("pos"),
+          floor(col("x") * col("proj") * lit(1e12)).as("q"))
+        .groupBy("pos").agg(sum(col("q")).as("s"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val raw = Seq.tabulate(dim)(p => sums(p).toDouble)
       val norm = math.sqrt(raw.map(x => x * x).sum)
       v = raw.map(_ / norm)
     }
+    // pc1 floor-quantized to 1e-9: deterministic in both engines from
+    // the bit-identical v (a round() here would reopen the same
+    // engine-divergent decimal path the iteration just closed)
     val projections = emb
-      .select(col("vec_id"), round(dot(col("nv"), typedLit(v)), 9).as("pc1"))
+      .select(col("vec_id"),
+        floor(dot(col("nv"), typedLit(v)) * lit(1e9)).as("pc1_q"))
+      .select(col("vec_id"),
+        (col("pc1_q").cast("double") / lit(1e9)).as("pc1"))
       .orderBy("vec_id")
     (v, projections)
+  }
+
+  /** DuckDB replay of [[pcaTopComponent]]: one CTE pair per power-
+    * iteration step, same integer recurrence. Exactness argument:
+    *  - nv: float->double casts are exact; the l2 norm is the same
+    *    0.0-seeded left fold (list_reduce over a list_prepend(0.0,..))
+    *    graft_dot / Spark's aggregate() run, and sqrt / divide are
+    *    correctly-rounded IEEE ops — nv is bit-identical.
+    *  - per step: proj is the same ordered fold; the per-dimension
+    *    contribution floor(nv[i]*proj*1e12) is a pure IEEE mul-mul-
+    *    floor, so the BIGINT sums are exact and order-independent;
+    *    v = raw/||raw|| uses the same fold + sqrt + divide.
+    *  - pc1 = floor(dot*1e9)/1e9 from bit-identical v.
+    * Dim is pinned to 64 (all shipped corpora; the Spark side reads
+    * it from data and agrees). ~dim*n rows per step CTE — trivial at
+    * oracle SF.
+    */
+  private def pcaOracleSql(iters: Int): String = {
+    val fold = "(a, b) -> a + b"
+    def dotNvV = s"""list_reduce(list_prepend(0.0,
+            [nv[i+1] * v[i+1] for i in range(64)]), $fold)"""
+    val prelude = s"""
+      WITH ed AS (
+        SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+        FROM embeddings),
+      nvt AS (
+        SELECT vec_id, [x / nrm for x in e] AS nv
+        FROM (SELECT vec_id, e,
+                sqrt(list_reduce(list_prepend(0.0, [x * x for x in e]),
+                                 $fold)) AS nrm
+              FROM ed)),
+      v0 AS (SELECT [CASE WHEN i = 0 THEN 1.0 ELSE 0.0 END
+                     for i in range(64)] AS v)"""
+    val steps = (1 to iters).map { k =>
+      s"""
+      p$k AS (
+        SELECT vec_id, nv, $dotNvV AS proj
+        FROM nvt, v${k - 1}),
+      s$k AS (
+        SELECT i AS pos,
+          CAST(sum(CAST(floor(nv[i+1] * proj * 1000000000000.0) AS BIGINT))
+               AS BIGINT) AS s
+        FROM p$k, range(64) t(i)
+        GROUP BY i),
+      v$k AS (
+        SELECT [r / nrm for r in raws] AS v
+        FROM (SELECT raws,
+                sqrt(list_reduce(list_prepend(0.0, [r * r for r in raws]),
+                                 $fold)) AS nrm
+              FROM (SELECT list(CAST(s AS DOUBLE) ORDER BY pos) AS raws
+                    FROM s$k)))"""
+    }.mkString(",\n", ",\n", "")
+    prelude + steps + s"""
+      SELECT vec_id,
+        CAST(floor($dotNvV * 1000000000.0) AS BIGINT) / 1000000000.0 AS pc1
+      FROM nvt, v$iters
+      ORDER BY vec_id"""
   }
 
   /** Default cells/nprobe are sized for the test corpus (500 random
