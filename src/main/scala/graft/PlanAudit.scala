@@ -1,16 +1,22 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** Emits the physical plans (`explain("formatted")`) of the most
   * scale-critical operators to a markdown file — the audit trail for
   * "is this the plan you'd want on a 1000-executor cluster", kept in
-  * the repo as PLAN_AUDIT_r3.md.
+  * the repo as PLAN_AUDIT_r6.md.
   *
   * Usage: runMain graft.PlanAudit [sfDir] [outFile]
   */
 object PlanAudit {
 
-  /** (operator, what the plan must show to be scale-correct) */
-  val audited: Seq[(String, String)] = Seq(
+  private type B = (SparkSession, String) => DataFrame
+  private def reg(name: String): B =
+    (s, d) => SparkEntry.registry(name).fn(s, d)
+
+  /** (section, what the plan must show to be scale-correct, builder) */
+  val audited: Seq[(String, String, B)] = Seq[(String, String)](
     "q01_pricing_summary" ->
       "Range predicate in PushedFilters; partial_ aggregates before the single Exchange; ReadSchema pruned to the 7 needed columns.",
     "q05_revenue_by_nation" ->
@@ -46,26 +52,45 @@ object PlanAudit {
     "dq_checks" ->
       "All five scan rules fold into ONE Scan parquet of orders (the uniqueness rule adds the standard two-stage distinct rewrite on top of the same scan — rule count never adds passes over the data); the referential check is a BroadcastHashJoin LeftAnti.",
     "src_time_travel" ->
-      "The versioned read is a plain multi-dir FileScan: both snapshot reads push their own work down; no manifest indirection appears at plan level (manifests resolve to paths before planning).")
+      "The versioned read is a plain multi-dir FileScan: both snapshot reads push their own work down; no manifest indirection appears at plan level (manifests resolve to paths before planning)."
+  ).map { case (n, c) => (n, c, reg(n)) } ++ Seq[(String, String, B)](
+    // ---- write-path + iterative sections (round-6 additions) ----
+    ("sink_wap",
+      "Write-audit-publish leaves NO plan-level indirection: the query over the published table is a plain pruned parquet FileScan of published part files only (staged batches live under an unpublished dir the scan never lists); publish itself was a manifest write + rename, so no rewrite shuffle appears anywhere.",
+      reg("sink_wap")),
+    ("sink_compact",
+      "Small-file compaction is partition-scoped copy-on-write: the read-back is ONE parquet scan over the compacted file set — the only Exchange in the pipeline was the write-side coalesce of the compacted partition, never a full-table shuffle.",
+      reg("sink_compact")),
+    ("dq_profile_approx (bench shape)",
+      "The 100 TB ANALYZE shape: ONE Scan parquet of orders feeding a single two-phase aggregate (partial HLL/min/max/count_if states merged map-side; planned as a SortAggregate pair because string min/max state is not hash-aggregable), NO Expand (the exact twin pays a 4x-rows Expand for multi-column exact NDV), no join, no second pass.",
+      (s, d) => SparkEntry.registry("dq_profile_approx").benchFn
+        .getOrElse(sys.error("dq_profile_approx must register a bench shape"))
+        .apply(s, d)),
+    ("mm_feature_extract",
+      "Batch media decode: ReadSchema prunes to doc_id alone (payloads are synthesized per-row here; a real corpus would carry binary columns through the same shape), the decode is a single MapPartitions stage with a per-partition codec, and NO Exchange precedes it — decode cost is embarrassingly parallel and never shuffles payload bytes.",
+      reg("mm_feature_extract")),
+    ("graph_pagerank (superstep)",
+      "The per-iteration unit cost of distributed PageRank: the ranks side enters the contribution join via BroadcastExchange (node-count rows), so the edge index is NEVER shuffled per superstep — the only per-step shuffle Exchange is the dst-keyed contribution aggregation with a partial sum before it. (The left-leg edge-index build with its own Exchanges appears in this audit plan only because the plan is un-persisted; the operator builds eDeg once, loop-invariant, and persists it.) The full operator runs this plan once per superstep behind an eager per-step checkpoint.",
+      (s, d) => graft.operators.Graph.pageRankSuperstepPlan(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val out = args.drop(1).headOption.getOrElse("PLAN_AUDIT_r3.md")
+    val out = args.drop(1).headOption.getOrElse("PLAN_AUDIT_r6.md")
     val spark = Session.local(4)
     spark.sparkContext.setLogLevel("ERROR")
     val sb = new StringBuilder
-    sb.append("# Plan audit — scale-critical operators (round 3)\n\n")
+    sb.append("# Plan audit — scale-critical operators (round 6)\n\n")
     sb.append("Generated by `runMain graft.PlanAudit` at sf=" + sfDir +
       ". Each section states the property the plan must exhibit for the\n" +
       "operator to hold up at 100 TB, followed by the actual\n" +
       "`explain(\"formatted\")` output (header portion).\n")
-    for ((name, claim) <- audited) {
+    for ((name, claim, build) <- audited) {
       // the bucketed-join audit shows the no-broadcast (fact-fact)
       // shape; planning is lazy, so the conf must hold through the
       // explainString call, not just DataFrame construction
       if (name == "q_bucketed_join")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val df = SparkEntry.registry(name).fn(spark, sfDir)
+      val df = build(spark, sfDir)
       val formatted = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       if (name == "q_bucketed_join")

@@ -74,6 +74,22 @@ object Graph {
     }
   }
 
+  /** One PageRank superstep's un-executed plan, for PlanAudit: the
+    * contribution join + dst-keyed aggregation exactly as the loop
+    * builds it (ranks at the initial uniform value). The full
+    * operator checkpoints per step, so its final plan hides the
+    * superstep shape this exposes.
+    */
+  def pageRankSuperstepPlan(s: SparkSession, dir: String): DataFrame = {
+    val e = tradeEdges(s, dir)
+    val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+    val nodes = e.select(col("src").as("node")).distinct()
+    val ranks = nodes.withColumn("rank_u", lit(RankUnit / 1000))
+    eDeg.join(broadcast(ranks), col("src") === col("node"))
+      .select(col("dst"), expr("rank_u div deg").as("c"))
+      .groupBy("dst").agg(sum(col("c")).as("mass_in"))
+  }
+
   /** Customer<->supplier trading graph: an edge per distinct
     * (customer, supplier) pair that traded, symmetrized (so no node
     * dangles and the chain is irreducible). Supplier ids are offset
