@@ -276,8 +276,17 @@ object Multimodal {
     // duplicates. The real-pipeline shape (pHash/aHash over decoded
     // pixels) using payload byte-stat features (equal payloads =>
     // equal features, the collision law the spec pins); only
-    // (doc_id, code) shuffles. Rows-only for the driver;
-    // MultimodalSpec pins determinism and the collision law.
+    // (doc_id, code) shuffles. CELL-EXACTLY oracled (round 6): every
+    // feature is either integer-valued (exact as float and double in
+    // both engines) or a float32 division DuckDB's REAL arithmetic
+    // reproduces bit-exactly; the PolyHash64 low-16-bit fold is
+    // replayed mod 65536 (low bits of a product depend only on low
+    // bits of the operands, so no 64-bit wrap simulation is needed);
+    // and the corpus means are EXACT double sums (each feature's
+    // significand span across all docs fits in 53 bits, so summation
+    // order cannot round) — hence bit-identical thresholds, codes and
+    // bucket counts. MultimodalSpec pins determinism and the
+    // collision law on top.
     "mm_phash" -> Q(
       (s, dir) => {
         import s.implicits._
@@ -301,6 +310,46 @@ object Multimodal {
             .over(org.apache.spark.sql.expressions.Window.partitionBy("phash")))
           .orderBy("doc_id")
       },
-      None)
+      Some("""
+        WITH raw AS (
+          SELECT doc_id, lower(hex(encode(text))) AS hx,
+                 CAST(strlen(text) AS INTEGER) AS n
+          FROM documents),
+        b AS (
+          SELECT doc_id, n,
+            [16 * (strpos('0123456789abcdef', substr(hx, 2*i + 1, 1)) - 1)
+               + (strpos('0123456789abcdef', substr(hx, 2*i + 2, 1)) - 1)
+             for i in range(n)] AS bs
+          FROM raw),
+        f AS (
+          SELECT doc_id,
+            CAST(CAST(n AS REAL) AS DOUBLE) AS f0,
+            CAST(CAST(sm AS REAL) / CAST(n AS REAL) AS DOUBLE) AS f1,
+            CAST(CAST(list_aggregate(bs, 'min') AS REAL) AS DOUBLE) AS f2,
+            CAST(CAST(list_aggregate(bs, 'max') AS REAL) AS DOUBLE) AS f3,
+            CAST(CAST(bs[1] AS REAL) AS DOUBLE) AS f4,
+            CAST(CAST(bs[n] AS REAL) AS DOUBLE) AS f5,
+            CAST(CAST(sm % 256 AS REAL) AS DOUBLE) AS f6,
+            CAST(CAST(list_reduce(list_prepend(0, bs),
+                 (h, x) -> (h * 1000003 + x) % 65536) AS REAL) AS DOUBLE) AS f7
+          FROM (SELECT doc_id, n, bs,
+                  list_reduce(list_prepend(0, bs), (a, x) -> a + x) AS sm
+                FROM b)),
+        m AS (SELECT avg(f0) m0, avg(f1) m1, avg(f2) m2, avg(f3) m3,
+                     avg(f4) m4, avg(f5) m5, avg(f6) m6, avg(f7) m7 FROM f),
+        c AS (
+          SELECT doc_id,
+            CAST((CASE WHEN f0 > m0 THEN 1 ELSE 0 END)
+               + (CASE WHEN f1 > m1 THEN 2 ELSE 0 END)
+               + (CASE WHEN f2 > m2 THEN 4 ELSE 0 END)
+               + (CASE WHEN f3 > m3 THEN 8 ELSE 0 END)
+               + (CASE WHEN f4 > m4 THEN 16 ELSE 0 END)
+               + (CASE WHEN f5 > m5 THEN 32 ELSE 0 END)
+               + (CASE WHEN f6 > m6 THEN 64 ELSE 0 END)
+               + (CASE WHEN f7 > m7 THEN 128 ELSE 0 END) AS BIGINT) AS phash
+          FROM f, m)
+        SELECT doc_id, phash,
+               CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_bucket
+        FROM c ORDER BY doc_id"""))
   )
 }
