@@ -88,15 +88,71 @@ object TextAnalysis {
     learned.toSeq.toDF("step", "left", "right", "score")
   }
 
+  /** DuckDB replay of [[bpeTrain]] — one unrolled CTE trio per merge
+    * step (the graph_pagerank device for an iterative TEXT operator).
+    * The load-bearing trick is the merge step: Spark's greedy
+    * left-to-right non-overlapping HOF fold is exactly SQL
+    * `replace()` semantics on a separator-wrapped symbol string —
+    * each symbol rides as chr(31)||s||chr(31), so the pattern
+    * ␟a␟␟b␟ -> ␟ab␟ consumes matches left-to-right without
+    * overlapping and preserves the neighbors' separators ("abab"
+    * merges both pairs, "aaa" merges only the first — the same law
+    * the fold implements; chr(31) never occurs in the corpus).
+    * Scores are exact integer sums and the top-1 tie-break (score
+    * desc, pair asc) is binary-collation-identical in both engines,
+    * so all `merges` rows pin cell-exactly. CTEs are MATERIALIZED:
+    * each state feeds the next step twice, and inlining would
+    * re-evaluate the chain exponentially.
+    */
+  private def bpeOracleSql(merges: Int): String = {
+    val sep = "chr(31)"
+    def step(k: Int) = s"""
+    p$k AS MATERIALIZED (
+      SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS score
+      FROM (SELECT freq,
+              unnest([{'a': syms[i+1], 'b': syms[i+2]}
+                      for i in range(len(syms) - 1)]) AS p
+            FROM (SELECT freq,
+                    string_split(substr(cat, 2, strlen(cat) - 2),
+                                 $sep || $sep) AS syms
+                  FROM s${k - 1}))
+      GROUP BY p.a, p.b),
+    t$k AS MATERIALIZED (SELECT a, b, score FROM p$k
+             ORDER BY score DESC, a, b LIMIT 1),
+    s$k AS MATERIALIZED (
+      SELECT freq, replace(cat,
+        (SELECT $sep || a || $sep || $sep || b || $sep FROM t$k),
+        (SELECT $sep || a || b || $sep FROM t$k)) AS cat
+      FROM s${k - 1})"""
+    s"""
+    WITH w0 AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+            FROM documents)
+      WHERE strlen(w) >= 2
+      GROUP BY w),
+    s0 AS MATERIALIZED (
+      SELECT freq,
+        list_aggregate([$sep || c || $sep for c in string_split(w, '')],
+                       'string_agg', '') AS cat
+      FROM w0),""" +
+      (1 to merges).map(step).mkString(",") + "\n" +
+      (1 to merges).map(k =>
+        s"""SELECT CAST($k AS INTEGER) AS step, a AS "left", b AS "right", score FROM t$k""")
+        .mkString(" UNION ALL ") +
+      " ORDER BY step"
+  }
+
   val all: Map[String, Q] = Map(
     // ------------------------------------------------------------------
     // Iterative BPE training (see bpeTrain): 10 greedy merges over the
-    // documents corpus. Iterative + driver-coordinated -> rows-only
-    // for the driver; TextSpec pins the first four merges of the
-    // classic low/lower/newest/widest corpus by hand.
+    // documents corpus — CELL-EXACTLY oracled (round 6) by the
+    // unrolled replace()-merge replay in [[bpeOracleSql]]. TextSpec
+    // additionally pins the first four merges of the classic
+    // low/lower/newest/widest corpus by hand.
     "txt_bpe_train" -> Q(
       (s, dir) => bpeTrain(Tables.documents(s, dir), 10),
-      None),
+      Some(bpeOracleSql(10))),
 
     // ------------------------------------------------------------------
     // Vocabulary growth curve (Heaps' law measurement, the tokenizer-
