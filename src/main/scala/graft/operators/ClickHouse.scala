@@ -48,6 +48,91 @@ object ClickHouse {
         count(lit(1)).as("n_rows"))
       .filter(col("net_sign") =!= 0 || col("net_measure") =!= 0.0)
 
+  /** DuckDB replay of ch_agg_state's xxhash64+HLL pipeline.
+    *
+    * Spark's `xxhash64(bigint)` is XXH64's hashLong with seed 42
+    * (spark/unsafe XXH64.java — public xxHash spec). DuckDB has no
+    * xxhash64 and its integers trap on overflow, so every wrapping
+    * 64-bit multiply is built from 32-bit limbs over HUGEINT
+    * (lo*lo + ((lo*hi + hi*lo) mod 2^32)<<32, all < 2^96) taken
+    * mod 2^64; rotations split at the rotate point the same way.
+    * Register index/rank then follow Hll.add (p=12: idx = low 12
+    * bits, rank = ntz of the remaining bits + 1, where
+    * ntz(w) + 1 = bit_count(xor(w, w-1)) for w != 0), the merged
+    * register is the per-(group, idx) max, and Hll.estimate's
+    * harmonic sum folds 1/2^reg in register order over a full
+    * 0..4095 spine (each term an exact power of two). alpha/raw
+    * mirror the Scala expression structure token for token; the
+    * closing round-to-long absorbs sub-ulp libm differences in the
+    * linear-counting ln().
+    */
+  private val hllOracleSql: String = {
+    val P1 = java.lang.Long.parseUnsignedLong("9E3779B185EBCA87", 16)
+    val P2 = java.lang.Long.parseUnsignedLong("C2B2AE3D27D4EB4F", 16)
+    val P3 = java.lang.Long.parseUnsignedLong("165667B19E3779F9", 16)
+    val P4 = java.lang.Long.parseUnsignedLong("85EBCA77C2B2AE63", 16)
+    val P5 = java.lang.Long.parseUnsignedLong("27D4EB2F165667C5", 16)
+    val M64 = "18446744073709551616" // 2^64
+    def u(x: Long) = java.lang.Long.toUnsignedString(x)
+    def mul64(a: String, b: Long): String = {
+      val bh = u(b >>> 32); val bl = u(b & 0xffffffffL)
+      s"""CAST(CAST(((CAST($a % 4294967296 AS HUGEINT) * $bl)
+         + ((((CAST($a % 4294967296 AS HUGEINT) * $bh)
+         + (CAST($a // 4294967296 AS HUGEINT) * $bl)) % 4294967296)
+         * 4294967296)) % $M64 AS HUGEINT) AS UBIGINT)"""
+    }
+    def rotl(x: String, r: Int): String = {
+      val lo = java.lang.Long.toUnsignedString(1L << (64 - r))
+      s"""CAST(CAST((CAST($x % $lo AS HUGEINT) * ${1L << r})
+         + ($x // $lo) AS HUGEINT) % $M64 AS UBIGINT)"""
+    }
+    val acc0 = u(42L + P5 + 8L)
+    s"""
+    WITH e AS (SELECT event_type, CAST(user_id AS UBIGINT) AS v FROM events),
+    s1 AS (SELECT event_type, ${mul64("v", P2)} AS k1a FROM e),
+    s2 AS (SELECT event_type, ${rotl("k1a", 31)} AS k1b FROM s1),
+    s3 AS (SELECT event_type, ${mul64("k1b", P1)} AS k1c FROM s2),
+    s4 AS (SELECT event_type, xor(CAST($acc0 AS UBIGINT), k1c) AS h1 FROM s3),
+    s5 AS (SELECT event_type, ${rotl("h1", 27)} AS h1r FROM s4),
+    s6 AS (SELECT event_type, ${mul64("h1r", P1)} AS h2a FROM s5),
+    s7 AS (SELECT event_type,
+             CAST((CAST(h2a AS HUGEINT) + ${u(P4)}) % $M64 AS UBIGINT) AS h2
+           FROM s6),
+    s8 AS (SELECT event_type, xor(h2, h2 // 8589934592) AS f1 FROM s7),
+    s9 AS (SELECT event_type, ${mul64("f1", P2)} AS f2 FROM s8),
+    sa AS (SELECT event_type, xor(f2, f2 // 536870912) AS f3 FROM s9),
+    sb AS (SELECT event_type, ${mul64("f3", P3)} AS f4 FROM sa),
+    hh AS (SELECT event_type, xor(f4, f4 // 4294967296) AS h FROM sb),
+    rk AS (SELECT event_type, CAST(h % 4096 AS INTEGER) AS idx,
+             CASE WHEN h // 4096 = 0 THEN 53
+                  ELSE CAST(bit_count(xor(h // 4096, h // 4096 - 1)) AS INTEGER)
+             END AS rank
+           FROM hh),
+    reg0 AS (SELECT event_type, idx, CAST(max(rank) AS INTEGER) AS reg
+             FROM rk GROUP BY event_type, idx),
+    spine AS (SELECT et.event_type, g.i AS idx
+              FROM (SELECT DISTINCT event_type FROM e) et, range(4096) g(i)),
+    regs AS (SELECT s.event_type, s.idx, coalesce(r.reg, 0) AS reg
+             FROM spine s LEFT JOIN reg0 r
+               ON r.event_type = s.event_type AND r.idx = s.idx),
+    agg AS (SELECT event_type,
+              list_reduce(list_prepend(0.0,
+                list(1.0 / (2.0 ^ reg) ORDER BY idx)), (a, b) -> a + b)
+                AS inv_sum,
+              CAST(count(*) FILTER (WHERE reg = 0) AS INTEGER) AS zeros
+            FROM regs GROUP BY event_type),
+    est AS (SELECT event_type,
+              CASE WHEN (((0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0)
+                         * 4096.0) / inv_sum <= 10240.0 AND zeros > 0
+                   THEN 4096.0 * ln(4096.0 / zeros)
+                   ELSE (((0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0)
+                         * 4096.0) / inv_sum
+              END AS e
+            FROM agg)
+    SELECT event_type, CAST(round(e) AS BIGINT) AS uniq_users_est
+    FROM est ORDER BY event_type"""
+  }
+
   val all: Map[String, Q] = Map(
     // ------------------------------------------------------------------
     // Latest order per customer by (o_orderdate, o_orderkey).
@@ -499,8 +584,18 @@ object ClickHouse {
     // max, associative/commutative/idempotent — into exactly the state
     // one pass over the union produces (HllSpec asserts bit equality).
     // approx_count_distinct cannot do this: its state dies with the
-    // job. Estimator-valued -> rows-only; HllSpec pins the merge law
-    // and a 5% accuracy bound vs exact.
+    // job. CELL-EXACTLY oracled (round 6): the merge law (elementwise
+    // register max — associative/commutative/idempotent, HllSpec
+    // asserts bit equality) means the batch split cannot change the
+    // merged state, so the oracle replays the ONE-PASS registers:
+    // Spark's xxhash64 (XXH64 hashLong, seed 42) is reproduced in
+    // DuckDB via 32-bit-limb multiplication mod 2^64 over HUGEINT
+    // (see hllOracleSql), registers are a per-(group, idx) max, the
+    // harmonic sum folds 1/2^reg in register order (each term an
+    // exact power of two), and the final round-to-long absorbs any
+    // sub-ulp ln() libm difference in the linear-counting branch.
+    // HllSpec additionally pins the merge law and a 5% accuracy
+    // bound vs exact.
     "ch_agg_state" -> Q(
       (s, dir) => {
         graft.functions.GraftFunctions.register(s)
@@ -515,7 +610,7 @@ object ClickHouse {
             expr("graft_hll_estimate(merged)").as("uniq_users_est"))
           .orderBy("event_type")
       },
-      None),
+      Some(hllOracleSql)),
 
     // ------------------------------------------------------------------
     // deltaSum: total of the POSITIVE increments of a per-user value
