@@ -30,6 +30,16 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  for ((name, q) <- SparkEntry.registry.toSeq.sortBy(_._1); bfn <- q.benchFn) {
+    test(s"$name bench shape runs and returns rows at sf0.001") {
+      // benchFn is what Bench actually measures — it must be as
+      // runnable as the verify fn at every SF
+      val df = bfn(spark, sf)
+      assert(df.columns.nonEmpty)
+      assert(df.count() > 0, s"$name bench shape returned 0 rows")
+    }
+  }
+
   test("every oracled query emits only atomic (harness-portable) columns") {
     // The driver's pandas canonicalization sort_values-es every output
     // column; array/map/struct columns are unhashable there and turn a
