@@ -144,7 +144,7 @@ object Ann {
 
   private val CacheMagic = 0x47414E31 // "GAN1"
 
-  private def cacheDir(): java.io.File = {
+  private[operators] def cacheDir(): java.io.File = {
     val dir = new java.io.File(
       System.getProperty("java.io.tmpdir"),
       "graft-ann-index-" + System.getProperty("user.name", "anon"))
@@ -169,7 +169,8 @@ object Ann {
     * on-disk entry whose dims don't match what the caller is about to
     * use (wrong cells/m/ks, truncated file, planted payload).
     */
-  private def diskCachedDoubles(key: String, validShape: Seq[Int] => Boolean,
+  private[operators] def diskCachedDoubles(key: String,
+      validShape: Seq[Int] => Boolean,
       train: => (Seq[Int], Array[Double])): (Seq[Int], Array[Double]) = {
     val dir = cacheDir()
     val f = new java.io.File(dir, key + ".bin")

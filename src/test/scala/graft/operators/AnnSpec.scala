@@ -78,4 +78,35 @@ class AnnSpec extends SparkSpec {
     val got = df.select(Ann.cosineExpr(col("a"), col("b"))).head().getDouble(0)
     assert(math.abs(got - 0.5) < 1e-12) // dot=1, |a|=|b|=sqrt(2)
   }
+
+  test("index disk cache round-trips, and rejects corrupt or mis-shaped entries") {
+    val key = s"spec-cache-${System.nanoTime()}"
+    val dims = Seq(2, 3)
+    val data = Array(1.0, 2.5, -3.0, 0.0, 1e-12, 4096.0)
+    var trains = 0
+    def train() = { trains += 1; (dims, data) }
+    val shape2x3 = (d: Seq[Int]) => d == dims
+    // miss -> train -> persist
+    assert(Ann.diskCachedDoubles(key, shape2x3, train()) == ((dims, data)))
+    assert(trains == 1)
+    // hit: same key loads from disk, no retrain, bit-identical payload
+    val (d2, a2) = Ann.diskCachedDoubles(key, shape2x3, train())
+    assert(trains == 1 && d2 == dims && a2.toSeq == data.toSeq)
+    val f = new java.io.File(Ann.cacheDir(), key + ".bin")
+    assert(f.isFile)
+    // a caller expecting a DIFFERENT shape must not be served this
+    // entry (the planted/stale-state scenario): it retrains
+    Ann.diskCachedDoubles(key, d => d == Seq(3, 2), train())
+    assert(trains == 2, "mis-shaped cache entry was served")
+    // corrupt file (truncated mid-payload) -> load rejected -> retrain
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    java.nio.file.Files.write(f.toPath, bytes.take(bytes.length - 4))
+    Ann.diskCachedDoubles(key, shape2x3, train())
+    assert(trains == 3, "truncated cache entry was served")
+    // wrong magic -> rejected -> retrain
+    val garbage = Array.fill[Byte](64)(0x5a)
+    java.nio.file.Files.write(f.toPath, garbage)
+    Ann.diskCachedDoubles(key, shape2x3, train())
+    assert(trains == 4, "wrong-magic cache entry was served")
+  }
 }
