@@ -226,9 +226,13 @@ object Ann {
     centroidCache.computeIfAbsent(
       (corpus, s"cells$cells"),
       _ => {
+        // probe the true vector dim (a one-row job, paid only on an
+        // in-process miss) so a cached entry with the right cell
+        // count but the wrong dimensionality is rejected, not served
+        val dim = emb.select(size(col("nv"))).head.getInt(0)
         val (dims, flat) = diskCachedDoubles(
           s"${corpusFingerprint(corpus)}-$TrainVersion-cells$cells",
-          dims => dims.length == 2 && dims.head == cells,
+          dims => dims == Seq(cells, dim),
           {
             val cents = fitCells(emb, cells)
             (Seq(cents.length, cents.head.length), cents.flatten.toArray)
@@ -382,7 +386,16 @@ object Ann {
     // to the bit. AnnSpec additionally asserts partition-invariance,
     // variance capture, and determinism.
     "emb_pca" -> Q(
-      (s, dir) => pcaTopComponent(s, dir)._2,
+      (s, dir) => {
+        // the oracle unrolls range(64) CTEs; a corpus with a different
+        // dim must fail loudly here, not hash-mismatch mysteriously
+        val dim = Tables.embeddings(s, dir)
+          .select(size(col("embedding"))).head.getInt(0)
+        require(dim == 64,
+          s"emb_pca's oracle pins dim=64 but the corpus is $dim-dim — " +
+            "regenerate pcaOracleSql for the new dimension")
+        pcaTopComponent(s, dir)._2
+      },
       Some(pcaOracleSql(8))),
 
     // ------------------------------------------------------------------
@@ -500,21 +513,23 @@ object Ann {
     centroidCache.computeIfAbsent(
       (dir, s"pq$m-$ks"),
       _ => {
+        // dim probe: pins the expected subspace length so a cached
+        // entry with right (m, ks) but wrong subLen is rejected
+        val expectLen = Tables.embeddings(s, dir)
+          .select(size(col("embedding"))).head.getInt(0) / m
         val (dims, flat) = diskCachedDoubles(
           s"${corpusFingerprint(dir)}-$TrainVersion-pq$m-$ks",
-          dims => dims.length == 3 && dims.head == m && dims(1) == ks,
+          dims => dims == Seq(m, ks, expectLen),
           {
             val emb = Tables.embeddings(s, dir)
               .select(l2normExpr(col("embedding")).as("nv"))
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             try {
-              val dim = emb.select(size(col("nv"))).head.getInt(0)
-              val subLen = dim / m
               val books = (0 until m).map { sub =>
-                fitCells(emb.select(slice(col("nv"), sub * subLen + 1, subLen)
-                  .as("nv")), ks)
+                fitCells(emb.select(
+                  slice(col("nv"), sub * expectLen + 1, expectLen).as("nv")), ks)
               }
-              (Seq(m, ks, subLen), books.flatten.flatten.toArray)
+              (Seq(m, ks, expectLen), books.flatten.flatten.toArray)
             } finally { emb.unpersist(blocking = false): Unit }
           })
         flat.grouped(dims(2)).map(_.toSeq).grouped(dims(1)).map(_.toSeq).toSeq

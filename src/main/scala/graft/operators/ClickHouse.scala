@@ -88,7 +88,10 @@ object ClickHouse {
     }
     val acc0 = u(42L + P5 + 8L)
     s"""
-    WITH e AS (SELECT event_type, CAST(user_id AS UBIGINT) AS v FROM events),
+    WITH e AS (SELECT event_type,
+                 CAST(((CAST(user_id AS HUGEINT) % $M64) + $M64) % $M64
+                      AS UBIGINT) AS v
+               FROM events),
     s1 AS (SELECT event_type, ${mul64("v", P2)} AS k1a FROM e),
     s2 AS (SELECT event_type, ${rotl("k1a", 31)} AS k1b FROM s1),
     s3 AS (SELECT event_type, ${mul64("k1b", P1)} AS k1c FROM s2),
@@ -102,7 +105,11 @@ object ClickHouse {
     s9 AS (SELECT event_type, ${mul64("f1", P2)} AS f2 FROM s8),
     sa AS (SELECT event_type, xor(f2, f2 // 536870912) AS f3 FROM s9),
     sb AS (SELECT event_type, ${mul64("f3", P3)} AS f4 FROM sa),
-    hh AS (SELECT event_type, xor(f4, f4 // 4294967296) AS h FROM sb),
+    hh AS (SELECT event_type,
+             -- NULL user_id: Spark's xxhash64(NULL) leaves the seed
+             -- untouched, so the row hashes to literally 42
+             coalesce(xor(f4, f4 // 4294967296), CAST(42 AS UBIGINT)) AS h
+           FROM sb),
     rk AS (SELECT event_type, CAST(h % 4096 AS INTEGER) AS idx,
              CASE WHEN h // 4096 = 0 THEN 53
                   ELSE CAST(bit_count(xor(h // 4096, h // 4096 - 1)) AS INTEGER)

@@ -291,23 +291,26 @@ object Dedup {
                        element_at(toks, i + 2))),
       CAST(array() AS array<string>)))"""
 
-  /** Conf key selecting dedup_simhash's feature hash:
-    *  - "md5" (default): md5 of the same UTF-8 text yields the same
-    *    hex in Spark and DuckDB, so the 64-bit feature hash (first 16
-    *    hex chars, assembled from two 32-bit `conv` halves because one
-    *    16-char conv would overflow signed bigint) is cross-engine
-    *    identical — the whole signature -> hamming -> pair-set
-    *    pipeline oracles cell-exactly. The oracle-ability mode.
+  /** Engine-portable simhash features for the chosen hash mode:
+    *  - "md5" (the default everywhere an oracle gates the result):
+    *    md5 of the same UTF-8 text yields the same hex in Spark and
+    *    DuckDB, so the 64-bit feature hash (first 16 hex chars,
+    *    assembled from two 32-bit `conv` halves because one 16-char
+    *    conv would overflow signed bigint) is cross-engine identical
+    *    — the whole signature -> hamming -> pair-set pipeline oracles
+    *    cell-exactly. The oracle-ability mode.
     *  - "xxhash64": one codegen'd hash per shingle instead of an md5
-    *    plus two base-16 convs — the cheaper hash for a 100 TB corpus,
-    *    at the cost of DuckDB replayability. The scale mode.
-    * The signature pipeline downstream of the features is
-    * hash-agnostic; DedupSpec asserts BOTH modes yield valid near-dup
-    * pair sets (subset of exact jaccard pairs, high recall).
+    *    plus two base-16 convs — the cheaper hash for a 100 TB
+    *    corpus, at the cost of DuckDB replayability. The scale mode.
+    * The hash choice is a FUNCTION PARAMETER (see
+    * [[simhashNearDupPairs]]), deliberately not a session conf: the
+    * registry's dedup_simhash entry is bound to the md5 replay oracle,
+    * so ambient session state must not be able to flip its features
+    * out from under the oracle. The signature pipeline downstream of
+    * the features is hash-agnostic; DedupSpec asserts BOTH modes
+    * yield valid near-dup pair sets (subset of exact jaccard pairs,
+    * high recall).
     */
-  val SimhashHashConfKey = "spark.graft.simhash.featureHash"
-
-  /** Engine-portable simhash features for the chosen hash mode. */
   def simhashFeatureExpr(hash: String): String = hash match {
     case "md5" => s"""
       transform($simhashShingles,
@@ -315,7 +318,28 @@ object Dedup {
              | CAST(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT))"""
     case "xxhash64" => s"transform($simhashShingles, s -> xxhash64(s))"
     case other => throw new IllegalArgumentException(
-      s"$SimhashHashConfKey must be 'md5' or 'xxhash64', got '$other'")
+      s"simhash feature hash must be 'md5' or 'xxhash64', got '$other'")
+  }
+
+  /** SimHash near-dup pairs over the documents table with the chosen
+    * feature hash — the configurable entry point ([[simhashFeatureExpr]]
+    * explains the modes). The registry's dedup_simhash is this with
+    * hash = "md5" (pinned to its DuckDB replay oracle).
+    */
+  def simhashNearDupPairs(s: SparkSession, dir: String,
+      hash: String = "md5"): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // simhash over 3-word shingles (unigrams are too coarse: with a
+    // small vocabulary most docs share most token SETS, so shingles
+    // are what separates near-dups from merely same-domain docs)
+    val sigs = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("toks", split(normText(col("text")), " "))
+      .selectExpr("doc_id", s"${simhashFeatureExpr(hash)} AS fh")
+      .filter(size(col("fh")) > 0)
+      .withColumn("sig", expr("graft_simhash(fh)"))
+      .select("doc_id", "sig")
+    simhashPairs(sigs, memoKey = Some(s"$dir:$hash")).orderBy("id_a", "id_b")
   }
 
   /** DuckDB oracle for [[all]]'s dedup_simhash: recompute the same
@@ -477,23 +501,11 @@ object Dedup {
     // the identical signatures and pins the exact pair set WITH
     // hamming values — a full cell-exact gate, not rows-only.
     "dedup_simhash" -> Q(
-      (s, dir) => {
-        // simhash over 3-word shingles (unigrams are too coarse: with a
-        // small vocabulary most docs share most token SETS, so shingles
-        // are what separates near-dups from merely same-domain docs)
-        graft.functions.GraftFunctions.register(s)
-        // feature hash is a session conf: md5 (default, oracle mode)
-        // or xxhash64 (scale mode) — see SimhashHashConfKey
-        val hash = s.conf.get(SimhashHashConfKey, "md5")
-        val sigs = Tables.documents(s, dir)
-          .repartition(s.sparkContext.defaultParallelism)
-          .withColumn("toks", split(normText(col("text")), " "))
-          .selectExpr("doc_id", s"${simhashFeatureExpr(hash)} AS fh")
-          .filter(size(col("fh")) > 0)
-          .withColumn("sig", expr("graft_simhash(fh)"))
-          .select("doc_id", "sig")
-        simhashPairs(sigs, memoKey = Some(s"$dir:$hash")).orderBy("id_a", "id_b")
-      },
+      // hash pinned to "md5": this entry is gated by the md5 replay
+      // oracle, so the feature hash must not be swappable under it
+      // (scale mode is the hash="xxhash64" parameter of
+      // simhashNearDupPairs, specced in DedupSpec)
+      (s, dir) => simhashNearDupPairs(s, dir, hash = "md5"),
       Some(simhashOracle)),
 
     // ------------------------------------------------------------------

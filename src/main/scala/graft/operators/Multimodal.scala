@@ -322,13 +322,21 @@ object Multimodal {
              for i in range(n)] AS bs
           FROM raw),
         f AS (
+          -- n = 0 rows mirror fakeDecodeFeatures' explicit sentinels
+          -- (mean 0, min 255, max/first/last/summod/hash 0) instead of
+          -- the 0/0 division and empty-list NULLs SQL would produce
           SELECT doc_id,
             CAST(CAST(n AS REAL) AS DOUBLE) AS f0,
-            CAST(CAST(sm AS REAL) / CAST(n AS REAL) AS DOUBLE) AS f1,
-            CAST(CAST(list_aggregate(bs, 'min') AS REAL) AS DOUBLE) AS f2,
-            CAST(CAST(list_aggregate(bs, 'max') AS REAL) AS DOUBLE) AS f3,
-            CAST(CAST(bs[1] AS REAL) AS DOUBLE) AS f4,
-            CAST(CAST(bs[n] AS REAL) AS DOUBLE) AS f5,
+            CASE WHEN n = 0 THEN 0.0 ELSE
+              CAST(CAST(sm AS REAL) / CAST(n AS REAL) AS DOUBLE) END AS f1,
+            CASE WHEN n = 0 THEN 255.0 ELSE
+              CAST(CAST(list_aggregate(bs, 'min') AS REAL) AS DOUBLE) END AS f2,
+            CASE WHEN n = 0 THEN 0.0 ELSE
+              CAST(CAST(list_aggregate(bs, 'max') AS REAL) AS DOUBLE) END AS f3,
+            CASE WHEN n = 0 THEN 0.0 ELSE
+              CAST(CAST(bs[1] AS REAL) AS DOUBLE) END AS f4,
+            CASE WHEN n = 0 THEN 0.0 ELSE
+              CAST(CAST(bs[n] AS REAL) AS DOUBLE) END AS f5,
             CAST(CAST(sm % 256 AS REAL) AS DOUBLE) AS f6,
             CAST(CAST(list_reduce(list_prepend(0, bs),
                  (h, x) -> (h * 1000003 + x) % 65536) AS REAL) AS DOUBLE) AS f7

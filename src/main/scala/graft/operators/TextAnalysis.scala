@@ -113,7 +113,7 @@ object TextAnalysis {
               unnest([{'a': syms[i+1], 'b': syms[i+2]}
                       for i in range(len(syms) - 1)]) AS p
             FROM (SELECT freq,
-                    string_split(substr(cat, 2, strlen(cat) - 2),
+                    string_split(substr(cat, 2, length(cat) - 2),
                                  $sep || $sep) AS syms
                   FROM s${k - 1}))
       GROUP BY p.a, p.b),
@@ -129,7 +129,7 @@ object TextAnalysis {
       SELECT w, CAST(count(*) AS BIGINT) AS freq
       FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
             FROM documents)
-      WHERE strlen(w) >= 2
+      WHERE length(w) >= 2
       GROUP BY w),
     s0 AS MATERIALIZED (
       SELECT freq,

@@ -44,13 +44,12 @@ class DedupSpec extends SparkSpec {
     // exact jaccard pair set, and high recall — the banding pipeline
     // is feature-hash-agnostic, only oracle-replayability differs
     val exact = pairs("dedup_ngram_jaccard")
-    spark.conf.set(Dedup.SimhashHashConfKey, "xxhash64")
-    try {
-      val sim = pairs("dedup_simhash")
-      assert((sim -- exact).isEmpty, s"false positives: ${(sim -- exact).take(5)}")
-      assert(sim.size >= (exact.size * 0.7).toInt,
-        s"recall too low: ${sim.size}/${exact.size}")
-    } finally spark.conf.unset(Dedup.SimhashHashConfKey)
+    val sim = Dedup.simhashNearDupPairs(spark, sf, hash = "xxhash64")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((sim -- exact).isEmpty, s"false positives: ${(sim -- exact).take(5)}")
+    assert(sim.size >= (exact.size * 0.7).toInt,
+      s"recall too low: ${sim.size}/${exact.size}")
   }
 
   test("simhashPairs finds all hamming<=6 pairs and caps hot buckets") {
