@@ -30,6 +30,20 @@ class PolyHashSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("low-16-bit congruence: hash & 0xffff == fold mod 65536 (mm_phash oracle law)") {
+    // the mm_phash DuckDB oracle replays only the low 16 bits of the
+    // rolling hash, relying on low bits of a product depending only on
+    // low bits of the operands — pin that congruence against the full
+    // 64-bit wrapping reference on random byte strings
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 500) {
+      val bytes = Array.fill(rnd.nextInt(600))(rnd.nextInt(256).toByte)
+      val full = PolyHash64.hash(bytes, 1000003L) & 0xffffL
+      val folded = bytes.foldLeft(0L)((h, b) => (h * 1000003L + (b & 0xff)) % 65536L)
+      assert(full == folded, s"congruence broke at len ${bytes.length}")
+    }
+  }
+
   test("graft_polyhash rejects non-castable input at analysis time") {
     GraftFunctions.register(spark)
     val df = Seq(Seq(1L, 2L)).toDF("arr")
