@@ -156,7 +156,12 @@ object Multimodal {
     "mm_feature_extract" -> Q(
       (s, dir) => {
         import s.implicits._
+        // repartition to core count BEFORE the decode: the input is a
+        // handful of small parquet files, so file-split partitioning
+        // would serialize this CPU-bound stage on one core — decode
+        // parallelism must follow cores, not input bytes
         val ids = Tables.documents(s, dir).select("doc_id").as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
         ids.mapPartitions { it =>
           // codec per PARTITION, not per row: reader/writer resolution
           // through the imageio registry is the per-call cost
