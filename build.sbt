@@ -38,4 +38,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // a 247-query bench generates enough whole-stage-codegen classes to
+  // fill the default 240m code cache, after which the JIT disables and
+  // late CPU-bound queries run interpreted (observed: image decode
+  // 0.4s solo vs ~5s late in the full bench) — give it headroom
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -27,6 +27,12 @@ object Multimodal {
     * thread-safe: one instance per partition iterator.
     */
   final class PngCodec {
+    // in-memory imageio streams: the default createImageInputStream /
+    // createImageOutputStream are FILE-cache-backed — one temp file
+    // per image, which collapses under a loaded /tmp (observed 0.4s
+    // solo vs 5s late in a 247-query bench). Small frames belong in
+    // memory; per-JVM static, harmless to set repeatedly.
+    javax.imageio.ImageIO.setUseCache(false)
     private val reader =
       javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
     private val writer =
