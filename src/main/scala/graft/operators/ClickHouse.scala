@@ -1078,19 +1078,34 @@ object ClickHouse {
             2).as("n_chains"))
           .orderBy("user_id")
       },
+      // The oracle fold runs as a RECURSIVE CTE (state per (user,
+      // pos), one step per event rank) rather than list_reduce over
+      // the grouped lists: DuckDB 1.0.0's list_reduce mis-slices the
+      // child vectors of aggregate-built lists and permutes results
+      // ACROSS rows at some batch shapes (observed at sf0.001: users
+      // 7 and 14 received each other's chain counts; the same lists
+      // as literals fold correctly). The recursion is row-at-a-time
+      // by construction, same integer state machine.
       Some("""
-        SELECT user_id,
-               list_reduce(list_prepend(0,
-                 list(stage ORDER BY ts_us, stage)),
-                 (acc, x) -> CASE WHEN x = acc % 4 THEN
-                   (CASE WHEN acc % 4 = 2 THEN (acc // 4 + 1) * 4
-                         ELSE acc + 1 END)
-                 ELSE acc END) // 4 AS n_chains
-        FROM (SELECT user_id, epoch_us(ts) AS ts_us,
-                     CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
-                          WHEN 'purchase' THEN 2 END AS stage
-              FROM events) t
-        WHERE stage IS NOT NULL
-        GROUP BY user_id ORDER BY user_id"""))
+        WITH RECURSIVE seq AS (
+          SELECT user_id, stage,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, stage) AS pos
+          FROM (SELECT user_id, epoch_us(ts) AS ts_us,
+                       CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+                            WHEN 'purchase' THEN 2 END AS stage
+                FROM events) t
+          WHERE stage IS NOT NULL),
+        r(user_id, pos, acc) AS (
+          SELECT DISTINCT user_id, 0, 0 FROM seq
+          UNION ALL
+          SELECT r.user_id, r.pos + 1,
+                 CASE WHEN s.stage = r.acc % 4 THEN
+                   CASE WHEN r.acc % 4 = 2 THEN (r.acc // 4 + 1) * 4
+                        ELSE r.acc + 1 END
+                 ELSE r.acc END
+          FROM r JOIN seq s ON s.user_id = r.user_id AND s.pos = r.pos + 1)
+        SELECT user_id, CAST(arg_max(acc, pos) // 4 AS INTEGER) AS n_chains
+        FROM r GROUP BY user_id ORDER BY user_id"""))
   )
 }
