@@ -67,7 +67,7 @@ object PlanAudit {
         .getOrElse(sys.error("dq_profile_approx must register a bench shape"))
         .apply(s, d)),
     ("mm_feature_extract",
-      "Batch media decode: ReadSchema prunes to doc_id alone (payloads are synthesized per-row here; a real corpus would carry binary columns through the same shape), the decode is a single MapPartitions stage with a per-partition codec, and NO Exchange precedes it — decode cost is embarrassingly parallel and never shuffles payload bytes.",
+      "Batch media decode: ReadSchema prunes to doc_id alone (payloads are synthesized per-row here; a real corpus would carry binary columns through the same shape), and the decode is a single MapPartitions stage with a per-partition codec. The one Exchange before it is a deliberate RoundRobin repartition of the doc_id keys to core count — the input is a small-file scan whose file splits underparallelize a CPU-bound stage; only ids move, payload bytes are synthesized (or, on a real corpus, read) inside the decode partition and never shuffle.",
       reg("mm_feature_extract")),
     ("graph_pagerank (superstep)",
       "The per-iteration unit cost of distributed PageRank: the ranks side enters the contribution join via BroadcastExchange (node-count rows), so the edge index is NEVER shuffled per superstep — the only per-step shuffle Exchange is the dst-keyed contribution aggregation with a partial sum before it. (The left-leg edge-index build with its own Exchanges appears in this audit plan only because the plan is un-persisted; the operator builds eDeg once, loop-invariant, and persists it.) The full operator runs this plan once per superstep behind an eager per-step checkpoint.",

@@ -232,9 +232,15 @@ object Ann {
         val dim = emb.select(size(col("nv"))).head.getInt(0)
         val (dims, flat) = diskCachedDoubles(
           s"${corpusFingerprint(corpus)}-$TrainVersion-cells$cells",
-          dims => dims == Seq(cells, dim),
+          // accept the ACTUAL trained center count (seeded KMeans can
+          // return < cells on a degenerate corpus, deterministically —
+          // a rejected entry here would silently retrain every JVM)
+          dims => dims.length == 2 && dims(0) >= 1 && dims(0) <= cells &&
+            dims(1) == dim,
           {
             val cents = fitCells(emb, cells)
+            require(cents.nonEmpty && cents.forall(_.length == dim),
+              s"KMeans returned malformed centroids for cells=$cells dim=$dim")
             (Seq(cents.length, cents.head.length), cents.flatten.toArray)
           })
         flat.grouped(dims(1)).map(_.toSeq).toSeq
@@ -529,6 +535,14 @@ object Ann {
                 fitCells(emb.select(
                   slice(col("nv"), sub * expectLen + 1, expectLen).as("nv")), ks)
               }
+              // the claimed (m, ks, expectLen) shape must be the REAL
+              // shape — a short book (degenerate KMeans) would
+              // otherwise shift every later codeword in the flat
+              // array and corrupt the reshape silently
+              require(books.forall(b =>
+                  b.length == ks && b.forall(_.length == expectLen)),
+                s"PQ training returned a ragged codebook (expected $m x $ks x $expectLen): " +
+                  books.map(_.length).mkString(","))
               (Seq(m, ks, expectLen), books.flatten.flatten.toArray)
             } finally { emb.unpersist(blocking = false): Unit }
           })

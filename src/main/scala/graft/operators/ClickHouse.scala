@@ -60,8 +60,11 @@ object ClickHouse {
     * bits, rank = ntz of the remaining bits + 1, where
     * ntz(w) + 1 = bit_count(xor(w, w-1)) for w != 0), the merged
     * register is the per-(group, idx) max, and Hll.estimate's
-    * harmonic sum folds 1/2^reg in register order over a full
-    * 0..4095 spine (each term an exact power of two). alpha/raw
+    * harmonic sum is a plain SUM of 1/2^reg over a full 0..4095
+    * spine — order-free because each term is an exact power of two
+    * and the total stays inside double's 53-bit significand, so the
+    * arbitrary-order SQL sum equals Spark's sequential fold
+    * bit-for-bit. alpha/raw
     * mirror the Scala expression structure token for token; the
     * closing round-to-long absorbs sub-ulp libm differences in the
     * linear-counting ln().
@@ -120,12 +123,22 @@ object ClickHouse {
     spine AS (SELECT et.event_type, g.i AS idx
               FROM (SELECT DISTINCT event_type FROM e) et, range(4096) g(i)),
     regs AS (SELECT s.event_type, s.idx, coalesce(r.reg, 0) AS reg
+             -- null-safe key match: a NULL event_type group must find
+             -- its registers (plain = would zero them out silently)
              FROM spine s LEFT JOIN reg0 r
-               ON r.event_type = s.event_type AND r.idx = s.idx),
+               ON r.event_type IS NOT DISTINCT FROM s.event_type
+              AND r.idx = s.idx),
     agg AS (SELECT event_type,
-              list_reduce(list_prepend(0.0,
-                list(1.0 / (2.0 ^ reg) ORDER BY idx)), (a, b) -> a + b)
-                AS inv_sum,
+              -- plain sum, NOT an ordered fold: every term is an exact
+              -- power of two and the 4096-term total spans < 53
+              -- significand bits (a register would need rank > ~41 to
+              -- break exactness, probability < 2^-40 per hash), so any
+              -- summation order yields the bit-identical double. This
+              -- deliberately avoids list_reduce over an aggregate-built
+              -- grouped list — DuckDB 1.0.0 mis-slices those child
+              -- vectors and can permute results ACROSS groups (see the
+              -- ch_sequencecount recursive-CTE note).
+              sum(1.0 / (2.0 ^ reg)) AS inv_sum,
               CAST(count(*) FILTER (WHERE reg = 0) AS INTEGER) AS zeros
             FROM regs GROUP BY event_type),
     est AS (SELECT event_type,

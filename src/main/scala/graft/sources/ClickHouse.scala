@@ -59,7 +59,10 @@ object ClickHouse {
     val fixed = """(?i)FixedString\s*\(\s*\d+\s*\)""".r
     val arr = """(?i)Array\s*\((.*)\)""".r
     t match {
-      case dec(p, s)   => Some(DecimalType(p.toInt, s.toInt))
+      // Decimal256 (precision > 38) exceeds Catalyst's DecimalType —
+      // fall back to the JDBC type code instead of throwing here.
+      case dec(p, s) if p.toInt <= 38 => Some(DecimalType(p.toInt, s.toInt))
+      case dec(_, _)   => None
       case dt64()      => Some(TimestampType)
       case fixed()     => Some(StringType)
       case arr(inner)  => catalystType(inner).map(ArrayType(_))
@@ -69,6 +72,11 @@ object ClickHouse {
         case "int32" | "uint16"   => Some(IntegerType)
         case "int64" | "uint32"   => Some(LongType)
         case "uint64"             => Some(DecimalType(20, 0))
+        // Best-effort, NOT lossless: 128/256-bit ints can exceed 38
+        // decimal digits; values past 10^38 fail (or null under
+        // non-ANSI) at row conversion. There is no wider Catalyst
+        // numeric — callers needing the full range should read these
+        // columns as String via a query-side cast.
         case "int128" | "uint128" | "int256" | "uint256" => Some(DecimalType(38, 0))
         case "float32"            => Some(FloatType)
         case "float64"            => Some(DoubleType)
@@ -165,7 +173,16 @@ object ClickHouseDialect extends JdbcDialect {
   *     `insert_deduplicate=1` + `insert_deduplication_token=<batchKey>`
   *     so a replayed task's identical batch is dropped server-side —
   *     the native block-dedup contract the delete+insert transaction
-  *     emulates on ANSI engines.
+  *     emulates on ANSI engines. The DDL enables the non-replicated
+  *     dedup window so this holds on plain MergeTree too.
+  *
+  * Block-granularity caveat: the server dedups per formed BLOCK, and
+  * one token must cover exactly one block — an insert the server
+  * splits into several blocks (more than `max_insert_block_size` rows,
+  * default 1,048,576) would see later blocks dropped as token-dupes.
+  * `batchProperties` therefore pins `max_insert_block_size` high; a
+  * batch is a Spark-task-held `Seq[Row]`, memory-bounded far below
+  * that, so each batch forms a single block.
   */
 object ClickHouseSinkDialect extends SinkDialect {
 
@@ -181,7 +198,14 @@ object ClickHouseSinkDialect extends SinkDialect {
     val cols = schema.fields.map(f => s"${quote(f.name)} ${ddlType(f)}").mkString(", ")
     s"CREATE TABLE IF NOT EXISTS ${quote(table)} " +
       s"(${quote("graft_batch_key")} String, $cols) " +
-      "ENGINE = MergeTree ORDER BY " + quote("graft_batch_key")
+      "ENGINE = MergeTree ORDER BY " + quote("graft_batch_key") +
+      // Plain (non-replicated) MergeTree has the insert-dedup log OFF
+      // by default (non_replicated_deduplication_window = 0), which
+      // would make the dedup-token replay contract a silent no-op on
+      // the very table this DDL creates — so the DDL itself turns the
+      // window on. Replicated engines keep their own (always-on)
+      // window and ignore this setting.
+      " SETTINGS non_replicated_deduplication_window = 10000"
   }
 
   /** Replay safety comes from the dedup token, not a delete. */
@@ -196,7 +220,10 @@ object ClickHouseSinkDialect extends SinkDialect {
 
   def batchProperties(batchKey: String): Map[String, String] = Map(
     "insert_deduplicate" -> "1",
-    "insert_deduplication_token" -> batchKey)
+    "insert_deduplication_token" -> batchKey,
+    // one batch must form ONE block for the token contract (see class
+    // doc); 100M rows is far beyond any memory-held Seq[Row] batch
+    "max_insert_block_size" -> "100000000")
 
   /** Benign "already exists" is impossible: DDL carries IF NOT EXISTS. */
   def createRaceSqlStates: Set[String] = Set.empty

@@ -37,6 +37,7 @@ class ClickHouseSpec extends AnyFunSuite {
     assert(ct("Float32").contains(FloatType))
     assert(ct("Float64").contains(DoubleType))
     assert(ct("Decimal(18, 4)").contains(DecimalType(18, 4)))
+    assert(ct("Decimal(76, 10)").isEmpty) // Decimal256 > Catalyst max 38
     assert(ct("Date").contains(DateType))
     assert(ct("Date32").contains(DateType))
     assert(ct("DateTime").contains(TimestampType))
@@ -81,7 +82,9 @@ class ClickHouseSpec extends AnyFunSuite {
     val ddl = ClickHouseSinkDialect.createTableSql("t1", schema)
     assert(ddl == "CREATE TABLE IF NOT EXISTS `t1` (`graft_batch_key` String, " +
       "`k` Int64, `v` Nullable(Float64), `tags` Array(String)) " +
-      "ENGINE = MergeTree ORDER BY `graft_batch_key`")
+      "ENGINE = MergeTree ORDER BY `graft_batch_key` " +
+      // without this, plain MergeTree ignores the dedup token entirely
+      "SETTINGS non_replicated_deduplication_window = 10000")
   }
 
   test("sink replay contract: no delete, no transaction, dedup token " +
@@ -91,6 +94,8 @@ class ClickHouseSpec extends AnyFunSuite {
     val props = ClickHouseSinkDialect.batchProperties("part3-epoch7")
     assert(props("insert_deduplicate") == "1")
     assert(props("insert_deduplication_token") == "part3-epoch7")
+    // one batch must form one block for the token to cover it
+    assert(props("max_insert_block_size").toLong >= 100000000L)
     val schema = StructType(Seq(StructField("k", LongType)))
     assert(ClickHouseSinkDialect.insertSql("t", schema) ==
       "INSERT INTO `t` VALUES (?, ?)")
