@@ -166,11 +166,16 @@ object TextAnalysis {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, dir)
         val n = docs.agg(count(lit(1)).as("n_docs"))
+        // tokenize ONCE per row into a bound column: HOF lambdas run
+        // interpreted, so a split() inside the lambda body would re-run
+        // the regex once per shingle POSITION (O(tokens^2) per doc)
         val firsts = docs.crossJoin(broadcast(n))
           .select(expr("CAST((doc_id * 10) div n_docs AS INT)").as("decile"),
+            split(lower(col("text")), "\\s+").as("tl"))
+          .select(col("decile"),
             explode(expr("""
-              transform(sequence(1, size(split(lower(text), '\\s+')) - 2),
-                i -> concat_ws(' ', slice(split(lower(text), '\\s+'), i, 3)))
+              transform(sequence(1, size(tl) - 2),
+                i -> concat_ws(' ', slice(tl, i, 3)))
               """)).as("term"))
           .groupBy("term").agg(min(col("decile")).as("first_decile"))
         firsts.groupBy("first_decile")
