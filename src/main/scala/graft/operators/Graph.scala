@@ -46,7 +46,11 @@ object Graph {
         // ranks is node-count rows — broadcast it explicitly so the
         // contribution join never shuffles the (much larger) edge
         // index; the only shuffle per superstep is the dst-keyed
-        // contribution aggregation (map-side partial sum first)
+        // contribution aggregation (map-side partial sum first).
+        // (Past broadcastable node counts the same loop holds with
+        // this hint removed: eDeg is persisted already partitioned,
+        // so a shuffle join moves only the node-count ranks side per
+        // step, never the edge index — ranks ≪ edges either way.)
         val contribs = eDeg.join(broadcast(ranks), col("src") === col("node"))
           .select(col("dst"), expr("rank_u div deg").as("c"))
           .groupBy("dst").agg(sum(col("c")).as("mass_in"))
