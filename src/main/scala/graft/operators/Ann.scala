@@ -365,22 +365,42 @@ object Ann {
         WHERE rank <= 10 ORDER BY query_id, rank""")),
 
     // ------------------------------------------------------------------
-    // IVF (KMeans-cell) approximate top-k: assign every vector to its
-    // nearest of 16 centroids, probe the 4 cells nearest each query,
-    // exact-rerank inside them. Approximate -> rows-only for the
-    // driver; AnnSpec measures recall@10 against the brute force.
+    // IVF top-k: assign every vector to its nearest cell, probe the 4
+    // cells nearest each query, exact-rerank inside them. CELL-EXACTLY
+    // oracled via the oracle-mode/scale-mode device (dedup_simhash's):
+    // the verify fn runs the stride-sampled deterministic quantizer
+    // (DuckDB replays seed selection, assignment, probe order and rank
+    // bit-for-bit — ivfSeededOracleSql); the BENCHED shape stays the
+    // KMeans-trained production index (benchFn), whose recall@10
+    // AnnSpec measures against the brute force (ANN_RECALL.json).
     "ann_ivf_topk" -> Q(
-      (s, dir) => ivfTopK(s, dir),
-      None),
+      (s, dir) => {
+        val dim = Tables.embeddings(s, dir)
+          .select(size(col("embedding"))).head.getInt(0)
+        require(dim == 64,
+          s"ann_ivf_topk's oracle pins dim=64 but the corpus is $dim-dim")
+        ivfTopKSeeded(s, dir)
+      },
+      Some(ivfSeededOracleSql),
+      benchFn = Some((s, dir) => ivfTopK(s, dir))),
 
     // ------------------------------------------------------------------
     // Product-quantized ADC top-k with exact rerank: the 32x-
-    // compressed serving path (see pqTopK). Approximate -> rows-only;
-    // AnnSpec measures recall@10 against the brute force and records
-    // it in ANN_RECALL.json.
+    // compressed serving path (see pqTopK). CELL-EXACTLY oracled the
+    // same way: verify fn uses seed-sliced codebooks + integer ADC
+    // (pqSeededOracleSql replays encode/LUT/shortlist/rerank); the
+    // benched shape stays the KMeans-trained codebooks (benchFn),
+    // recall@10 in ANN_RECALL_PQ.json.
     "ann_pq_topk" -> Q(
-      (s, dir) => pqTopK(s, dir),
-      None),
+      (s, dir) => {
+        val dim = Tables.embeddings(s, dir)
+          .select(size(col("embedding"))).head.getInt(0)
+        require(dim == 64,
+          s"ann_pq_topk's oracle pins dim=64 (subLen=8) but the corpus is $dim-dim")
+        pqTopKSeeded(s, dir)
+      },
+      Some(pqSeededOracleSql),
+      benchFn = Some((s, dir) => pqTopK(s, dir))),
 
     // ------------------------------------------------------------------
     // Top-PC projection per vector (see pcaTopComponent) — CELL-
@@ -572,10 +592,21 @@ object Ann {
     * so ADC approximates cosine directly (similarity, not distance).
     */
   def pqTopK(s: SparkSession, dir: String, k: Int = 10, m: Int = 8,
-      ks: Int = 32, rr: Int = 100): DataFrame = {
+      ks: Int = 32, rr: Int = 100): DataFrame =
+    pqAdc(s, dir, fitPqCodebooks(s, dir, m, ks), k, m, rr)
+
+  /** The PQ encode / LUT / ADC / rerank pipeline shared by the
+    * trained ([[pqTopK]]) and seeded ([[pqTopKSeeded]]) codebooks.
+    * ADC partials are floor-quantized to 1e-12 units so the shortlist
+    * score is an exact BIGINT sum — order-independent under any
+    * partitioning (and engine: it is what lets the seeded variant's
+    * DuckDB oracle replay the shortlist cell-exactly). 1e-12 is far
+    * below any real ADC gap, so recall is unchanged (AnnSpec).
+    */
+  private def pqAdc(s: SparkSession, dir: String,
+      books: Seq[Seq[Seq[Double]]], k: Int, m: Int, rr: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
-    val books = fitPqCodebooks(s, dir, m, ks)
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), l2normExpr(col("embedding")).as("nv"))
     val dim = books.map(_.head.length).sum
@@ -597,16 +628,18 @@ object Ann {
       .select(col("query_id"), l2normExpr(col("qv")).as("qnv"))
     val lut = broadcast(queries.crossJoin(bookDf)
       .select(col("query_id"), col("sub"), col("code"),
-        dot(slice(col("qnv"), col("sub") * lit(subLen) + lit(1), lit(subLen)),
-          col("cw")).as("contrib")))
+        floor(dot(
+            slice(col("qnv"), col("sub") * lit(subLen) + lit(1), lit(subLen)),
+            col("cw")) * lit(1e12)).cast("long").as("contrib_q")))
 
-    // 3. ADC score + shortlist
+    // 3. ADC score + shortlist (exact integer sum of 1e-12-unit
+    // partials — order-free, see pqAdc scaladoc)
     val wApprox = Window.partitionBy("query_id")
       .orderBy(col("approx_cos").desc, col("vec_id").asc)
     val shortlist = codes.join(lut, Seq("sub", "code"))
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy("query_id", "vec_id")
-      .agg(sum(col("contrib")).as("approx_cos"))
+      .agg(sum(col("contrib_q")).as("approx_cos"))
       .withColumn("arank", row_number().over(wApprox))
       .filter(col("arank") <= rr)
       .select("query_id", "vec_id")
@@ -677,6 +710,139 @@ object Ann {
     (v, projections)
   }
 
+  /** Shared oracle prelude: exact double view of the corpus and the
+    * L2-normalized vectors via the same 0.0-seeded left fold Spark's
+    * l2normExpr runs — nv is bit-identical (the emb_pca argument).
+    */
+  // def, not val: the registry map `all` above initializes first and
+  // interpolates this — a later-declared val would still be null then
+  private def nvPrelude: String = """
+      WITH ed AS (
+        SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+        FROM embeddings),
+      nvt AS MATERIALIZED (
+        SELECT vec_id, [x / nrm for x in e] AS nv
+        FROM (SELECT vec_id, e,
+                sqrt(list_reduce(list_prepend(0.0, [x * x for x in e]),
+                     (acc, t) -> acc + t)) AS nrm
+              FROM ed))"""
+
+  /** DuckDB replay of [[ivfTopKSeeded]] (cells=8, nprobe=4, k=10,
+    * dim pinned 64). Exactness: seeds are integer-selected; every
+    * distance / dot is the same index-ascending 0.0-seeded fold
+    * graft_cells / graft_dot run (NearestCells accumulates
+    * coordinate-wise in index order), so assignment, probe order and
+    * rank are bit-identical; ties (none in random data, but pinned
+    * anyway) break on the smaller cell / vec_id in both engines.
+    */
+  private def ivfSeededOracleSql: String = s"""
+      $nvPrelude,
+      st AS (SELECT count(*) // 8 AS stride FROM nvt),
+      sd AS MATERIALIZED (
+        SELECT CAST(vec_id // (SELECT stride FROM st) AS INTEGER) AS cell,
+               nv AS snv
+        FROM nvt
+        WHERE vec_id % (SELECT stride FROM st) = 0
+          AND vec_id < 8 * (SELECT stride FROM st)),
+      asg AS MATERIALIZED (
+        SELECT vec_id, nv, cell FROM (
+          SELECT x.vec_id, x.nv, s.cell,
+                 row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                   list_reduce(list_prepend(0.0,
+                     [(s.snv[i+1] - x.nv[i+1]) * (s.snv[i+1] - x.nv[i+1])
+                      for i in range(64)]), (acc, t) -> acc + t) ASC,
+                   s.cell ASC) AS rn
+          FROM nvt x CROSS JOIN sd s)
+        WHERE rn = 1),
+      qp AS (
+        SELECT query_id, qnv, cell FROM (
+          SELECT q.vec_id AS query_id, q.nv AS qnv, s.cell,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_reduce(list_prepend(0.0,
+                     [(s.snv[i+1] - q.nv[i+1]) * (s.snv[i+1] - q.nv[i+1])
+                      for i in range(64)]), (acc, t) -> acc + t) ASC,
+                   s.cell ASC) AS rn
+          FROM nvt q CROSS JOIN sd s WHERE q.vec_id < 5)
+        WHERE rn <= 4),
+      cand AS (
+        SELECT p.query_id, a.vec_id,
+               list_reduce(list_prepend(0.0,
+                 [p.qnv[i+1] * a.nv[i+1] for i in range(64)]),
+                 (acc, t) -> acc + t) AS cos
+        FROM qp p JOIN asg a USING (cell)
+        WHERE p.query_id <> a.vec_id),
+      ranked AS (
+        SELECT query_id, vec_id AS neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+        FROM cand)
+      SELECT query_id, rank, neighbor_id FROM ranked
+      WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  /** DuckDB replay of [[pqTopKSeeded]] (m=8, ks=32, subLen=8,
+    * rerank=100, k=10, dim pinned 64). Codeword c of subspace sub is
+    * seed vector c's sub-th slice; encode is the same per-subspace
+    * argmin fold; ADC partials floor-quantize to 1e-12-unit BIGINTs
+    * so the 8-way shortlist sum is exact integer in both engines
+    * (order-free — the one place a raw double sum could diverge);
+    * the rerank cosine is the shared fold.
+    */
+  private def pqSeededOracleSql: String = s"""
+      $nvPrelude,
+      st AS (SELECT count(*) // 32 AS stride FROM nvt),
+      sd AS MATERIALIZED (
+        SELECT CAST(vec_id // (SELECT stride FROM st) AS INTEGER) AS code,
+               nv AS snv
+        FROM nvt
+        WHERE vec_id % (SELECT stride FROM st) = 0
+          AND vec_id < 32 * (SELECT stride FROM st)),
+      enc AS MATERIALIZED (
+        SELECT vec_id, sub, code FROM (
+          SELECT x.vec_id, t.sub, s.code,
+                 row_number() OVER (PARTITION BY x.vec_id, t.sub ORDER BY
+                   list_reduce(list_prepend(0.0,
+                     [(s.snv[t.sub*8 + i + 1] - x.nv[t.sub*8 + i + 1])
+                      * (s.snv[t.sub*8 + i + 1] - x.nv[t.sub*8 + i + 1])
+                      for i in range(8)]), (acc, u) -> acc + u) ASC,
+                   s.code ASC) AS rn
+          FROM nvt x CROSS JOIN range(8) t(sub) CROSS JOIN sd s)
+        WHERE rn = 1),
+      lut AS MATERIALIZED (
+        SELECT q.vec_id AS query_id, t.sub, s.code,
+               CAST(floor(list_reduce(list_prepend(0.0,
+                 [q.nv[t.sub*8 + i + 1] * s.snv[t.sub*8 + i + 1]
+                  for i in range(8)]), (acc, u) -> acc + u)
+                 * 1000000000000.0) AS BIGINT) AS contrib_q
+        FROM nvt q CROSS JOIN range(8) t(sub) CROSS JOIN sd s
+        WHERE q.vec_id < 5),
+      adc AS (
+        SELECT l.query_id, e.vec_id, CAST(sum(l.contrib_q) AS BIGINT) AS approx
+        FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.code
+        WHERE l.query_id <> e.vec_id
+        GROUP BY l.query_id, e.vec_id),
+      short AS (
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY approx DESC, vec_id ASC) AS arank
+          FROM adc)
+        WHERE arank <= 100),
+      rer AS (
+        SELECT sh.query_id, sh.vec_id,
+               list_reduce(list_prepend(0.0,
+                 [q.nv[i+1] * x.nv[i+1] for i in range(64)]),
+                 (acc, u) -> acc + u) AS cos
+        FROM short sh
+        JOIN nvt x ON x.vec_id = sh.vec_id
+        JOIN nvt q ON q.vec_id = sh.query_id),
+      ranked AS (
+        SELECT query_id, vec_id AS neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+        FROM rer)
+      SELECT query_id, rank, neighbor_id FROM ranked
+      WHERE rank <= 10 ORDER BY query_id, rank"""
+
   /** DuckDB replay of [[pcaTopComponent]]: one CTE pair per power-
     * iteration step, same integer recurrence. Exactness argument:
     *  - nv: float->double casts are exact; the l2 norm is the same
@@ -745,10 +911,18 @@ object Ann {
     graft.functions.GraftFunctions.register(s)
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), l2normExpr(col("embedding")).as("nv"))
-    val cents = fitCellsCached(dir, cells, emb)
-    // Corpus side: primary cell only (classic IVF); query side probes
-    // the nprobe nearest cells. Both assignments are the same per-row
-    // expression — no driver round-trip, no extra shuffle.
+    ivfProbe(s, dir, emb, fitCellsCached(dir, cells, emb), k, nprobe)
+  }
+
+  /** The IVF probe path shared by the trained and seeded quantizers:
+    * corpus side takes its primary cell only (classic IVF); query
+    * side probes the nprobe nearest cells. Both assignments are the
+    * same per-row codegen expression — no driver round-trip, no
+    * extra shuffle; the only shuffle is the cell-keyed candidate
+    * join, which is the 100 TB shape (cells bucket the corpus).
+    */
+  private def ivfProbe(s: SparkSession, dir: String, emb: DataFrame,
+      cents: Seq[Seq[Double]], k: Int, nprobe: Int): DataFrame = {
     val assigned = emb.withColumn("cell",
       element_at(nearestCellsExpr(col("nv"), cents, 1), 1))
     val queries = queryVectors(s, dir)
@@ -764,5 +938,54 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Deterministic stride-sampled coarse centroids — the ORACLE-MODE
+    * quantizer (vs the KMeans-trained scale mode, the dedup_simhash
+    * md5/xxhash64 device): the `cells` corpus vectors at vec_id in
+    * {0, stride, 2*stride, ...}, stride = n div cells, L2-normalized.
+    * Sampling corpus points as coarse centroids is a standard
+    * non-trained IVF quantizer; here it additionally makes the WHOLE
+    * index replayable: seed selection is pure integer arithmetic and
+    * nv is a bit-identical fold in both engines, so cell assignment,
+    * probe order and the final rank are cell-exact in DuckDB.
+    * Centroid list is ordered by vec_id, so cell id == vec_id div
+    * stride in both engines.
+    */
+  def seedCentroids(s: SparkSession, dir: String, cells: Int): Seq[Seq[Double]] = {
+    graft.functions.GraftFunctions.register(s)
+    val n = Tables.embeddings(s, dir).count()
+    require(n >= cells, s"ANN corpus has $n vectors < $cells seed cells")
+    val stride = n / cells
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * cells)
+      .select(col("vec_id"), l2normExpr(col("embedding")).as("nv"))
+      .orderBy("vec_id")
+      .collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+  }
+
+  /** [[ivfTopK]] with the stride-sampled oracle-mode quantizer. */
+  def ivfTopKSeeded(s: SparkSession, dir: String, k: Int = 10,
+      cells: Int = 8, nprobe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), l2normExpr(col("embedding")).as("nv"))
+    ivfProbe(s, dir, emb, seedCentroids(s, dir, cells), k, nprobe)
+  }
+
+  /** [[pqTopK]] with oracle-mode codebooks: codeword c of subspace
+    * sub is the sub-th slice of seed vector c (the same stride
+    * sample [[seedCentroids]] takes, at ks seeds). The encode / LUT
+    * / ADC / rerank pipeline is IDENTICAL to the trained path.
+    */
+  def pqTopKSeeded(s: SparkSession, dir: String, k: Int = 10, m: Int = 8,
+      ks: Int = 32, rr: Int = 100): DataFrame = {
+    val seeds = seedCentroids(s, dir, ks)
+    val subLen = seeds.head.length / m
+    val books = (0 until m).map { sub =>
+      seeds.map(_.slice(sub * subLen, (sub + 1) * subLen))
+    }
+    pqAdc(s, dir, books, k, m, rr)
   }
 }

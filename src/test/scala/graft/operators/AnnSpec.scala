@@ -5,11 +5,27 @@ import org.apache.spark.sql.functions._
 
 class AnnSpec extends SparkSpec {
 
-  private def topk(name: String): Map[Long, Seq[Long]] =
-    SparkEntry.registry(name).fn(spark, sf)
-      .orderBy("query_id", "rank").collect()
+  private def collectTopk(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+    df.orderBy("query_id", "rank").collect()
       .map(r => (r.getLong(0), r.getLong(2)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+
+  /** The PRODUCTION (benched) shape: the KMeans-trained index for the
+    * IVF/PQ entries (benchFn), whose recall these specs persist — the
+    * verify fn is the seeded oracle-mode twin, measured separately.
+    */
+  private def topk(name: String): Map[Long, Seq[Long]] = {
+    val q = SparkEntry.registry(name)
+    collectTopk(q.benchFn.getOrElse(q.fn)(spark, sf))
+  }
+
+  private def recallAt10(got: Map[Long, Seq[Long]],
+      bf: Map[Long, Seq[Long]]): Double = {
+    val rs = bf.keys.toSeq.map { q =>
+      got.getOrElse(q, Nil).toSet.intersect(bf(q).toSet).size / 10.0
+    }
+    rs.sum / rs.length
+  }
 
   test("brute-force top-k is self-consistent: k results per query, no self") {
     val bf = topk("ann_bruteforce_topk")
@@ -52,6 +68,28 @@ class AnnSpec extends SparkSpec {
       f"""{"metric":"pq_recall_at_10","value":$mean%.3f,"m":8,"ks":32,"rerank":100,"queries":${bf.size}}%n"""
         .getBytes("UTF-8"))
     assert(mean >= 0.8, f"PQ recall below floor: $mean%.2f")
+  }
+
+  test("seeded (oracle-mode) IVF and PQ: valid top-k shape, deterministic, usable recall") {
+    val bf = topk("ann_bruteforce_topk")
+    // the registry fn IS the seeded mode for these two entries
+    val ivf = collectTopk(SparkEntry.registry("ann_ivf_topk").fn(spark, sf))
+    val pq = collectTopk(SparkEntry.registry("ann_pq_topk").fn(spark, sf))
+    for ((name, got) <- Seq("ivf" -> ivf, "pq" -> pq); (q, ns) <- got) {
+      assert(ns.length == 10, s"$name query $q returned ${ns.length}")
+      assert(!ns.contains(q) && ns.distinct.length == ns.length, s"$name $q")
+    }
+    // determinism: a repeat run reproduces the exact neighbor lists
+    // (the property the DuckDB oracle replay depends on)
+    val ivf2 = collectTopk(SparkEntry.registry("ann_ivf_topk").fn(spark, sf))
+    assert(ivf == ivf2, "seeded IVF not deterministic")
+    val rIvf = recallAt10(ivf, bf)
+    val rPq = recallAt10(pq, bf)
+    info(f"seeded-mode recall@10: ivf=$rIvf%.2f pq=$rPq%.2f")
+    // oracle mode trades trained-cell quality for replayability; it
+    // must still be a usable ANN index, not a degenerate one
+    assert(rIvf >= 0.5, f"seeded IVF recall degenerate: $rIvf%.2f")
+    assert(rPq >= 0.5, f"seeded PQ recall degenerate: $rPq%.2f")
   }
 
   test("power-iteration PC1 is deterministic and captures variance") {
