@@ -504,9 +504,13 @@ object Dedup {
       // hash pinned to "md5": this entry is gated by the md5 replay
       // oracle, so the feature hash must not be swappable under it
       // (scale mode is the hash="xxhash64" parameter of
-      // simhashNearDupPairs, specced in DedupSpec)
+      // simhashNearDupPairs, specced in DedupSpec). The BENCH runs
+      // the xxhash64 scale mode (Q.benchFn, the dq_profile_approx
+      // device): md5-per-shingle is oracle-ability machinery, not
+      // the production cost of the operator.
       (s, dir) => simhashNearDupPairs(s, dir, hash = "md5"),
-      Some(simhashOracle)),
+      Some(simhashOracle),
+      benchFn = Some((s, dir) => simhashNearDupPairs(s, dir, hash = "xxhash64"))),
 
     // ------------------------------------------------------------------
     // Embedding cosine near-dup pairs (cos >= 0.45). This is the
