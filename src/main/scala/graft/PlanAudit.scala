@@ -69,6 +69,16 @@ object PlanAudit {
     ("mm_feature_extract",
       "Batch media decode: ReadSchema prunes to doc_id alone (payloads are synthesized per-row here; a real corpus would carry binary columns through the same shape), and the decode is a single MapPartitions stage with a per-partition codec. The one Exchange before it is a deliberate RoundRobin repartition of the doc_id keys to core count — the input is a small-file scan whose file splits underparallelize a CPU-bound stage; only ids move, payload bytes are synthesized (or, on a real corpus, read) inside the decode partition and never shuffle.",
       reg("mm_feature_extract")),
+    ("ann_ivf_topk (bench shape)",
+      "The IVF serving plan: cell assignment of the corpus is pure per-row codegen expression work (graft_cells — no driver round-trip, no shuffle, the centroid matrix rides inside the expression object); the tiny probe set enters the candidate join via BroadcastExchange so the corpus never moves; candidate volume is ~nprobe/cells of the corpus, scored by the codegen dot product, and the only Exchange is the query-keyed top-k window over candidates — at 100 TB the corpus-side work is one scan + expression eval however many cells there are.",
+      (s, d) => SparkEntry.registry("ann_ivf_topk").benchFn
+        .getOrElse(sys.error("ann_ivf_topk must register a bench shape"))
+        .apply(s, d)),
+    ("ann_pq_topk (bench shape)",
+      "The PQ/ADC serving plan: encode is per-row codegen expression work; the LUT (query x sub x codeword partials) enters via BroadcastExchange; the ADC score is a map-side-combinable hash aggregation, so the shuffle carries ONE row per (query, candidate), never per code; exact rerank touches only the top-rr shortlist. The memory-bound 100 TB serving shape: m bytes per vector move, never the raw floats (until the rr-row rerank fetch).",
+      (s, d) => SparkEntry.registry("ann_pq_topk").benchFn
+        .getOrElse(sys.error("ann_pq_topk must register a bench shape"))
+        .apply(s, d)),
     ("graph_pagerank (superstep)",
       "The per-iteration unit cost of distributed PageRank: the ranks side enters the contribution join via BroadcastExchange (node-count rows), so the edge index is NEVER shuffled per superstep — the only per-step shuffle Exchange is the dst-keyed contribution aggregation with a partial sum before it. (The left-leg edge-index build with its own Exchanges appears in this audit plan only because the plan is un-persisted; the operator builds eDeg once, loop-invariant, and persists it.) The full operator runs this plan once per superstep behind an eager per-step checkpoint.",
       (s, d) => graft.operators.Graph.pageRankSuperstepPlan(s, d)))
