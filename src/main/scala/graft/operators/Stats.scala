@@ -890,27 +890,104 @@ object Stats {
                  * CAST(least(nr - 1, nc - 1) AS DOUBLE))) AS cramers_v
         FROM agg""")),
 
+    // medianAbsoluteDeviation — EXACT, with bounded state: Spark's
+    // percentile() buffers every group value in one task (a 20B-row
+    // group cannot), so both medians run as SELECTION OVER THE
+    // CUMULATIVE HISTOGRAM of the integer cent domain instead: one
+    // hash agg to (flag, cents, cnt) — state bounded by the VALUE
+    // DOMAIN (~10.5M distinct cents at any corpus size), not by rows
+    // — a running-count window over it, and a 2-row-per-group rank
+    // probe. Deviations reuse the same aggregated table (equal cents
+    // => equal deviation), so the corpus is scanned ONCE. Everything
+    // stays integer until one closing division (median = (lo+hi)
+    // cents / 200, mad = (ulo+uhi) half-cents / 400): both engines
+    // divide identical BIGINTs, so the doubles are bit-identical with
+    // no float-ordering hazard anywhere (the quantile_cont
+    // formulation this replaces compared IEEE-rounded |x - med|
+    // doubles, whose near-tie ORDER can differ from the exact
+    // decimal order).
     "ch_mad" -> Q(
       (s, dir) => {
-        val med = Tables.lineitem(s, dir)
-          .groupBy("l_returnflag")
-          .agg(percentile(col("l_extendedprice"), lit(0.5)).as("med"))
-        Tables.lineitem(s, dir)
-          .join(med, "l_returnflag")
-          .groupBy("l_returnflag")
-          .agg(first(col("med")).as("median_price"),
-            percentile(abs(col("l_extendedprice") - col("med")), lit(0.5))
-              .as("mad_price"))
+        val w = Window.partitionBy("l_returnflag").orderBy("c")
+        // (flag, cents) histogram: the one corpus-sized aggregation
+        // (memoized-persisted: med, dev and n all read it)
+        val hist = graft.DfCache.memo(
+          Tables.lineitem(s, dir)
+            .select(col("l_returnflag"),
+              (d(col("l_extendedprice")) * 100).cast("long").as("c"))
+            .groupBy("l_returnflag", "c").agg(count(lit(1)).as("cnt"))
+            .withColumn("cum", sum(col("cnt")).over(w))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+          s"mad-hist:$dir")
+        val n = hist.groupBy("l_returnflag").agg(sum(col("cnt")).as("n"))
+        // 0-based middle ranks: lo = (n-1) div 2, hi = n div 2; the
+        // element at rank r is the least c whose running count
+        // exceeds r
+        def pick(h: org.apache.spark.sql.DataFrame,
+            nDf: org.apache.spark.sql.DataFrame,
+            vc: String): org.apache.spark.sql.DataFrame =
+          h.join(broadcast(nDf), "l_returnflag")
+            .withColumn("lo_r", expr("(n - 1) div 2"))
+            .withColumn("hi_r", expr("n div 2"))
+            .groupBy("l_returnflag")
+            .agg(min(when(col("cum") > col("lo_r"), col(vc))).as("lo"),
+              min(when(col("cum") > col("hi_r"), col(vc))).as("hi"))
+            .withColumn("m2", col("lo") + col("hi"))
+        val med = pick(hist, n, "c").select(col("l_returnflag"),
+          col("m2"))
+        // deviations on the HISTOGRAM, not the corpus: u in half-cents
+        val dev = hist.join(broadcast(med), "l_returnflag")
+          .select(col("l_returnflag"),
+            abs(lit(2) * col("c") - col("m2")).as("u"), col("cnt"))
+          .groupBy("l_returnflag", "u").agg(sum(col("cnt")).as("cnt"))
+          .withColumn("cum",
+            sum(col("cnt")).over(Window.partitionBy("l_returnflag").orderBy("u")))
+        val mad = pick(dev, n, "u")
+          .select(col("l_returnflag"), col("m2").as("u2"))
+        med.join(mad, "l_returnflag")
+          .select(col("l_returnflag"),
+            (col("m2").cast("double") / 200.0).as("median_price"),
+            (col("u2").cast("double") / 400.0).as("mad_price"))
           .orderBy("l_returnflag")
       },
       Some("""
-        WITH m AS (SELECT l_returnflag,
-                     quantile_cont(l_extendedprice, 0.5) AS med
-                   FROM lineitem GROUP BY l_returnflag)
-        SELECT l.l_returnflag, first(m.med) AS median_price,
-               quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS mad_price
-        FROM lineitem l JOIN m USING (l_returnflag)
-        GROUP BY l.l_returnflag ORDER BY l.l_returnflag"""),
+        WITH hist AS (
+          SELECT l_returnflag,
+                 CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * 100 AS BIGINT)
+                   AS c,
+                 count(*) AS cnt
+          FROM lineitem GROUP BY 1, 2),
+        cumh AS (
+          SELECT l_returnflag, c, cnt,
+                 sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY c) AS cum
+          FROM hist),
+        nn AS (SELECT l_returnflag, sum(cnt) AS n FROM hist GROUP BY 1),
+        med AS (
+          SELECT h.l_returnflag,
+                 min(CASE WHEN h.cum > (nn.n - 1) // 2 THEN h.c END)
+                 + min(CASE WHEN h.cum > nn.n // 2 THEN h.c END) AS m2
+          FROM cumh h JOIN nn USING (l_returnflag)
+          GROUP BY h.l_returnflag),
+        dev AS (
+          SELECT h.l_returnflag, abs(2 * h.c - m.m2) AS u,
+                 CAST(sum(h.cnt) AS BIGINT) AS cnt
+          FROM hist h JOIN med m USING (l_returnflag)
+          GROUP BY 1, 2),
+        cumd AS (
+          SELECT l_returnflag, u, cnt,
+                 sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY u) AS cum
+          FROM dev),
+        mad AS (
+          SELECT d.l_returnflag,
+                 min(CASE WHEN d.cum > (nn.n - 1) // 2 THEN d.u END)
+                 + min(CASE WHEN d.cum > nn.n // 2 THEN d.u END) AS u2
+          FROM cumd d JOIN nn USING (l_returnflag)
+          GROUP BY d.l_returnflag)
+        SELECT m.l_returnflag,
+               CAST(m.m2 AS DOUBLE) / 200.0 AS median_price,
+               CAST(mad.u2 AS DOUBLE) / 400.0 AS mad_price
+        FROM med m JOIN mad USING (l_returnflag)
+        ORDER BY m.l_returnflag"""),
     ),
 
     // ------------------------------------------------------------------
