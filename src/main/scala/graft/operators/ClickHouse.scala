@@ -538,28 +538,71 @@ object ClickHouse {
         FROM r GROUP BY 1 ORDER BY o_orderpriority""")),
 
     // ------------------------------------------------------------------
-    // quantile/quantiles: exact interpolated percentiles per group.
+    // quantile/quantiles: exact interpolated percentiles per group —
+    // computed by rank selection over the shared cumulative cent
+    // histogram (Stats.priceCentHist), NOT percentile(): the
+    // percentile aggregate buffers every group value in one task,
+    // which a 20B-row group cannot; the histogram's state is bounded
+    // by the price DOMAIN at any corpus size. Each fraction f = k/20
+    // interpolates as pure INTEGER arithmetic in 1/20-cent units —
+    // units = 20*lo + (hi-lo)*((n-1)*k mod 20) at ranks
+    // floor/ceil((n-1)*k/20) — with ONE closing division, so both
+    // engines divide identical BIGINTs (the ch_mad device).
     "ch_quantiles" -> Q(
       (s, dir) => {
-        // one percentile aggregate with an array of fractions: four
-        // separate percentile() calls would each build their own
-        // per-group value map (4x the state and time)
-        Tables.lineitem(s, dir)
+        val hist = Stats.priceCentHist(s, dir)
+        val n = hist.groupBy("l_returnflag").agg(sum(col("cnt")).as("n"))
+        val ks = Seq(5 -> "25", 10 -> "50", 15 -> "75", 18 -> "90")
+        val picks = ks.flatMap { case (k, tag) => Seq(
+          min(when(col("cum") > expr(s"((n - 1) * $k) div 20"), col("c")))
+            .as(s"lo$tag"),
+          min(when(col("cum") > expr(s"((n - 1) * $k + 19) div 20"), col("c")))
+            .as(s"hi$tag"))
+        }
+        def q(k: Int, tag: String) =
+          ((lit(20) * col(s"lo$tag")
+            + (col(s"hi$tag") - col(s"lo$tag")) * expr(s"((n - 1) * $k) % 20"))
+            .cast("double") / 2000.0).as(s"p$tag")
+        hist.join(broadcast(n), "l_returnflag")
           .groupBy("l_returnflag")
-          .agg(percentile(col("l_extendedprice"),
-            array(lit(0.25), lit(0.5), lit(0.75), lit(0.9))).as("ps"))
-          .select(col("l_returnflag"),
-            col("ps").getItem(0).as("p25"), col("ps").getItem(1).as("p50"),
-            col("ps").getItem(2).as("p75"), col("ps").getItem(3).as("p90"))
+          .agg(first(col("n")).as("n"), picks: _*)
+          .select(col("l_returnflag") +: ks.map { case (k, t) => q(k, t) }: _*)
           .orderBy("l_returnflag")
       },
       Some("""
+        WITH hist AS (
+          SELECT l_returnflag,
+                 CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * 100 AS BIGINT)
+                   AS c,
+                 count(*) AS cnt
+          FROM lineitem GROUP BY 1, 2),
+        cumh AS (
+          SELECT l_returnflag, c, cnt,
+                 sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY c) AS cum
+          FROM hist),
+        nn AS (SELECT l_returnflag, sum(cnt) AS n FROM hist GROUP BY 1),
+        pk AS (
+          SELECT h.l_returnflag, max(nn.n) AS n,
+                 min(CASE WHEN h.cum > ((nn.n - 1) * 5) // 20 THEN h.c END) AS lo25,
+                 min(CASE WHEN h.cum > ((nn.n - 1) * 5 + 19) // 20 THEN h.c END) AS hi25,
+                 min(CASE WHEN h.cum > ((nn.n - 1) * 10) // 20 THEN h.c END) AS lo50,
+                 min(CASE WHEN h.cum > ((nn.n - 1) * 10 + 19) // 20 THEN h.c END) AS hi50,
+                 min(CASE WHEN h.cum > ((nn.n - 1) * 15) // 20 THEN h.c END) AS lo75,
+                 min(CASE WHEN h.cum > ((nn.n - 1) * 15 + 19) // 20 THEN h.c END) AS hi75,
+                 min(CASE WHEN h.cum > ((nn.n - 1) * 18) // 20 THEN h.c END) AS lo90,
+                 min(CASE WHEN h.cum > ((nn.n - 1) * 18 + 19) // 20 THEN h.c END) AS hi90
+          FROM cumh h JOIN nn USING (l_returnflag)
+          GROUP BY h.l_returnflag)
         SELECT l_returnflag,
-               quantile_cont(l_extendedprice, 0.25) AS p25,
-               quantile_cont(l_extendedprice, 0.5) AS p50,
-               quantile_cont(l_extendedprice, 0.75) AS p75,
-               quantile_cont(l_extendedprice, 0.9) AS p90
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+               CAST(20 * lo25 + (hi25 - lo25) * (((n - 1) * 5) % 20) AS DOUBLE)
+                 / 2000.0 AS p25,
+               CAST(20 * lo50 + (hi50 - lo50) * (((n - 1) * 10) % 20) AS DOUBLE)
+                 / 2000.0 AS p50,
+               CAST(20 * lo75 + (hi75 - lo75) * (((n - 1) * 15) % 20) AS DOUBLE)
+                 / 2000.0 AS p75,
+               CAST(20 * lo90 + (hi90 - lo90) * (((n - 1) * 18) % 20) AS DOUBLE)
+                 / 2000.0 AS p90
+        FROM pk ORDER BY l_returnflag""")),
 
     // ------------------------------------------------------------------
     // sequenceMatch('(?1).*(?2).*(?3)'): does a strictly time-ordered

@@ -25,6 +25,27 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Stats {
 
+  /** Memoized-persisted cumulative histogram of l_extendedprice in
+    * integer cents per l_returnflag: (flag, c, cnt, cum) with cum the
+    * running row count in c order. The shared substrate of every
+    * EXACT rank statistic over the price column (ch_mad,
+    * ch_quantiles): its state is bounded by the VALUE DOMAIN (~10.5M
+    * distinct cents at any corpus size), never by row count — the
+    * scalable replacement for percentile()'s per-group value buffer.
+    */
+  def priceCentHist(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("l_returnflag").orderBy("c")
+    graft.DfCache.memo(
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          (d(col("l_extendedprice")) * 100).cast("long").as("c"))
+        .groupBy("l_returnflag", "c").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      s"price-cent-hist:$dir")
+  }
+
   /** Exact decimal product sum, integer-rounded then cast to double
     * (both engines exact: unscaled < 2^53). For product moments whose
     * scale-6 unscaled sums would overflow 2^53 (see Dec.DOut notes).
@@ -908,17 +929,10 @@ object Stats {
     // decimal order).
     "ch_mad" -> Q(
       (s, dir) => {
-        val w = Window.partitionBy("l_returnflag").orderBy("c")
         // (flag, cents) histogram: the one corpus-sized aggregation
-        // (memoized-persisted: med, dev and n all read it)
-        val hist = graft.DfCache.memo(
-          Tables.lineitem(s, dir)
-            .select(col("l_returnflag"),
-              (d(col("l_extendedprice")) * 100).cast("long").as("c"))
-            .groupBy("l_returnflag", "c").agg(count(lit(1)).as("cnt"))
-            .withColumn("cum", sum(col("cnt")).over(w))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-          s"mad-hist:$dir")
+        // (memoized-persisted: med, dev and n all read it; shared
+        // with ch_quantiles)
+        val hist = priceCentHist(s, dir)
         val n = hist.groupBy("l_returnflag").agg(sum(col("cnt")).as("n"))
         // 0-based middle ranks: lo = (n-1) div 2, hi = n div 2; the
         // element at rank r is the least c whose running count
