@@ -12,6 +12,33 @@ class StatsSpec extends SparkSpec {
 
   import graft.SparkSpec.spark.implicits._
 
+  test("histogram-selection quantiles agree with Spark's percentile()") {
+    // ch_mad / ch_quantiles replaced the buffering percentile() with
+    // rank selection over the cumulative cent histogram; the two
+    // formulations must agree to interpolation rounding (the integer
+    // path computes (a+b)/2 where percentile computes
+    // lower + (higher-lower)*frac — sub-ulp apart, never more)
+    val got = graft.SparkEntry.registry("ch_quantiles").fn(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val ref = graft.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(percentile(col("l_extendedprice"),
+        array(lit(0.25), lit(0.5), lit(0.75), lit(0.9))).as("ps"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got.keySet == ref.keySet)
+    for (k <- got.keySet; (a, b) <- got(k).zip(ref(k)))
+      assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+        s"quantile mismatch for $k: $a vs $b")
+    val mad = graft.SparkEntry.registry("ch_mad").fn(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    for ((k, qs) <- got) // median column must agree across operators
+      assert(math.abs(mad(k)._1 - qs(1)) <= 1e-9 * qs(1),
+        s"ch_mad median disagrees with ch_quantiles p50 for $k")
+  }
+
   test("uniqUpTo is exact below the cap and saturates at N+1 above it") {
     val df = (1 to 100).map(i => ("many", i.toLong)) ++
       Seq.fill(50)(("few", 7L)) ++ (1 to 3).map(i => ("three", i.toLong))
