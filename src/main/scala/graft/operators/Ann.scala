@@ -20,6 +20,22 @@ import org.apache.spark.ml.functions.array_to_vector
   */
 object Ann {
 
+  /** Memoized embedding dimension per corpus dir. The dim==64 oracle
+    * guards below are invariants of a fixed corpus, so probing once
+    * per dir (not one Spark action per registry invocation) is both
+    * correct and cheaper; an empty embeddings table fails loudly here
+    * instead of surfacing as head()'s NoSuchElementException.
+    */
+  private val dimCache = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+  def corpusDim(s: SparkSession, dir: String): Int =
+    dimCache.computeIfAbsent(dir, _ => {
+      val rows = Tables.embeddings(s, dir)
+        .select(size(col("embedding"))).limit(1).collect()
+      require(rows.nonEmpty,
+        s"embeddings table at $dir is empty — cannot infer embedding dim")
+      rows(0).getInt(0)
+    })
+
   /** Codegen dot product (graft.functions.DotProduct): the similarity
     * kernel of every embedding operator. The HOF formulation
     * (zip_with + aggregate) runs its lambdas interpreted and
@@ -375,8 +391,7 @@ object Ann {
     // AnnSpec measures against the brute force (ANN_RECALL.json).
     "ann_ivf_topk" -> Q(
       (s, dir) => {
-        val dim = Tables.embeddings(s, dir)
-          .select(size(col("embedding"))).head.getInt(0)
+        val dim = corpusDim(s, dir)
         require(dim == 64,
           s"ann_ivf_topk's oracle pins dim=64 but the corpus is $dim-dim")
         ivfTopKSeeded(s, dir)
@@ -393,8 +408,7 @@ object Ann {
     // recall@10 in ANN_RECALL_PQ.json.
     "ann_pq_topk" -> Q(
       (s, dir) => {
-        val dim = Tables.embeddings(s, dir)
-          .select(size(col("embedding"))).head.getInt(0)
+        val dim = corpusDim(s, dir)
         require(dim == 64,
           s"ann_pq_topk's oracle pins dim=64 (subLen=8) but the corpus is $dim-dim")
         pqTopKSeeded(s, dir)
@@ -415,8 +429,7 @@ object Ann {
       (s, dir) => {
         // the oracle unrolls range(64) CTEs; a corpus with a different
         // dim must fail loudly here, not hash-mismatch mysteriously
-        val dim = Tables.embeddings(s, dir)
-          .select(size(col("embedding"))).head.getInt(0)
+        val dim = corpusDim(s, dir)
         require(dim == 64,
           s"emb_pca's oracle pins dim=64 but the corpus is $dim-dim — " +
             "regenerate pcaOracleSql for the new dimension")
@@ -957,12 +970,20 @@ object Ann {
     val n = Tables.embeddings(s, dir).count()
     require(n >= cells, s"ANN corpus has $n vectors < $cells seed cells")
     val stride = n / cells
-    Tables.embeddings(s, dir)
+    val seeds = Tables.embeddings(s, dir)
       .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * cells)
       .select(col("vec_id"), l2normExpr(col("embedding")).as("nv"))
       .orderBy("vec_id")
       .collect()
       .map(_.getSeq[Double](1).toSeq).toSeq
+    // the stride filter assumes a dense 0..n-1 vec_id domain; on a
+    // sparse-id corpus it would silently under-seed the index (and the
+    // oracle, replaying the same arithmetic, would still agree) — so a
+    // short seed list must fail loudly here instead
+    require(seeds.length == cells,
+      s"seedCentroids got ${seeds.length} of $cells seeds — vec_id is " +
+        "not a dense 0..n-1 domain; re-key the corpus or train KMeans cells")
+    seeds
   }
 
   /** [[ivfTopK]] with the stride-sampled oracle-mode quantizer. */

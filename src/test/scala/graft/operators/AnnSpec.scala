@@ -51,7 +51,10 @@ class AnnSpec extends SparkSpec {
       java.nio.file.Paths.get("ANN_RECALL.json"),
       f"""{"metric":"ivf_recall_at_10","value":$mean%.3f,"cells":8,"nprobe":4,"queries":${bf.size}}%n"""
         .getBytes("UTF-8"))
-    assert(mean >= 0.8, f"IVF recall below floor: $mean%.2f")
+    // floor = measured-minus-margin (0.92 pinned in ANN_RECALL.json),
+    // so a silent quantizer regression fails here instead of coasting
+    // down to a loose spec floor
+    assert(mean >= 0.88, f"IVF recall below floor: $mean%.2f (pinned 0.92)")
   }
 
   test("PQ+ADC top-k recall@10 vs brute force is high") {
@@ -67,7 +70,8 @@ class AnnSpec extends SparkSpec {
       java.nio.file.Paths.get("ANN_RECALL_PQ.json"),
       f"""{"metric":"pq_recall_at_10","value":$mean%.3f,"m":8,"ks":32,"rerank":100,"queries":${bf.size}}%n"""
         .getBytes("UTF-8"))
-    assert(mean >= 0.8, f"PQ recall below floor: $mean%.2f")
+    // measured-minus-margin floor (0.90 pinned in ANN_RECALL_PQ.json)
+    assert(mean >= 0.86, f"PQ recall below floor: $mean%.2f (pinned 0.90)")
   }
 
   test("seeded (oracle-mode) IVF and PQ: valid top-k shape, deterministic, usable recall") {

@@ -37,6 +37,24 @@ class StatsSpec extends SparkSpec {
     for ((k, qs) <- got) // median column must agree across operators
       assert(math.abs(mad(k)._1 - qs(1)) <= 1e-9 * qs(1),
         s"ch_mad median disagrees with ch_quantiles p50 for $k")
+    // Independent MAD reference: the oracle replays the SAME histogram
+    // formulation, so a shared error in the deviation-selection step
+    // would pass both it and the median checks above. percentile() of
+    // abs(price - med) is a formulation-independent witness. Tolerance
+    // half a cent: the histogram path selects over exact integer cents
+    // while the float path can flip near-ties by an ulp of 0.01.
+    val medDf = mad.toSeq.map { case (k, (med, _)) => (k, med) }
+      .toDF("l_returnflag", "med")
+    val madRef = graft.Tables.lineitem(spark, sf)
+      .join(broadcast(medDf), Seq("l_returnflag"))
+      .withColumn("dev", abs(col("l_extendedprice") - col("med")))
+      .groupBy("l_returnflag")
+      .agg(percentile(col("dev"), lit(0.5)).as("madp"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((k, (_, madGot)) <- mad)
+      assert(math.abs(madGot - madRef(k)) <= 0.005,
+        s"ch_mad deviation-median disagrees with percentile MAD for $k: " +
+          s"$madGot vs ${madRef(k)}")
   }
 
   test("uniqUpTo is exact below the cap and saturates at N+1 above it") {
