@@ -11,7 +11,8 @@ object SparkEntry {
     Relational.all ++ Tpch.all ++ ClickHouse.all ++ Functions.all ++
       Sources.all ++ TextAnalysis.all ++ Dedup.all ++ Ann.all ++
       Multimodal.all ++ Streaming.all ++ Analytics.all ++ Extra.all ++
-      Stats.all ++ Incremental.all ++ Graph.all ++ Advanced.all
+      Stats.all ++ Incremental.all ++ Graph.all ++ Advanced.all ++
+      Interop.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,190 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Dec._
+import graft.{Sql => S}
+import graft.sources.{DeltaLog, IcebergLite}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Open-table-format on-disk interop (round 7): the Delta `_delta_log`
+  * and Iceberg manifest chains implemented at the FORMAT level over
+  * the engine's snapshot mechanisms — plain JSON + parquet + avro, no
+  * format jars. Each entry commits real table history and reads it
+  * back THROUGH the log, with the DuckDB oracle on the source table,
+  * so a pass proves version-N reads see exactly the files the log's
+  * add/remove actions imply. DeltaLogSpec/IcebergSpec prove the
+  * layout/atomicity/tolerance halves.
+  */
+object Interop {
+
+  private def tmp(dir: String, name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  private def rm(s: SparkSession, root: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true): Unit
+  }
+
+  private def yearly(df: DataFrame, v: Int): DataFrame =
+    df.groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .withColumn("version", lit(v))
+
+  val all: Map[String, Q] = Map(
+    // ------------------------------------------------------------------
+    // Delta _delta_log round-trip with time travel across add AND
+    // remove actions: v0 appends pre-1997 orders, v1 appends the rest,
+    // v2 OVERWRITES with only 1997+ (remove actions for every v1 file
+    // + new adds). The query reads all three versions through log
+    // replay; a pass proves appends never rewrite old files and
+    // overwrite's removes drop exactly the previously-active set.
+    "src_delta_log" -> Q(
+      (s, dir) => {
+        val root = tmp(dir, "deltalog")
+        rm(s, root)
+        val o = Tables.orders(s, dir)
+        val pre = o.filter(col("o_orderdate") < "1997-01-01")
+        val post = o.filter(col("o_orderdate") >= "1997-01-01")
+        val v0 = DeltaLog.commitAppend(pre, root)
+        val v1 = DeltaLog.commitAppend(post, root)
+        val v2 = DeltaLog.commitOverwrite(post, root)
+        yearly(DeltaLog.readVersion(s, root, v0), 0)
+          .unionByName(yearly(DeltaLog.readVersion(s, root, v1), 1))
+          .unionByName(yearly(DeltaLog.readVersion(s, root, v2), 2))
+          .select("version", "o_year", "n", "total")
+          .orderBy("version", "o_year")
+      },
+      Some(s"""
+        SELECT 0 AS version, year(o_orderdate) AS o_year, count(*) AS n,
+               ${S.dsum("o_totalprice")} AS total
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 2
+        UNION ALL
+        SELECT 1, year(o_orderdate), count(*), ${S.dsum("o_totalprice")}
+        FROM orders GROUP BY 2
+        UNION ALL
+        SELECT 2, year(o_orderdate), count(*), ${S.dsum("o_totalprice")}
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' GROUP BY 2
+        ORDER BY version, o_year""")),
+
+    // ------------------------------------------------------------------
+    // Delta checkpoint: five append commits, a parquet checkpoint
+    // compacted after the fourth, one more JSON commit on top. The
+    // read goes THROUGH _last_checkpoint (checkpoint parquet + one
+    // JSON replay — O(commits since checkpoint), the property that
+    // keeps planning flat on a long-lived table); the oracle is the
+    // whole source table, so a pass proves checkpoint state + JSON
+    // tail compose to exactly the full replay.
+    "src_delta_checkpoint" -> Q(
+      (s, dir) => {
+        val root = tmp(dir, "deltacp")
+        rm(s, root)
+        val o = Tables.orders(s, dir)
+        for (k <- 0 to 3)
+          DeltaLog.commitAppend(o.filter(col("o_orderkey") % 5 === k), root)
+        DeltaLog.writeCheckpoint(s, root) // compacts v0..v3
+        DeltaLog.commitAppend(o.filter(col("o_orderkey") % 5 === 4), root)
+        DeltaLog.readLatest(s, root)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""
+        SELECT o_orderstatus, count(*) AS n,
+               ${S.dsum("o_totalprice")} AS total
+        FROM orders GROUP BY 1 ORDER BY o_orderstatus""")),
+
+    // ------------------------------------------------------------------
+    // FOREIGN Delta log: the log JSON is hand-written here (not by
+    // DeltaLog's writer) the way another engine would write it —
+    // commitInfo lines, out-of-order keys, stats/tags fields, a txn
+    // action — over directly-written parquet files. v0 adds files A+B,
+    // v1 removes B and adds C. Reading v0 (A∪B) and v1 (A∪C) through
+    // the replayer proves format-level tolerance: unknown actions and
+    // fields are ignored, and remove drops exactly B's rows.
+    "src_delta_foreign" -> Q(
+      (s, dir) => {
+        val root = tmp(dir, "deltaforeign")
+        rm(s, root)
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        val o = Tables.orders(s, dir)
+        // three single-file slices written as a foreign writer would:
+        // plain parquet files at the table root, not via DeltaLog
+        def slice(k: Int, name: String): Unit = {
+          val stage = new org.apache.hadoop.fs.Path(root, s".s$k")
+          o.filter(col("o_orderkey") % 3 === k).coalesce(1)
+            .write.parquet(stage.toString)
+          val part = fs.listStatus(stage)
+            .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+          fs.rename(part, new org.apache.hadoop.fs.Path(root, name))
+          fs.delete(stage, true): Unit
+        }
+        slice(0, "a.parquet"); slice(1, "b.parquet"); slice(2, "c.parquet")
+        val schemaJson = o.schema.json.replace("\"", "\\\"")
+        def write(name: String, text: String): Unit = {
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(s"$root/_delta_log", name), true)
+          try out.write(text.getBytes("UTF-8")) finally out.close()
+        }
+        write("00000000000000000000.json",
+          s"""{"commitInfo":{"operation":"WRITE","engineInfo":"someOtherEngine/9.9"}}
+             |{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+             |{"metaData":{"partitionColumns":[],"configuration":{},"id":"11111111-2222-3333-4444-555555555555","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson"}}
+             |{"add":{"dataChange":true,"size":1,"path":"a.parquet","modificationTime":0,"partitionValues":{},"stats":"{\\"numRecords\\":1}","tags":{"writer":"foreign"}}}
+             |{"add":{"path":"b.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}
+             |""".stripMargin)
+        write("00000000000000000001.json",
+          s"""{"commitInfo":{"operation":"MERGE"}}
+             |{"txn":{"appId":"foreign-app","version":7}}
+             |{"remove":{"path":"b.parquet","deletionTimestamp":1,"dataChange":true}}
+             |{"add":{"path":"c.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}
+             |""".stripMargin)
+        def roll(v: Int) = DeltaLog.readVersion(s, root, v)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("version", lit(v))
+        roll(0).unionByName(roll(1))
+          .select("version", "o_orderstatus", "n", "total")
+          .orderBy("version", "o_orderstatus")
+      },
+      Some(s"""
+        SELECT 0 AS version, o_orderstatus, count(*) AS n,
+               ${S.dsum("o_totalprice")} AS total
+        FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY 2
+        UNION ALL
+        SELECT 1, o_orderstatus, count(*), ${S.dsum("o_totalprice")}
+        FROM orders WHERE o_orderkey % 3 IN (0, 2) GROUP BY 2
+        ORDER BY version, o_orderstatus""")),
+
+    // ------------------------------------------------------------------
+    // Iceberg manifest chain: two append snapshots; each commit writes
+    // ONE new avro manifest and a manifest list that REUSES the
+    // parent's manifests (commit cost ∝ new files, not table size).
+    // The query time-travels both snapshots through
+    // metadata.json -> manifest-list avro -> manifest avro -> parquet;
+    // a pass proves the chain resolves to exactly each snapshot's
+    // file set and the Iceberg schema JSON round-trips.
+    "src_iceberg_avro" -> Q(
+      (s, dir) => {
+        val root = tmp(dir, "iceberg")
+        rm(s, root)
+        val o = Tables.orders(s, dir)
+        val snap1 = IcebergLite.commitAppend(
+          o.filter(col("o_orderdate") < "1997-01-01"), root)
+        val snap2 = IcebergLite.commitAppend(
+          o.filter(col("o_orderdate") >= "1997-01-01"), root)
+        yearly(IcebergLite.readSnapshot(s, root, snap1), 1)
+          .unionByName(yearly(IcebergLite.readSnapshot(s, root, snap2), 2))
+          .select("version", "o_year", "n", "total")
+          .orderBy("version", "o_year")
+      },
+      Some(s"""
+        SELECT 1 AS version, year(o_orderdate) AS o_year, count(*) AS n,
+               ${S.dsum("o_totalprice")} AS total
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 2
+        UNION ALL
+        SELECT 2, year(o_orderdate), count(*), ${S.dsum("o_totalprice")}
+        FROM orders GROUP BY 2
+        ORDER BY version, o_year""")))
+}

@@ -1,0 +1,71 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Proofs for the Iceberg-format metadata chain: manifest REUSE
+  * across snapshots (commit cost ∝ new files), snapshot file sets
+  * resolved through the avro chain, and Iceberg-JSON schema
+  * round-trip.
+  */
+class IcebergLiteSpec extends SparkSpec {
+
+  private def freshRoot(name: String): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_spec_$name"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    root
+  }
+
+  test("snapshots resolve through manifest-list -> manifest -> files, with manifest reuse") {
+    val root = freshRoot("iceberg_chain")
+    val o = Tables.orders(spark, sf)
+    val a = o.filter(col("o_orderkey") % 2 === 0)
+    val b = o.filter(col("o_orderkey") % 2 === 1)
+    val snap1 = IcebergLite.commitAppend(a, root)
+    val snap2 = IcebergLite.commitAppend(b, root)
+
+    val files1 = IcebergLite.snapshotFiles(root, snap1).toSet
+    val files2 = IcebergLite.snapshotFiles(root, snap2).toSet
+    assert(files1.nonEmpty && files1.subsetOf(files2),
+      "snapshot 2 must reuse snapshot 1's data files (append semantics)")
+    assert(files1.forall(_.startsWith("data/s0/")))
+    assert((files2 -- files1).forall(_.startsWith("data/s1/")))
+
+    // structural manifest reuse: snap2's manifest LIST references the
+    // SAME manifest avro file snap1's list does — no manifest rewrite
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def listFor(snapId: Long): Set[String] = {
+      val src = scala.io.Source.fromFile(
+        s"$root/metadata/v${IcebergLite.currentMetaVersion(root)}.metadata.json", "UTF-8")
+      val meta = try mapper.readTree(src.mkString) finally src.close()
+      import scala.jdk.CollectionConverters._
+      val listPath = meta.get("snapshots").elements().asScala.toSeq
+        .find(_.get("snapshot-id").asLong() == snapId).get
+        .get("manifest-list").asText()
+      val r = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+        new java.io.File(root, listPath),
+        new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+      try r.iterator().asScala.map(_.get("manifest_path").toString).toSet
+      finally r.close()
+    }
+    val m1 = listFor(snap1)
+    val m2 = listFor(snap2)
+    assert(m1.size === 1 && m2.size === 2 && m1.subsetOf(m2),
+      "append must add ONE manifest and reuse the parent's")
+
+    // time travel reads exactly each snapshot's rows
+    assert(IcebergLite.readSnapshot(spark, root, snap1).count() === a.count())
+    assert(IcebergLite.readSnapshot(spark, root, snap2).count() === o.count())
+  }
+
+  test("Iceberg schema JSON round-trips to the Spark schema") {
+    val root = freshRoot("iceberg_schema")
+    val o = Tables.orders(spark, sf).limit(10)
+    IcebergLite.commitAppend(o, root)
+    val back = IcebergLite.readLatest(spark, root)
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      o.schema.map(f => (f.name, f.dataType)))
+    assert(back.count() === 10)
+  }
+}
