@@ -19,16 +19,24 @@ object Graph {
   val RankUnit: Long = 1000000000000L
 
   /** PageRank over an edge list, damping d = dNum/dDen (default
-    * 17/20 = 0.85). Dangling nodes are avoided by construction here
-    * (callers pass symmetrized edges); the general dangling-mass
-    * redistribution would add one scalar aggregate per step. Output
-    * is (node, rank_u, rank): `rank_u` the exact integer unit count,
-    * `rank` its value via one closing division. Mass is conserved up
-    * to integer truncation: RankUnit - sum(rank_u) is tiny and
-    * non-negative (spec'd).
+    * 17/20 = 0.85). Output is (node, rank_u, rank): `rank_u` the
+    * exact integer unit count, `rank` its value via one closing
+    * division. Mass is conserved up to integer truncation: RankUnit -
+    * sum(rank_u) is tiny and non-negative (spec'd).
+    *
+    * Dangling nodes (no out-edges): with `redistributeDangling =
+    * false` (registry default) callers must pass edges where every
+    * node has out-degree > 0 (e.g. symmetrized, as [[tradeEdges]]
+    * does) or their rank mass silently drains. With `true` the
+    * operator is safe on ARBITRARY edge lists: the node set becomes
+    * src ∪ dst and each superstep redistributes the danglings' mass
+    * uniformly — ONE extra scalar aggregate per superstep over
+    * node-count rows (a driver-side long, same cost class as the
+    * per-step checkpoint), never an extra edge-list shuffle.
     */
   def pageRank(edges: DataFrame, iters: Int = 10,
-      dNum: Int = 17, dDen: Int = 20): DataFrame = {
+      dNum: Int = 17, dDen: Int = 20,
+      redistributeDangling: Boolean = false): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // degree is LOOP-INVARIANT: join it onto the edges once, outside
     // the supersteps — the resident (src, dst, deg) edge index is
@@ -36,13 +44,31 @@ object Graph {
     val e = edges.persist(lvl)
     val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
       .persist(lvl)
-    val nodes = e.select(col("src").as("node")).distinct().persist(lvl)
+    val nodes = (if (redistributeDangling)
+        e.select(col("src").as("node"))
+          .unionByName(e.select(col("dst").as("node"))).distinct()
+      else e.select(col("src").as("node")).distinct()).persist(lvl)
+    // loop-invariant dangling set: nodes with no out-edge (empty when
+    // the caller guarantees none — the anti join is then planned away
+    // at node-count cost once, not per step)
+    val dangling =
+      if (redistributeDangling)
+        nodes.join(e.select(col("src").as("node")).distinct(),
+          Seq("node"), "left_anti").persist(lvl)
+      else null
     val n = nodes.count()
     // (1-d)/n in units, truncated — the teleport mass per node
     val baseU = ((dDen - dNum) * RankUnit) / (dDen * n)
     var ranks = nodes.withColumn("rank_u", lit(RankUnit / n))
     try {
       for (_ <- 1 to iters) {
+        // dangling mass this step: one scalar over node-count rows;
+        // its per-node share joins the damped flow as a literal
+        val danglingShareU: Long =
+          if (redistributeDangling)
+            ranks.join(dangling, Seq("node"))
+              .agg(coalesce(sum("rank_u"), lit(0L))).head.getLong(0) / n
+          else 0L
         // ranks is node-count rows — broadcast it explicitly so the
         // contribution join never shuffles the (much larger) edge
         // index; the only shuffle per superstep is the dst-keyed
@@ -58,7 +84,8 @@ object Graph {
             col("node") === col("dst"), "left")
           .select(col("node"),
             (lit(baseU) + expr(
-              s"($dNum * coalesce(mass_in, CAST(0 AS BIGINT))) div $dDen"))
+              s"($dNum * (coalesce(mass_in, CAST(0 AS BIGINT)) + " +
+                s"CAST($danglingShareU AS BIGINT))) div $dDen"))
               .as("rank_u"))
         // cut the lineage each step, EAGERLY: a deferred checkpoint
         // lets superstep N's recompute stack onto N+1's first action
@@ -74,6 +101,7 @@ object Graph {
     } finally {
       eDeg.unpersist(blocking = false)
       e.unpersist(blocking = false)
+      if (dangling != null) dangling.unpersist(blocking = false)
       nodes.unpersist(blocking = false): Unit
     }
   }

@@ -19,21 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object GenData {
 
-  /** Deterministic uniform [0,1) from (id, salt). */
-  private def u(id: Column, salt: Int): Column =
-    pmod(xxhash64(id, lit(salt)), lit(1000000000L)).cast("double") / 1e9
+  /** Deterministic uniform [0,1) from (id, salt, seed). */
+  def uniform(id: Column, salt: Int, seed: Long): Column =
+    pmod(xxhash64(id, lit(salt), lit(seed)), lit(1000000000L))
+      .cast("double") / 1e9
 
   /** Deterministic uniform integer [0, n). */
-  private def ui(id: Column, salt: Int, n: Long): Column =
-    pmod(xxhash64(id, lit(salt)), lit(n))
-
-  private def pick(id: Column, salt: Int, vals: Seq[String]): Column =
-    element_at(array(vals.map(lit): _*), (ui(id, salt, vals.size) + 1).cast("int"))
-
-  /** Day-grain timestamp: `start` + uniform [0, days) days. */
-  private def day(id: Column, salt: Int, start: String, days: Int): Column =
-    date_add(lit(start).cast("date"), ui(id, salt, days).cast("int"))
-      .cast("timestamp_ntz")
+  def uniformInt(id: Column, salt: Int, n: Long, seed: Long): Column =
+    pmod(xxhash64(id, lit(salt), lit(seed)), lit(n))
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: GenData <sf> <outDir>")
@@ -51,7 +44,21 @@ object GenData {
     spark.stop()
   }
 
-  def generate(spark: SparkSession, sf: Double, out: String): Unit = {
+  /** `seed` perturbs every hash-derived value (not the shape), so
+    * property-style fuzzing (OracleFuzzSpec) can draw many distinct
+    * same-shape corpora deterministically.
+    */
+  def generate(spark: SparkSession, sf: Double, out: String,
+      seed: Long = 0L): Unit = {
+    def u(id: Column, salt: Int): Column = uniform(id, salt, seed)
+    def ui(id: Column, salt: Int, n: Long): Column =
+      uniformInt(id, salt, n, seed)
+    def pick(id: Column, salt: Int, vals: Seq[String]): Column =
+      element_at(array(vals.map(lit): _*),
+        (ui(id, salt, vals.size) + 1).cast("int"))
+    def day(id: Column, salt: Int, start: String, days: Int): Column =
+      date_add(lit(start).cast("date"), ui(id, salt, days).cast("int"))
+        .cast("timestamp_ntz")
     def n(base: Long): Long = math.max(1L, (base * sf).round)
     val nCust = n(150000); val nSupp = n(10000); val nPart = n(200000)
     val nOrders = n(1500000); val nEvents = n(1000000)
@@ -159,7 +166,7 @@ object GenData {
       array_join(transform(
         sequence(lit(1), (ui(col("id"), 33, 90) + 8).cast("int")),
         i => element_at(array(vocab.map(lit): _*),
-          (pmod(xxhash64(col("id"), i, lit(34)), lit(vocab.size)) + 1)
+          (pmod(xxhash64(col("id"), i, lit(34), lit(seed)), lit(vocab.size)) + 1)
             .cast("int"))), " ").as("text"),
       when(u(col("id"), 35) < 0.6, "en")
         .when(u(col("id"), 35) < 0.7, "fr")
@@ -175,8 +182,8 @@ object GenData {
     val raw = transform(sequence(lit(0), lit(63)), j =>
       (pmod(xxhash64(col("label"), j, lit(37)), lit(1000)).cast("double") / 1000.0
         - 0.5) +
-        (pmod(xxhash64(col("id"), j, lit(38)), lit(1000)).cast("double") / 1000.0
-          - 0.5) * 0.4)
+        (pmod(xxhash64(col("id"), j, lit(38), lit(seed)), lit(1000))
+          .cast("double") / 1000.0 - 0.5) * 0.4)
     write(spark.range(nEmb)
       .withColumn("label", ui(col("id"), 39, 10).cast("int"))
       .withColumn("raw", raw)

@@ -1,0 +1,142 @@
+package graft
+
+import graft.tools.GenData
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import java.io.File
+import scala.sys.process._
+
+/** Property-based oracle differencing (round-7 prescription #4).
+  *
+  * The shipped corpus is FIXED, so a data-dependent Spark-vs-DuckDB
+  * divergence (the round-3d KMV boundary bug class; decimal
+  * truncation, float tie-ordering, fold-order gotchas) surfaces only
+  * when a new scale factor happens to trip it. This spec closes that
+  * gap: scalacheck draws ≥20 corpus seeds; for each, GenData emits a
+  * tiny same-shape corpus which is then made ADVERSARIAL for the ten
+  * trickiest oracle pairs (tie-heavy quarter-cent prices for the
+  * quantile/MAD/rounding family, clustered near-tie event times and
+  * tiny value domains with resets for ewma/deltasum/sequencecount,
+  * six-word documents for winnowing's rightmost-tie rule), and the
+  * registry fn is run against the driver's own DuckDB comparator
+  * (tools/check.py) — schema + rows + cell-exact hash, per seed.
+  *
+  * Skipped (not failed) when the driver-side python duckdb module is
+  * unavailable, since the oracle engine is not a library dependency.
+  */
+class OracleFuzzSpec extends SparkSpec {
+
+  private val targets = Seq(
+    "ch_quantiles", "ch_mad", "q_not_in_trap", "q_asof_tolerance",
+    "ch_quantile_disc", "ch_ewma", "ch_deltasum", "ch_sequencecount",
+    "f_rounding", "txt_winnowing")
+
+  private lazy val duckdbOk =
+    scala.util.Try(Seq("python3", "-c", "import duckdb, pandas").! == 0)
+      .getOrElse(false)
+
+  private val tmpRoot = System.getProperty("java.io.tmpdir")
+
+  /** Rewrite a generated table dir to ONE bare parquet file (the
+    * layout check.py's DuckDB views read), applying `mutate` first.
+    */
+  private def flatten(dir: String, table: String,
+      mutate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : Unit = {
+    val path = s"$dir/$table.parquet"
+    val stage = s"$dir/.flat_$table"
+    mutate(spark.read.parquet(path)).coalesce(1)
+      .write.mode("overwrite").parquet(stage)
+    val part = new File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dest = new File(path)
+    def rm(f: File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(dest)
+    require(part.renameTo(dest), s"flatten failed for $table")
+    rm(new File(stage))
+  }
+
+  private def h(c: org.apache.spark.sql.Column, salt: Int, seed: Long) =
+    pmod(xxhash64(c, lit(salt), lit(seed)), lit(1000000000L))
+
+  /** One seed: generate, adversarialize, run the 10 fns, compare. */
+  private def runSeed(seed: Long): Boolean = {
+    val dir = s"$tmpRoot/graft_fuzz_${seed}_data"
+    val out = s"$tmpRoot/graft_fuzz_${seed}_out"
+    def rmr(p: String): Unit = {
+      val f = new File(p)
+      if (f.isDirectory) f.listFiles().foreach(x => rmr(x.getPath))
+      f.delete(): Unit
+    }
+    rmr(dir); rmr(out)
+    GenData.generate(spark, 0.0005, dir, seed)
+
+    // adversarial overrides — each keeps the column's type/domain
+    // class but concentrates mass on ties and boundaries
+    flatten(dir, "lineitem", df => df
+      // quarter-cent domain [0, 500): dense exact ties, .25/.5
+      // boundaries for quantile interpolation and HALF_EVEN rounding
+      .withColumn("l_extendedprice",
+        h(col("l_orderkey") * 16 + col("l_linenumber"), 101, seed)
+          .cast("double") % 2000.0 / 4.0)
+      .withColumn("l_quantity",
+        (h(col("l_orderkey") * 16 + col("l_linenumber"), 102, seed) % 8 + 1)
+          .cast("double")))
+    flatten(dir, "events", df => df
+      // clustered near-tie times (unique via +event_id), tiny value
+      // domain with natural resets
+      .withColumn("ts", timestamp_micros(lit(1704067200000000L) +
+        (h(col("event_id"), 103, seed) % 50) * 1000000L + col("event_id")))
+      .withColumn("value", (h(col("event_id"), 104, seed) % 10).cast("double")))
+    val tinyVocab = array(Seq("a", "b", "c", "ab", "ba", "aa").map(lit): _*)
+    flatten(dir, "documents", df => df
+      // 8..19 words over six near-colliding tokens: winnowing windows
+      // full of hash ties, exercising the rightmost-tie rule
+      .withColumn("text", array_join(transform(
+        sequence(lit(1), (h(col("doc_id"), 105, seed) % 12 + 8).cast("int")),
+        i => element_at(tinyVocab,
+          (pmod(xxhash64(col("doc_id"), i, lit(106), lit(seed)), lit(6)) + 1)
+            .cast("int"))), " "))
+      .withColumn("n_chars", length(col("text")).cast("long")))
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "embeddings"))
+      flatten(dir, t, identity)
+
+    for (name <- targets)
+      SparkEntry.registry(name).fn(spark, dir)
+        .write.mode("overwrite").parquet(s"$out/$name")
+    val oracle = targets.map(n =>
+      s""""$n": ${com.fasterxml.jackson.databind.node.TextNode
+        .valueOf(SparkEntry.registry(n).oracle.get).toString}""")
+      .mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/oracle_sql.json"), oracle)
+
+    val log = new StringBuilder
+    val rc = Process(
+      Seq("python3", new File("tools/check.py").getAbsolutePath, dir, out)
+        ++ targets)
+      .!(ProcessLogger(l => log.append(l).append('\n')))
+    if (rc != 0)
+      info(s"seed $seed diverged:\n$log")
+    else { rmr(dir); rmr(out) } // keep evidence only on failure
+    rc == 0
+  }
+
+  test("oracle differencing holds across 20 scalacheck-drawn corpus seeds") {
+    assume(duckdbOk, "python3 duckdb unavailable — oracle engine is driver-side")
+    // scalacheck draws the seeds; a FIXED rng seed keeps the suite
+    // deterministic while still exercising 20 distinct corpora
+    val seeds = Gen.listOfN(20, Gen.choose(1L, 1000000L))
+      .apply(Gen.Parameters.default, Seed(42L)).get.distinct
+    assert(seeds.size >= 19)
+    val bad = seeds.filterNot(runSeed)
+    assert(bad.isEmpty,
+      s"Spark/DuckDB divergence on corpus seeds: $bad (evidence kept in $tmpRoot/graft_fuzz_<seed>_*)")
+  }
+}

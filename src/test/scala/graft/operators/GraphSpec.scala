@@ -50,6 +50,53 @@ class GraphSpec extends SparkSpec {
       s"rank mass lost beyond truncation bound: $mass")
   }
 
+  test("dangling-node pagerank redistributes mass cell-exactly (arbitrary edge lists)") {
+    // 1->2, 2->3, 3 has NO out-edges: the case the registry graph
+    // avoids by symmetrizing. Node set must become src ∪ dst.
+    val dangle = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+
+    // hand recurrence with uniform dangling redistribution, same
+    // integer truncation order as the engine
+    def ref(iters: Int): Map[Long, Long] = {
+      val out = Map(1L -> Seq(2L), 2L -> Seq(3L))
+      val n = 3
+      val baseU = (3L * Graph.RankUnit) / (20L * n)
+      var r = (1L to 3L).map(_ -> Graph.RankUnit / n).toMap
+      for (_ <- 1 to iters) {
+        val contrib = scala.collection.mutable.Map[Long, Long]()
+          .withDefaultValue(0L)
+        for ((s, ds) <- out; t <- ds) contrib(t) += r(s) / ds.length
+        val danglingShare = r(3L) / n
+        r = (1L to 3L).map(v =>
+          v -> (baseU + (17L * (contrib(v) + danglingShare)) / 20L)).toMap
+      }
+      r
+    }
+    val got = Graph.pageRank(dangle, iters = 5, redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref(5), s"$got vs ${ref(5)}")
+
+    // mass conserved up to truncation (non-negative, tiny deficit)
+    val mass = got.values.sum
+    assert(mass <= Graph.RankUnit)
+    assert(Graph.RankUnit - mass < 1000L * 3 * 5,
+      s"dangling redistribution lost mass beyond truncation: $mass")
+
+    // and WITHOUT the flag the same graph visibly drains mass — the
+    // documented hazard the flag exists for (node 3 is not even in
+    // the node set, and its inflow mass vanishes each step)
+    val drained = Graph.pageRank(dangle, iters = 5)
+      .collect().map(_.getLong(1)).sum
+    assert(drained < Graph.RankUnit * 3 / 4,
+      s"expected visible drain without redistribution, got $drained")
+
+    // partition invariance holds on the dangling path too
+    val b = Graph.pageRank(dangle.repartition(5), iters = 5,
+      redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b == got)
+  }
+
   test("trade-graph pagerank returns ranked rows at sf0.001") {
     val df = graft.SparkEntry.registry("graph_pagerank").fn(spark, sf)
     val rows = df.collect()

@@ -393,6 +393,71 @@ class StreamingSpec extends SparkSpec {
       "JDBC epoch replay changed the row count (duplicates or loss)")
   }
 
+  test("kill-and-replay: crash after sink write, restart from checkpoint into typed JDBC sink is exactly-once") {
+    import graft.sources.{JdbcBackend, Sink}
+    // Composes the two recovery properties proved separately above:
+    // epoch-replay idempotency of the typed sink AND checkpoint
+    // restart. The injected crash lands at the worst point — AFTER
+    // the Derby write succeeded, BEFORE Structured Streaming commits
+    // the epoch — so the restarted query MUST replay that epoch
+    // against a sink that already holds its rows.
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_killreplay"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val dataDir = s"$base/data"; val ckpt = s"$base/ckpt"
+    val url = s"jdbc:derby:$base/db;create=true"
+    val backend = new JdbcBackend(url)
+    val cfg = Sink.SinkConfig("", "events_kr", batchSize = 10000)
+    val sinkFn = Sink.batchToTypedSink(cfg, backend)
+
+    val e = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts_us", "value")
+    e.filter(pmod(col("event_id"), lit(2)) === 0)
+      .coalesce(1).write.mode("append").parquet(dataDir)
+    Thread.sleep(1100)
+    e.filter(pmod(col("event_id"), lit(2)) === 1)
+      .coalesce(1).write.mode("append").parquet(dataDir)
+
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def run(injectCrash: Boolean): Option[Throwable] = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dataDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, epoch: Long) =>
+          sinkFn(b, epoch)
+          if (injectCrash && crashed.compareAndSet(false, true))
+            throw new RuntimeException(
+              "injected kill: after sink write, before epoch commit")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination(120000); None }
+      catch { case t: Throwable => Some(t) }
+      finally if (q.isActive) q.stop()
+    }
+
+    def jdbcCount: Long = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement()
+          .executeQuery("SELECT count(*) FROM events_kr")
+        rs.next(); rs.getLong(1)
+      } finally c.close()
+    }
+
+    val err = run(injectCrash = true)
+    assert(err.isDefined && crashed.get(), "run 1 must die on the injected kill")
+    val afterCrash = jdbcCount
+    assert(afterCrash > 0,
+      "the kill must land AFTER the sink write (rows present, epoch uncommitted)")
+
+    assert(run(injectCrash = false).isEmpty, "restart must drain cleanly")
+    // exactly-once: the replayed epoch overwrote its own rows (the
+    // epoch-namespaced batch key), the new epoch added only file 2
+    assert(jdbcCount == e.count(),
+      s"kill-and-replay broke exactly-once: ${jdbcCount} vs ${e.count()}")
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) equals batch") {
     val streamed = runToCompletion(
       Sessionize.streaming(
