@@ -435,10 +435,20 @@ object Stats {
     // ------------------------------------------------------------------
     // Unigram language-model scoring (the KenLM-style perplexity
     // proxy a quality-filtering pipeline uses): corpus word
-    // frequencies in one agg, per-token -log2 p joined back by word
-    // (keyed join, NOT a broadcast — a real vocabulary outgrows one),
+    // frequencies in one agg, per-token -log2 p joined back by word,
     // per-doc mean bits-per-token. Rounded to 6 decimals: the log is
     // transcendental, everything else is exact integer arithmetic.
+    //
+    // The token<->vocab join is Zipf-skewed BY NATURE (the top word
+    // is a constant fraction of all tokens, so a plain shuffle join
+    // funnels it through one task — measured 11x super-linear at the
+    // sf1 scaling point). Scale shape: HEAD/TAIL split. The top-1024
+    // words by frequency (a bounded TakeOrdered + broadcast, however
+    // large the vocabulary) join broadcast — they carry the Zipf
+    // mass, no shuffle at all; the remaining tail words shuffle-join,
+    // but every tail key's frequency is <= the head minimum, so the
+    // tail shuffle is skew-free. A real vocabulary outgrows ONE
+    // broadcast, but its head never does.
     "txt_unigram_logprob" -> Q(
       (s, dir) => {
         val toks = Tables.documents(s, dir)
@@ -450,8 +460,13 @@ object Stats {
         // through one task at scale)
         val vocab = toks.groupBy("w").agg(count(lit(1)).as("wn"))
           .crossJoin(broadcast(toks.agg(count(lit(1)).as("tot"))))
+        val head = vocab.orderBy(col("wn").desc, col("w")).limit(1024)
         val bits = -log(col("wn").cast("double") / col("tot")) / log(lit(2.0))
-        toks.join(vocab, Seq("w"))
+        val headScored = toks.join(broadcast(head), Seq("w"))
+        val tailScored = toks
+          .join(broadcast(head.select("w")), Seq("w"), "left_anti")
+          .join(vocab, Seq("w"))
+        headScored.unionByName(tailScored)
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"),
             round(sum(bits) / count(lit(1)), 6).as("bits_per_token"))

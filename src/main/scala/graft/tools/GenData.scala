@@ -161,13 +161,25 @@ object GenData {
       "column", "join", "small", "line", "customer", "merge", "big", "a",
       "the", "filter", "group", "sort", "read", "write", "shuffle", "plan",
       "query", "index", "cache", "disk", "node", "task", "stage", "block")
+    // Heaps-law vocabulary growth: the shipped corpus uses ~39 words
+    // at its 5000-doc top SF; holding that FIXED while docs grow 10x
+    // saturates the trigram shingle space and makes random docs
+    // collide quadratically (measured 18x super-linear on the
+    // inverted-index dedup at sf1). vocab ∝ cbrt(docs) keeps the
+    // shingle doc-frequency profile — the statistic dedup cost
+    // scales with — flat across SFs, as real corpora do.
+    val vocabSize = math.max(vocab.size,
+      (2.3 * math.cbrt(nDocs.toDouble)).round.toInt)
+    val wordIdx = (i: Column) =>
+      pmod(xxhash64(col("id"), i, lit(34), lit(seed)), lit(vocabSize))
     val docs = spark.range(nDocs).select(
       col("id").as("doc_id"),
       array_join(transform(
         sequence(lit(1), (ui(col("id"), 33, 90) + 8).cast("int")),
-        i => element_at(array(vocab.map(lit): _*),
-          (pmod(xxhash64(col("id"), i, lit(34), lit(seed)), lit(vocab.size)) + 1)
-            .cast("int"))), " ").as("text"),
+        i => when(wordIdx(i) < vocab.size,
+          element_at(array(vocab.map(lit): _*),
+            (wordIdx(i) + 1).cast("int")))
+          .otherwise(concat(lit("tok"), wordIdx(i)))), " ").as("text"),
       when(u(col("id"), 35) < 0.6, "en")
         .when(u(col("id"), 35) < 0.7, "fr")
         .when(u(col("id"), 35) < 0.8, "de")
@@ -178,12 +190,18 @@ object GenData {
     write(docs, "documents", 4)
 
     // embeddings: 10 label clusters, unit-normalized 64-dim float
-    // vectors = per-(label, dim) centroid + per-(id, dim) noise
+    // vectors = per-(label, dim) centroid + per-(id, dim) noise. The
+    // noise scale is tuned so the >=0.45-cosine pair DENSITY matches
+    // the shipped corpus (~7e-5 of all pairs): near-dup density is
+    // the statistic the dedup/ANN operators' cost scales with — a
+    // tighter cluster makes the TRUE pair set quadratic and any
+    // scaling study meaningless.
+    val noiseScale = 3.5
     val raw = transform(sequence(lit(0), lit(63)), j =>
       (pmod(xxhash64(col("label"), j, lit(37)), lit(1000)).cast("double") / 1000.0
         - 0.5) +
         (pmod(xxhash64(col("id"), j, lit(38), lit(seed)), lit(1000))
-          .cast("double") / 1000.0 - 0.5) * 0.4)
+          .cast("double") / 1000.0 - 0.5) * noiseScale)
     write(spark.range(nEmb)
       .withColumn("label", ui(col("id"), 39, 10).cast("int"))
       .withColumn("raw", raw)
