@@ -79,17 +79,24 @@ object PlanAudit {
       (s, d) => SparkEntry.registry("ann_pq_topk").benchFn
         .getOrElse(sys.error("ann_pq_topk must register a bench shape"))
         .apply(s, d)),
+    // ---- round-7 additions ----
+    ("src_delta_log",
+      "The Delta-format versioned read carries NO plan-level indirection: log replay (JSON actions -> active file set) resolves to concrete parquet paths BEFORE planning, so each snapshot read is a plain multi-file FileScan with normal pushdown/pruning — at 100 TB the log is driver-side metadata and the scan cost is exactly that of an unversioned table. The three per-version aggregations union below it; no extra Exchange beyond each rollup's own agg keys.",
+      reg("src_delta_log")),
+    ("txt_unigram_logprob",
+      "The Zipf-skew-proof vocabulary join: head tokens (top-1024 words — the Zipf mass) join via BroadcastHashJoin with NO shuffle; the tail path is a broadcast LeftAnti (cheap head exclusion) followed by a shuffle join whose every key has frequency <= the head minimum, so no task can be hot. The fixed sf1 cliff: a single shuffle join here funnels the top word's tokens through one task however many executors exist.",
+      reg("txt_unigram_logprob")),
     ("graph_pagerank (superstep)",
       "The per-iteration unit cost of distributed PageRank: the ranks side enters the contribution join via BroadcastExchange (node-count rows), so the edge index is NEVER shuffled per superstep — the only per-step shuffle Exchange is the dst-keyed contribution aggregation with a partial sum before it. (The left-leg edge-index build with its own Exchanges appears in this audit plan only because the plan is un-persisted; the operator builds eDeg once, loop-invariant, and persists it.) The full operator runs this plan once per superstep behind an eager per-step checkpoint.",
       (s, d) => graft.operators.Graph.pageRankSuperstepPlan(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val out = args.drop(1).headOption.getOrElse("PLAN_AUDIT_r6.md")
+    val out = args.drop(1).headOption.getOrElse("PLAN_AUDIT_r7.md")
     val spark = Session.local(4)
     spark.sparkContext.setLogLevel("ERROR")
     val sb = new StringBuilder
-    sb.append("# Plan audit — scale-critical operators (round 6)\n\n")
+    sb.append("# Plan audit — scale-critical operators (round 7)\n\n")
     sb.append("Generated by `runMain graft.PlanAudit` at sf=" + sfDir +
       ". Each section states the property the plan must exhibit for the\n" +
       "operator to hold up at 100 TB, followed by the actual\n" +
