@@ -21,6 +21,15 @@ class AnalyticsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketsFor sizes bucket count to the data, pow-2, floored and capped") {
+    assert(Bucketing.bucketsFor(0) == 16)
+    assert(Bucketing.bucketsFor(600000) == 16)       // sf0.1 keeps its layout
+    assert(Bucketing.bucketsFor(16L * 250000) == 16) // pow-2 FLOOR of want
+    assert(Bucketing.bucketsFor(32L * 250000) == 32)
+    assert(Bucketing.bucketsFor(100L * 250000) == 64)
+    assert(Bucketing.bucketsFor(10000000000L) == 4096) // 100 TB cap
+  }
+
   test("windowFunnel depth distribution is sane and matches a recompute") {
     val rows = SparkEntry.registry("ch_windowfunnel").fn(spark, sf).collect()
     assert(rows.nonEmpty)
