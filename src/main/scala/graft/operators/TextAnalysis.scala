@@ -348,10 +348,20 @@ object TextAnalysis {
     // TF-IDF keyword extraction: top-3 terms per doc by tf * (N/df).
     // The raw-ratio idf (no log) keeps the score a product/quotient of
     // exact integers — bit-identical across engines, same ranking
-    // monotonicity as log-idf. Shape: two hash aggregations (tf keyed
-    // by (doc, term), df keyed by term) + one equi-join on term + a
-    // per-doc top-k window — every shuffle is on a natural key, no
-    // all-pairs anything.
+    // monotonicity as log-idf.
+    //
+    // Scale shape (re-derived at the generated sf10 decade, where the
+    // first formulation measured 22.5x for the 10x step): df is NOT a
+    // second pass over the raw tokens — tf's group keys ARE the
+    // distinct (doc, term) pairs, so df aggregates tf itself and the
+    // identical tf exchange is planned once (ReusedExchange). The
+    // tf<->df join is Zipf-skewed BY NATURE on the tf side (a stopword
+    // row count per term == its df =~ nDocs), so it takes the same
+    // HEAD/TAIL split as txt_unigram_logprob: the top-1024 terms by df
+    // join broadcast (they carry the Zipf mass, zero shuffle), the
+    // tail shuffle-joins but every tail key's tf-side group is <= the
+    // head minimum — skew-free by construction. A real vocabulary
+    // outgrows one broadcast; its head never does.
     "txt_tfidf" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -360,10 +370,15 @@ object TextAnalysis {
             explode(split(Dedup.normText(col("text")), " ")).as("term"))
         val n = Tables.documents(s, dir).count()
         val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val df = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val head = df.orderBy(col("df").desc, col("term").asc).limit(1024)
+        val joined = tf.join(broadcast(head), Seq("term"))
+          .unionByName(
+            tf.join(broadcast(head.select("term")), Seq("term"), "left_anti")
+              .join(df, Seq("term")))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("term").asc)
-        tf.join(df, Seq("term"))
+        joined
           .withColumn("score",
             col("tf").cast("double") * (lit(n.toDouble) / col("df")))
           .withColumn("rank", row_number().over(w))
