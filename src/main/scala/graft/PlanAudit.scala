@@ -83,6 +83,9 @@ object PlanAudit {
     ("src_delta_log",
       "The Delta-format versioned read carries NO plan-level indirection: log replay (JSON actions -> active file set) resolves to concrete parquet paths BEFORE planning, so each snapshot read is a plain multi-file FileScan with normal pushdown/pruning — at 100 TB the log is driver-side metadata and the scan cost is exactly that of an unversioned table. The three per-version aggregations union below it; no extra Exchange beyond each rollup's own agg keys.",
       reg("src_delta_log")),
+    ("txt_tfidf",
+      "The second Zipf-skew-proof join (fixed at the sf10 decade): head terms (top-1024 by df, df aggregated from tf itself — no second distinct pass) join via BroadcastHashJoin with no shuffle; the tail path's head-exclusion LeftAnti is pushed BELOW the tail (doc, term) aggregation by the optimizer (term is a grouping key), so head tokens are dropped before the tail aggregates, and the remaining tail shuffle join has every tf-side key group <= the head-minimum df — no stopword can funnel ~nDocs rows through one task.",
+      reg("txt_tfidf")),
     ("txt_unigram_logprob",
       "The Zipf-skew-proof vocabulary join: head tokens (top-1024 words — the Zipf mass) join via BroadcastHashJoin with NO shuffle; the tail path is a broadcast LeftAnti (cheap head exclusion) followed by a shuffle join whose every key has frequency <= the head minimum, so no task can be hot. The fixed sf1 cliff: a single shuffle join here funnels the top word's tokens through one task however many executors exist.",
       reg("txt_unigram_logprob")),
