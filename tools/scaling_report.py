@@ -1,18 +1,28 @@
 #!/usr/bin/env python3
-"""Build BENCH_SCALING_r{N}.json from three per-SF bench_out files.
+"""Build BENCH_SCALING_r{N}.json from per-SF bench_out files.
 
-Usage: python3 tools/scaling_report.py <out.json> <sf001.json> <sf01.json> <sf1.json>
+Usage: python3 tools/scaling_report.py <out.json> <sf>=<bench.json> ...
 
-The headline statistic is the per-query wall-time ratio across each
-10x data step: 10.0 = linear in data, < 10 = overhead-amortized,
-> 10 = super-linear (a scale cliff). Queries are measured best-of-2
-by graft.Bench on the same local[32] harness.
+e.g.  scaling_report.py BENCH_SCALING_r7.json \
+          sf0.01=/tmp/a.json sf0.1=/tmp/b.json sf1=/tmp/c.json sf10=/tmp/d.json
+
+SF points are treated as a ladder in the order given; a ratio section
+is emitted for each consecutive pair over the queries both runs
+measured (deeper decades may bench a curated subset of the most
+expensive queries — the ratio set shrinks accordingly and
+n_queries_measured records it). The headline statistic is the
+per-query wall-time ratio across each 10x data step: 10.0 = linear in
+data, < 10 = overhead-amortized, > 10 = super-linear (a scale cliff).
+Queries are measured best-of-2 by graft.Bench on the same local[32]
+harness.
 """
 import json, statistics, sys
+
 
 def load(p):
     d = json.load(open(p))
     return d, d["queries"]
+
 
 def ratios(lo, hi):
     r = {k: round(hi[k] / lo[k], 2) for k in hi if k in lo and lo[k] > 0}
@@ -26,37 +36,36 @@ def ratios(lo, hi):
         "worst10": dict(sorted(r.items(), key=lambda kv: -kv[1])[:10]),
     }
 
+
 def main():
-    out, p001, p01, p1 = sys.argv[1:5]
-    d001, q001 = load(p001)
-    d01, q01 = load(p01)
-    d1, q1 = load(p1)
-    r01, s01 = ratios(q001, q01)
-    r1, s1 = ratios(q01, q1)
+    out = sys.argv[1]
+    points = []
+    for arg in sys.argv[2:]:
+        sf, path = arg.split("=", 1)
+        points.append((sf, *load(path)))
     doc = {
-        "what": ("Full bench suite at three GENERATED scale factors "
-                 "(tools/GenData — same-shape corpus; the shipped testdata "
-                 "tops out at sf0.1), local[32], best-of-2 per query. Each "
-                 "10x-data ratio: 10.0 = data-linear, <10 = overhead-"
-                 "amortized, >10 = super-linear (scale cliff)."),
-        "totals_sec": {"sf0.01": d001["value"], "sf0.1": d01["value"],
-                       "sf1": d1["value"]},
-        "n_queries": {"sf0.01": d001["n_queries"], "sf0.1": d01["n_queries"],
-                      "sf1": d1["n_queries"]},
-        "failed": {"sf0.01": d001["failed"], "sf0.1": d01["failed"],
-                   "sf1": d1["failed"]},
-        "ratio_sf01_over_sf001": s01,
-        "ratio_sf1_over_sf01": s1,
-        "env": {"sf0.01": d001.get("env"), "sf0.1": d01.get("env"),
-                "sf1": d1.get("env")},
-        "per_query_ratio_sf1_over_sf01": dict(sorted(r1.items())),
+        "what": ("Bench suite at GENERATED scale factors (tools/GenData — "
+                 "same-shape corpus; the shipped testdata tops out at "
+                 "sf0.1), local[32], best-of-2 per query. Each 10x-data "
+                 "ratio: 10.0 = data-linear, <10 = overhead-amortized, "
+                 ">10 = super-linear (scale cliff). Decades past sf1 bench "
+                 "the most expensive query subset, not the full suite."),
+        "totals_sec": {sf: d["value"] for sf, d, _ in points},
+        "n_queries": {sf: d["n_queries"] for sf, d, _ in points},
+        "failed": {sf: d["failed"] for sf, d, _ in points},
+        "env": {sf: d.get("env") for sf, d, _ in points},
     }
+    for (sfa, _, qa), (sfb, _, qb) in zip(points, points[1:]):
+        r, s = ratios(qa, qb)
+        key = f"ratio_{sfb}_over_{sfa}".replace(".", "")
+        doc[key] = s
+        doc[f"per_query_{key}"] = dict(sorted(r.items()))
+        print(f"10x step {sfa} -> {sfb}:",
+              {k: s[k] for k in ("median", "max", "n_superlinear")},
+              s["superlinear"])
     json.dump(doc, open(out, "w"), indent=1)
-    print(f"sf0.01 {d001['value']}s  sf0.1 {d01['value']}s  sf1 {d1['value']}s")
-    print("10x step sf0.01->sf0.1:", {k: s01[k] for k in
-          ("median", "max", "n_superlinear")}, s01["superlinear"])
-    print("10x step sf0.1 ->sf1  :", {k: s1[k] for k in
-          ("median", "max", "n_superlinear")}, s1["superlinear"])
+    print("totals:", doc["totals_sec"])
+
 
 if __name__ == "__main__":
     main()
