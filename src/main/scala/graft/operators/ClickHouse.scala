@@ -900,22 +900,29 @@ object ClickHouse {
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     // ------------------------------------------------------------------
-    // quantileExactWeighted: exact weighted quantiles without ever
-    // sorting globally — a per-group value-ordered cumulative-weight
-    // window (shuffle keyed by the group only), then one aggregation
-    // picking the smallest value whose cumulative weight reaches the
-    // target. All comparisons are integer (denom*cw >= num*tot), so
-    // both engines agree bit-exactly; the default RANGE window frame
-    // gives equal values their full run's cumulative weight, making
-    // the picked value tie-order-independent.
+    // quantileExactWeighted: exact weighted quantiles the way
+    // ClickHouse computes them — collapse to a (group, value) ->
+    // total-weight map FIRST (a map-side-combinable aggregate whose
+    // shuffle keys on (g, v), so it runs at full parallelism no
+    // matter how few groups there are), then cumulative-sum over the
+    // DISTINCT-value rows and pick the smallest value whose
+    // cumulative weight reaches the target. State and window size are
+    // ∝ distinct values per group, not rows — the sf10 ladder caught
+    // the previous formulation windowing 60M rows over
+    // partitionBy(l_returnflag) = 3 sort tasks (38.6 s; at 100 TB,
+    // three tasks sorting 33 TB each). All comparisons are integer
+    // (denom*cw >= num*tot), so both engines agree bit-exactly;
+    // collapsing ties before the window makes the pick
+    // tie-order-independent by construction.
     "ch_quantile_weighted" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("g").orderBy("v")
         val c = Tables.lineitem(s, dir)
           .select(col("l_returnflag").as("g"), d(col("l_quantity")).as("v"),
             col("l_linenumber").cast("long").as("wt"))
-          .withColumn("cw", sum(col("wt")).over(w))
+          .groupBy("g", "v").agg(sum(col("wt")).as("wt"))
+          .withColumn("cw", sum(col("wt")).over(
+            Window.partitionBy("g").orderBy("v")))
           .withColumn("tot", sum(col("wt")).over(Window.partitionBy("g")))
         def q(num: Int, denom: Int) =
           min(when(col("cw") * denom >= col("tot") * num, col("v")))

@@ -66,10 +66,20 @@ object GenData {
     val nDocs = math.max(500L, (50000 * sf).round)
     val nEmb = math.max(500L, (20000 * sf).round)
 
-    def write(df: DataFrame, name: String, files: Int): Unit = {
+    // Real ingest pipelines write roughly CONSTANT-SIZE files, so the
+    // file count grows with the data — that is what lets scan
+    // parallelism scale with corpus size. The base counts are sized
+    // for ~sf1; deeper decades multiply them (capped), else a 67 MB
+    // documents table arrives as 4 single-row-group files and every
+    // text scan runs 4-wide on a 32-core host (measured: the whole
+    // >10x tail of the sf1->sf10 ladder was this layout artifact, not
+    // operator cost). Shallower decades keep the base (files only
+    // shrink below it in bytes, never in count — same as a real lake).
+    def write(df: DataFrame, name: String, base: Int): Unit = {
+      val files = math.max(base, math.min(512L, (base * sf).round)).toInt
       df.repartition(files)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
-      println(s"[gendata] $name written")
+      println(s"[gendata] $name written ($files files)")
     }
 
     // fixed dimensions — identical to the shipped corpus
