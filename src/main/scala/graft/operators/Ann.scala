@@ -27,6 +27,14 @@ object Ann {
     * instead of surfacing as head()'s NoSuchElementException.
     */
   private val dimCache = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+
+  /** Drop the memoized dim for `dir`. Anything that REWRITES a corpus
+    * at a fixed path (GenData.generate, fuzz-spec regeneration) must
+    * call this, or a JVM that probed the old corpus would keep serving
+    * the stale dim and silently defeat the fail-loudly dim guard.
+    */
+  def invalidateDim(dir: String): Unit = { dimCache.remove(dir); () }
+
   def corpusDim(s: SparkSession, dir: String): Int =
     dimCache.computeIfAbsent(dir, _ => {
       val rows = Tables.embeddings(s, dir)

@@ -191,14 +191,22 @@ object DeltaLog {
     mapper.writeValueAsString(n)
   }
 
-  /** Decode Spark/Hive %XX path escaping in partition values. */
+  /** Decode Spark/Hive %XX path escaping in partition values. A run of
+    * consecutive %XX escapes is one UTF-8 byte SEQUENCE (e.g. é is
+    * %C3%A9) — decoding each byte as its own char would record mojibake
+    * in the add action's partitionValues for any non-ASCII value.
+    */
   private def unescape(s: String): String = {
     val b = new StringBuilder
     var i = 0
     while (i < s.length) {
       if (s.charAt(i) == '%' && i + 3 <= s.length) {
-        b.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-        i += 3
+        val bytes = new java.io.ByteArrayOutputStream()
+        while (i + 3 <= s.length && s.charAt(i) == '%') {
+          bytes.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+          i += 3
+        }
+        b.append(new String(bytes.toByteArray, "UTF-8"))
       } else { b.append(s.charAt(i)); i += 1 }
     }
     b.toString

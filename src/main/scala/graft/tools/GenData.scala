@@ -29,9 +29,10 @@ object GenData {
     pmod(xxhash64(id, lit(salt), lit(seed)), lit(n))
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: GenData <sf> <outDir>")
+    require(args.length >= 2, "usage: GenData <sf> <outDir> [embDim]")
     val sf = args(0).toDouble
     val out = args(1)
+    val embDim = if (args.length >= 3) args(2).toInt else 64
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -40,16 +41,29 @@ object GenData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, sf, out)
+    generate(spark, sf, out, embDim = embDim)
     spark.stop()
   }
 
   /** `seed` perturbs every hash-derived value (not the shape), so
     * property-style fuzzing (OracleFuzzSpec) can draw many distinct
     * same-shape corpora deterministically.
+    *
+    * `embDim` selects the embeddings construction. 64 (default) is the
+    * shipped-corpus shape every oracle pins (cluster centroid + wide
+    * random tail). At 64 dims random unit vectors land near cosine
+    * 0.45 often enough that the TRUE >=0.45 pair set grows with n² —
+    * a corpus-construction artifact that makes near-dup scaling
+    * UNMEASURABLE (the r7 ladder's adjudicated 28x). Any other dim
+    * (use 256) switches to a measurable construction: random-pair
+    * cosine concentrates near 0 (sigma ~ 1/sqrt(dim), so P(cos>=0.45)
+    * ~ 0 at dim 256) and near-dups are EXPLICIT — ~0.5% of vectors are
+    * eps-perturbed clones of a hash-chosen earlier vector — so the
+    * true pair count is ~0.005·n: density per row flat across SFs,
+    * the way real corpora dedup.
     */
   def generate(spark: SparkSession, sf: Double, out: String,
-      seed: Long = 0L): Unit = {
+      seed: Long = 0L, embDim: Int = 64): Unit = {
     def u(id: Column, salt: Int): Column = uniform(id, salt, seed)
     def ui(id: Column, salt: Int, n: Long): Column =
       uniformInt(id, salt, n, seed)
@@ -206,19 +220,54 @@ object GenData {
     // the statistic the dedup/ANN operators' cost scales with — a
     // tighter cluster makes the TRUE pair set quadratic and any
     // scaling study meaningless.
-    val noiseScale = 3.5
-    val raw = transform(sequence(lit(0), lit(63)), j =>
-      (pmod(xxhash64(col("label"), j, lit(37)), lit(1000)).cast("double") / 1000.0
-        - 0.5) +
-        (pmod(xxhash64(col("id"), j, lit(38), lit(seed)), lit(1000))
-          .cast("double") / 1000.0 - 0.5) * noiseScale)
-    write(spark.range(nEmb)
-      .withColumn("label", ui(col("id"), 39, 10).cast("int"))
-      .withColumn("raw", raw)
+    val embBase =
+      if (embDim == 64) {
+        val noiseScale = 3.5
+        val raw = transform(sequence(lit(0), lit(63)), j =>
+          (pmod(xxhash64(col("label"), j, lit(37)), lit(1000)).cast("double") / 1000.0
+            - 0.5) +
+            (pmod(xxhash64(col("id"), j, lit(38), lit(seed)), lit(1000))
+              .cast("double") / 1000.0 - 0.5) * noiseScale)
+        spark.range(nEmb)
+          .withColumn("label", ui(col("id"), 39, 10).cast("int"))
+          .withColumn("raw", raw)
+      } else {
+        // measurable construction (see scaladoc): ~0.5% of ids clone a
+        // hash-chosen earlier id's BASE vector plus eps-noise; the base
+        // vector is a pure function of (label(base), base), so clone
+        // and original agree without any cross-row dependency in the
+        // generator (stays one embarrassingly-parallel projection).
+        // cos(clone, base) ≈ 1/sqrt(1 + eps²/1.09) ∈ [0.87, 0.98] for
+        // eps ∈ [0.2, 0.6] — all comfortably above the 0.45 threshold,
+        // while unrelated pairs sit 6+ sigma below it.
+        val isDup = (u(col("id"), 40) < 0.005) && (col("id") >= lit(64L))
+        spark.range(nEmb)
+          .withColumn("dup", isDup)
+          .withColumn("base", when(isDup,
+            pmod(xxhash64(col("id"), lit(41), lit(seed)), col("id")))
+            .otherwise(col("id")))
+          .withColumn("eps",
+            ui(col("id"), 42, 5).cast("double") * 0.1 + lit(0.2))
+          // label follows the base so clones stay inside one IVF cluster
+          .withColumn("label", ui(col("base"), 39, 10).cast("int"))
+          .withColumn("raw", transform(sequence(lit(0), lit(embDim - 1)), j =>
+            (pmod(xxhash64(col("label"), j, lit(37)), lit(1000))
+              .cast("double") / 1000.0 - 0.5) * 0.3 +
+              (pmod(xxhash64(col("base"), j, lit(38), lit(seed)), lit(1000))
+                .cast("double") / 1000.0 - 0.5) +
+              when(col("dup"),
+                (pmod(xxhash64(col("id"), j, lit(43), lit(seed)), lit(1000))
+                  .cast("double") / 1000.0 - 0.5) * col("eps"))
+                .otherwise(lit(0.0))))
+      }
+    write(embBase
       .withColumn("nrm", sqrt(aggregate(col("raw"), lit(0.0), (a, x) => a + x * x)))
       .select(
         col("id").as("vec_id"),
         transform(col("raw"), x => (x / col("nrm")).cast("float")).as("embedding"),
         col("label")), "embeddings", 4)
+    // the corpus at `out` just changed under any same-JVM reader —
+    // drop Ann's memoized embedding dim for it
+    graft.operators.Ann.invalidateDim(out)
   }
 }

@@ -25,7 +25,19 @@ def load(p):
 
 
 def ratios(lo, hi):
-    r = {k: round(hi[k] / lo[k], 2) for k in hi if k in lo and lo[k] > 0}
+    common = sorted(k for k in hi if k in lo)
+    if not common:
+        sys.exit("scaling_report: adjacent SF points share no measured "
+                 "queries — cannot form a ratio section (check the "
+                 "bench subset passed at the deeper decade)")
+    dropped = sorted(k for k in common if lo[k] <= 0)
+    if dropped:
+        print(f"note: {len(dropped)} zero-time queries dropped from "
+              f"ratios: {dropped}")
+    r = {k: round(hi[k] / lo[k], 2) for k in common if lo[k] > 0}
+    if not r:
+        sys.exit("scaling_report: every shared query had zero time at "
+                 "the shallower SF — no ratios computable")
     vals = sorted(r.values())
     return r, {
         "median": round(statistics.median(vals), 2),
