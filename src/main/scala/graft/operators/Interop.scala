@@ -158,6 +158,50 @@ object Interop {
         ORDER BY version, o_orderstatus""")),
 
     // ------------------------------------------------------------------
+    // Delta add.stats DATA SKIPPING: commits write per-file min/max
+    // stats (read from parquet FOOTERS at commit time — O(files)
+    // metadata, no data scan) and the reader prunes files whose stats
+    // or partitionValues PROVE no row matches, before any footer is
+    // opened. The table is committed in four disjoint o_orderkey
+    // slices, each partitioned by o_year, so the key range exercises
+    // stats pruning and the year range exercises partition pruning;
+    // the fn REQUIRES >=3/4 of files pruned (the scale property under
+    // test), and the oracle proves the pruned read is still exact.
+    "src_delta_skipping" -> Q(
+      (s, dir) => {
+        val root = tmp(dir, "deltaskip")
+        rm(s, root)
+        val o = Tables.orders(s, dir)
+          .withColumn("o_year", year(col("o_orderdate")))
+        val n = o.count()
+        for (k <- 0 until 4)
+          DeltaLog.commitAppend(
+            o.filter(col("o_orderkey") >= lit(k * n / 4) &&
+              col("o_orderkey") < lit((k + 1) * n / 4)),
+            root, partitionBy = Seq("o_year"))
+        val v = DeltaLog.currentVersion(s, root)
+        val ranges = Seq(
+          DeltaLog.ColRange("o_orderkey", Some(100), Some(300)),
+          DeltaLog.ColRange("o_year", Some(1996), Some(1997)))
+        val snap = DeltaLog.snapshotAsOf(s, root, v)
+        val kept = DeltaLog.pruneFiles(snap, ranges)
+        require(kept.size * 4 <= snap.adds.size,
+          s"data skipping must prune >=3/4 of the files " +
+            s"(kept ${kept.size} of ${snap.adds.size})")
+        DeltaLog.readVersionPruned(s, root, v, ranges)
+          .groupBy("o_year")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_year")
+      },
+      Some(s"""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               count(*) AS n, ${S.dsum("o_totalprice")} AS total
+        FROM orders
+        WHERE o_orderkey BETWEEN 100 AND 300
+          AND year(o_orderdate) BETWEEN 1996 AND 1997
+        GROUP BY 1 ORDER BY o_year""")),
+
+    // ------------------------------------------------------------------
     // Iceberg manifest chain: two append snapshots; each commit writes
     // ONE new avro manifest and a manifest list that REUSES the
     // parent's manifests (commit cost ∝ new files, not table size).

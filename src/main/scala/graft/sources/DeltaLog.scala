@@ -46,14 +46,35 @@ object DeltaLog {
 
   private val mapper = new ObjectMapper()
 
+  /** One active `add` action's state: path is table-root-relative;
+    * `stats` is the action's data-skipping JSON (numRecords /
+    * minValues / maxValues / nullCount), absent when the writer
+    * recorded none (foreign logs may omit it — skipping then simply
+    * cannot prune that file).
+    */
+  final case class AddFile(
+      path: String,
+      partitionValues: Map[String, String],
+      size: Long,
+      modificationTime: Long,
+      stats: Option[String])
+
   /** Replayed table state as of one version. `files` are
-    * table-root-relative data file paths (the active `add` set).
+    * table-root-relative data file paths (the active `add` set);
+    * `adds` carries the full per-file action state the skipping and
+    * checkpoint layers consume. `tombstones` are files removed since
+    * version 0 and not re-added (path -> deletionTimestamp) — the
+    * state a checkpoint must carry so readers never need pre-
+    * checkpoint JSON to know a file is dead.
     */
   final case class Snapshot(
       version: Long,
       schema: StructType,
       partitionColumns: Seq[String],
-      files: Seq[String])
+      adds: Seq[AddFile],
+      tombstones: Seq[(String, Long)]) {
+    def files: Seq[String] = adds.map(_.path)
+  }
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
@@ -83,7 +104,12 @@ object DeltaLog {
     var schemaJson: String = _
     var partCols: Seq[String] = Nil
     // insertion-ordered so snapshots list files deterministically
-    val active = scala.collection.mutable.LinkedHashSet[String]()
+    val active = scala.collection.mutable.LinkedHashMap[String, AddFile]()
+    val tombstones = scala.collection.mutable.LinkedHashMap[String, Long]()
+    def applyAdd(a: AddFile): Unit = { active(a.path) = a; tombstones -= a.path }
+    def applyRemove(path: String, ts: Long): Unit = {
+      active -= path; tombstones(path) = ts
+    }
     def applyLine(line: String): Unit = {
       val node = mapper.readTree(line)
       if (node.has("metaData") && !node.get("metaData").isNull) {
@@ -95,10 +121,26 @@ object DeltaLog {
               .elements().asScala.map(_.asText()).toSeq
           else Nil
       }
-      if (node.has("add") && !node.get("add").isNull)
-        active += node.get("add").get("path").asText()
-      if (node.has("remove") && !node.get("remove").isNull)
-        active -= node.get("remove").get("path").asText()
+      if (node.has("add") && !node.get("add").isNull) {
+        val a = node.get("add")
+        val pv =
+          if (a.has("partitionValues") && !a.get("partitionValues").isNull)
+            a.get("partitionValues").fields().asScala
+              .map(e => e.getKey -> e.getValue.asText()).toMap
+          else Map.empty[String, String]
+        applyAdd(AddFile(
+          a.get("path").asText(), pv,
+          if (a.has("size")) a.get("size").asLong() else 0L,
+          if (a.has("modificationTime")) a.get("modificationTime").asLong() else 0L,
+          if (a.has("stats") && !a.get("stats").isNull)
+            Some(a.get("stats").asText()) else None))
+      }
+      if (node.has("remove") && !node.get("remove").isNull) {
+        val r = node.get("remove")
+        applyRemove(r.get("path").asText(),
+          if (r.has("deletionTimestamp")) r.get("deletionTimestamp").asLong()
+          else 0L)
+      }
       // protocol / commitInfo / txn / cdc / anything newer: ignored —
       // forward-compatible tolerance is part of the format contract
     }
@@ -134,7 +176,7 @@ object DeltaLog {
       s"no metaData action found replaying $root up to v$asOf")
     Snapshot(asOf,
       DataType.fromJson(r.schemaJson).asInstanceOf[StructType],
-      r.partCols, r.active.toSeq)
+      r.partCols, r.active.values.toSeq, r.tombstones.toSeq)
   }
 
   /** Time-travel read: the table exactly as of version `v`. The scan
@@ -160,14 +202,148 @@ object DeltaLog {
   def readLatest(spark: SparkSession, root: String): DataFrame =
     readVersion(spark, root, currentVersion(spark, root))
 
+  // ---- data skipping (read side) ------------------------------------
+
+  /** Conjunctive closed range over one top-level column (absent bound
+    * = unbounded). Bounds are plain values: numbers for numeric
+    * columns, "yyyy-MM-dd" for dates, "yyyy-MM-dd[THH:mm:ss[.ffffff]]"
+    * for timestamps, strings otherwise.
+    */
+  final case class ColRange(column: String, lower: Option[Any] = None,
+      upper: Option[Any] = None)
+
+  private def canonTs(s: String): String = {
+    val t = s.stripSuffix("Z")
+    java.time.LocalDateTime.parse(if (t.length == 10) t + "T00:00:00" else t)
+      .format(tsFmt)
+  }
+
+  private def cmpVals(dt: DataType, a: String, b: String): Int = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType =>
+        new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+      case TimestampNTZType | TimestampType => canonTs(a).compareTo(canonTs(b))
+      case _ => a.compareTo(b) // strings and ISO dates order lexically
+    }
+  }
+
+  /** The subset of `snap`'s files whose stats / partitionValues ADMIT
+    * every range. A file is dropped only when its metadata PROVES no
+    * row can match; a file with missing or unparseable stats is kept —
+    * skipping is an optimization layer, never a correctness filter
+    * (foreign logs without stats still read exactly, just unpruned).
+    */
+  def pruneFiles(snap: Snapshot, ranges: Seq[ColRange]): Seq[AddFile] = {
+    val types = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    snap.adds.filter { a =>
+      ranges.forall { rg =>
+        types.get(rg.column).forall { dt =>
+          try {
+            if (snap.partitionColumns.contains(rg.column))
+              a.partitionValues.get(rg.column).forall { v =>
+                rg.lower.forall(lo => cmpVals(dt, v, lo.toString) >= 0) &&
+                rg.upper.forall(hi => cmpVals(dt, v, hi.toString) <= 0)
+              }
+            else a.stats.forall { sj =>
+              val st = mapper.readTree(sj)
+              def bound(section: String): Option[String] =
+                Option(st.get(section)).flatMap(s => Option(s.get(rg.column)))
+                  .map(_.asText())
+              // admit unless max < lower or min > upper
+              bound("maxValues").forall(mx =>
+                rg.lower.forall(lo => cmpVals(dt, mx, lo.toString) >= 0)) &&
+              bound("minValues").forall(mn =>
+                rg.upper.forall(hi => cmpVals(dt, mn, hi.toString) <= 0))
+            }
+          } catch { case _: Exception => true }
+        }
+      }
+    }
+  }
+
+  /** Time-travel read that PLANS ONLY the files `pruneFiles` admits —
+    * the add.stats data-skipping layer real Delta readers run before
+    * any parquet footer is opened. The ranges are re-applied as a
+    * residual row filter (file-grain pruning is necessary, not
+    * sufficient), so the result equals readVersion(...).filter(...)
+    * while opening a subset of its files.
+    */
+  def readVersionPruned(spark: SparkSession, root: String, v: Long,
+      ranges: Seq[ColRange], useCheckpoint: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val snap = snapshotAsOf(spark, root, v, useCheckpoint)
+    val kept = pruneFiles(snap, ranges)
+    val types = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    val base =
+      if (kept.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snap.schema)
+      else {
+        val df = spark.read.schema(snap.schema).option("basePath", root)
+          .parquet(kept.map(a => s"$root/${a.path}"): _*)
+        df.select(snap.schema.fieldNames.map(df.col).toIndexedSeq: _*)
+      }
+    ranges.filter(rg => types.contains(rg.column)).foldLeft(base) { (df, rg) =>
+      val dt = types(rg.column)
+      val lo = rg.lower.map(b => col(rg.column) >= lit(b.toString).cast(dt))
+      val hi = rg.upper.map(b => col(rg.column) <= lit(b.toString).cast(dt))
+      (lo.toSeq ++ hi.toSeq).foldLeft(df)(_.filter(_))
+    }
+  }
+
   // ---- commit (write side) ------------------------------------------
 
-  private def writeAtomic(f: FileSystem, dest: Path, bytes: Array[Byte]): Unit = {
+  /** PUT-IF-ABSENT publish: write a temp file, then rename WITHOUT the
+    * overwrite option — the same primitive Delta's own HDFS log store
+    * publishes commits with. On stores whose rename is atomic-fail-if-
+    * exists (HDFS namenode) a collision surfaces as the rename
+    * throwing; on a raw local FS (POSIX rename overwrites) the
+    * pre-rename existence check plus the read-back verification below
+    * close the race window: a writer only believes it owns version N
+    * after re-reading `dest` and finding ITS OWN bytes there. Returns
+    * false when another writer won — the caller retries at N+1.
+    */
+  private def publishNew(spark: SparkSession, dest: Path,
+      bytes: Array[Byte]): Boolean = {
+    val conf = spark.sessionState.newHadoopConf()
+    val f = dest.getFileSystem(conf)
+    val tmp = new Path(dest.getParent,
+      s".${dest.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    val won =
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(dest.toUri, conf)
+        fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.NONE)
+        // verify-win: on overwriting-rename filesystems both racers'
+        // renames "succeed" — only the one whose bytes landed owns N
+        if (f.getFileStatus(dest).getLen != bytes.length) false
+        else {
+          val in = f.open(dest)
+          val got = try in.readAllBytes() finally in.close()
+          java.util.Arrays.equals(got, bytes)
+        }
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.FileNotFoundException => false
+        case _: java.io.IOException => false
+      }
+    if (f.exists(tmp)) f.delete(tmp, false)
+    won
+  }
+
+  /** Overwriting atomic publish for POINTER files (_last_checkpoint),
+    * where last-writer-wins is the intended semantics.
+    */
+  private def publishOverwrite(spark: SparkSession, dest: Path,
+      bytes: Array[Byte]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val f = dest.getFileSystem(conf)
     val tmp = new Path(dest.getParent, s".${dest.getName}.tmp")
     val out = f.create(tmp, true)
     try out.write(bytes) finally out.close()
-    // the rename IS the publish point (put-if-absent in a multi-writer)
-    require(f.rename(tmp, dest), s"commit rename to $dest failed")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dest.toUri, conf)
+    fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def protocolLine: String = {
@@ -196,7 +372,7 @@ object DeltaLog {
     * %C3%A9) — decoding each byte as its own char would record mojibake
     * in the add action's partitionValues for any non-ASCII value.
     */
-  private def unescape(s: String): String = {
+  private[sources] def unescape(s: String): String = {
     val b = new StringBuilder
     var i = 0
     while (i < s.length) {
@@ -212,7 +388,86 @@ object DeltaLog {
     b.toString
   }
 
-  private def addLine(rel: String, size: Long, ts: Long): String = {
+  // ---- per-file data-skipping stats (written into add.stats) --------
+
+  /** Timestamps are serialized fixed-width so string comparison IS
+    * chronological comparison (micros precision; NTZ wall-clock form).
+    */
+  private val tsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+
+  /** min/max/nullCount per leaf column of one parquet file, read from
+    * the file's FOOTER (row-group statistics) — O(1) metadata IO per
+    * file, no data scan, exactly where a table-format writer gets its
+    * manifest stats. Columns whose physical type carries no usable
+    * stats (e.g. INT96 timestamps) are simply omitted — skipping then
+    * cannot prune on them, which is correct.
+    */
+  private def fileStats(conf: org.apache.hadoop.conf.Configuration,
+      file: Path, schema: StructType): String = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val numRecords = blocks.map(_.getRowCount).sum
+      // accumulate (min, max, nulls, statsComplete) per top-level column
+      val acc = scala.collection.mutable.LinkedHashMap[
+        String, (Any, Any, Long, Boolean)]()
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val colName = c.getPath.toDotString
+        if (byName.contains(colName)) { // nested leaves are skipped
+          val st = c.getStatistics
+          val ok = st != null && st.hasNonNullValue && st.isNumNullsSet
+          val (mn, mx): (Any, Any) =
+            if (ok) (st.genericGetMin, st.genericGetMax) else (null, null)
+          val prev = acc.getOrElse(colName, (null, null, 0L, true))
+          def lt(a: Any, b: Any): Boolean =
+            a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+          acc(colName) = (
+            if (prev._1 == null) mn else if (mn != null && lt(mn, prev._1)) mn else prev._1,
+            if (prev._2 == null) mx else if (mx != null && lt(prev._2, mx)) mx else prev._2,
+            prev._3 + (if (ok) st.getNumNulls else 0L),
+            prev._4 && ok)
+        }
+      }
+      val n = mapper.createObjectNode()
+      n.put("numRecords", numRecords)
+      val minN = n.putObject("minValues"); val maxN = n.putObject("maxValues")
+      val nullN = n.putObject("nullCount")
+      def putVal(o: com.fasterxml.jackson.databind.node.ObjectNode,
+          name: String, dt: org.apache.spark.sql.types.DataType, v: Any): Unit =
+        (dt, v) match {
+          case (org.apache.spark.sql.types.DateType, i: Integer) =>
+            o.put(name, java.time.LocalDate.ofEpochDay(i.longValue()).toString): Unit
+          case (org.apache.spark.sql.types.TimestampNTZType |
+                org.apache.spark.sql.types.TimestampType, l: java.lang.Long) =>
+            o.put(name, java.time.LocalDateTime.ofEpochSecond(
+              Math.floorDiv(l, 1000000L), Math.floorMod(l, 1000000L).toInt * 1000,
+              java.time.ZoneOffset.UTC).format(tsFmt)): Unit
+          case (_, b: Binary) => o.put(name, b.toStringUsingUTF8): Unit
+          case (_, i: Integer) => o.put(name, i.intValue()): Unit
+          case (_, l: java.lang.Long) => o.put(name, l.longValue()): Unit
+          case (_, d: java.lang.Double) => o.put(name, d.doubleValue()): Unit
+          case (_, fl: java.lang.Float) => o.put(name, fl.floatValue()): Unit
+          case (_, bo: java.lang.Boolean) => o.put(name, bo.booleanValue()): Unit
+          case _ => () // unsupported physical type: omit from stats
+        }
+      for ((name, (mn, mx, nulls, complete)) <- acc) {
+        if (complete && mn != null) {
+          putVal(minN, name, byName(name), mn)
+          putVal(maxN, name, byName(name), mx)
+        }
+        if (complete) nullN.put(name, nulls): Unit
+      }
+      mapper.writeValueAsString(n)
+    } finally reader.close()
+  }
+
+  private def addLine(rel: String, size: Long, ts: Long,
+      stats: Option[String]): String = {
     val n = mapper.createObjectNode()
     val a = n.putObject("add")
     a.put("path", rel)
@@ -224,6 +479,7 @@ object DeltaLog {
     a.put("size", size)
     a.put("modificationTime", ts)
     a.put("dataChange", true)
+    stats.foreach(s => a.put("stats", s))
     mapper.writeValueAsString(n)
   }
 
@@ -270,28 +526,66 @@ object DeltaLog {
     moved.toSeq.sortBy(_._1)
   }
 
+  private def commitInfoLine(op: String, txnId: String): String = {
+    val n = mapper.createObjectNode()
+    val c = n.putObject("commitInfo")
+    c.put("operation", op)
+    c.put("txnId", txnId)
+    c.put("engineInfo", "graft/0.1")
+    mapper.writeValueAsString(n)
+  }
+
+  /** OPTIMISTIC-CONCURRENCY commit. Data files are staged once (their
+    * Spark part-file names embed a job UUID, so they never collide
+    * with a concurrent writer's); the log publish then loops: read the
+    * current version, build commit N+1 against that parent, attempt
+    * the put-if-absent publish, and on losing the race re-replay the
+    * WINNER's commit as the new parent and retry at N+2. An overwrite
+    * recomputes its remove set from the fresh parent each attempt, so
+    * it removes exactly the files active at ITS commit point — the
+    * serializable behavior the Delta protocol's conflict rules give
+    * blind appends/overwrites.
+    */
   private def commit(df: DataFrame, root: String, partitionBy: Seq[String],
       overwrite: Boolean): Long = {
     val spark = df.sparkSession
-    val f = fs(spark, root)
-    val parent = currentVersion(spark, root)
-    val v = parent + 1
     val ts = System.currentTimeMillis()
-    val removed: Seq[String] =
-      if (overwrite && parent >= 0)
-        snapshotAsOf(spark, root, parent).files
-      else Nil
     val files = stageDataFiles(df, root, partitionBy)
-    val lines = scala.collection.mutable.Buffer[String]()
-    if (v == 0L) {
-      lines += protocolLine
-      lines += metaDataLine(df.schema, partitionBy)
+    val conf = spark.sessionState.newHadoopConf()
+    val dataCols = df.schema.fields
+      .filterNot(f => partitionBy.contains(f.name))
+    val statsSchema = StructType(dataCols.toIndexedSeq)
+    val adds = files.map { case (rel, sz) =>
+      val stats =
+        try Some(fileStats(conf, new Path(root, rel), statsSchema))
+        catch { case _: Exception => None } // stats are optional metadata
+      addLine(rel, sz, ts, stats)
     }
-    lines ++= removed.map(removeLine(_, ts))
-    lines ++= files.map { case (rel, sz) => addLine(rel, sz, ts) }
-    writeAtomic(f, new Path(logDir(root), commitName(v)),
-      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    v
+    val txnId = java.util.UUID.randomUUID().toString
+    var attempt = 0
+    while (true) {
+      val parent = currentVersion(spark, root)
+      val v = parent + 1
+      val removed: Seq[String] =
+        if (overwrite && parent >= 0)
+          snapshotAsOf(spark, root, parent).files
+        else Nil
+      val lines = scala.collection.mutable.Buffer[String]()
+      lines += commitInfoLine(if (overwrite) "OVERWRITE" else "WRITE", txnId)
+      if (v == 0L) {
+        lines += protocolLine
+        lines += metaDataLine(df.schema, partitionBy)
+      }
+      lines ++= removed.map(removeLine(_, ts))
+      lines ++= adds
+      if (publishNew(spark, new Path(logDir(root), commitName(v)),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8")))
+        return v
+      attempt += 1
+      require(attempt < 50,
+        s"commit to $root lost $attempt consecutive publish races — giving up")
+    }
+    -1L // unreachable
   }
 
   /** Append df as commit N+1 (new add actions only). */
@@ -312,7 +606,12 @@ object DeltaLog {
   import org.apache.spark.sql.types._
 
   /** Delta checkpoint column layout (the nullable action structs the
-    * published format uses; one action per row).
+    * published format uses; one action per row). The add struct
+    * carries partitionValues and stats — the published format requires
+    * them, and without partitionValues a FOREIGN reader consuming our
+    * checkpoint of a partitioned table would lose partition pruning
+    * (our own reader re-infers them from directory names, a foreign
+    * one need not). remove rows are the unexpired tombstones.
     */
   private val checkpointSchema = StructType(Seq(
     StructField("protocol", StructType(Seq(
@@ -326,8 +625,14 @@ object DeltaLog {
       StructField("partitionColumns", ArrayType(StringType))))),
     StructField("add", StructType(Seq(
       StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))),
+    StructField("remove", StructType(Seq(
+      StructField("path", StringType),
+      StructField("deletionTimestamp", LongType),
       StructField("dataChange", BooleanType))))))
 
   /** Compact the state as of the CURRENT version into
@@ -338,13 +643,16 @@ object DeltaLog {
     val v = currentVersion(spark, root)
     require(v >= 0, s"cannot checkpoint $root — no commits")
     val snap = snapshotAsOf(spark, root, v, useCheckpoint = false)
-    val ts = System.currentTimeMillis()
     val rows: Seq[Row] =
-      Row(Row(1, 2), null, null) +:
+      (Row(Row(1, 2), null, null, null) +:
       Row(null,
         Row(java.util.UUID.randomUUID().toString, Row("parquet"),
-          snap.schema.json, snap.partitionColumns), null) +:
-      snap.files.map(rel => Row(null, null, Row(rel, 0L, ts, true)))
+          snap.schema.json, snap.partitionColumns), null, null) +:
+      snap.adds.map(a => Row(null, null,
+        Row(a.path, a.partitionValues, a.size, a.modificationTime, true,
+          a.stats.orNull), null))) ++
+      snap.tombstones.map { case (p, dts) =>
+        Row(null, null, null, Row(p, dts, true)) }
     val f = fs(spark, root)
     // parquet writers emit a directory; the checkpoint is one FILE —
     // write single-part to a temp dir and move the part file in
@@ -366,7 +674,7 @@ object DeltaLog {
     f.delete(dest, false)
     require(f.rename(part, dest), s"checkpoint move to $dest failed")
     f.delete(tmpDir, true)
-    writeAtomic(f, new Path(logDir(root), "_last_checkpoint"),
+    publishOverwrite(spark, new Path(logDir(root), "_last_checkpoint"),
       s"""{"version":$v,"size":${rows.size}}\n""".getBytes("UTF-8"))
     v
   }
@@ -390,14 +698,29 @@ object DeltaLog {
     val p = new Path(logDir(root), f"$v%020d.checkpoint.parquet")
     // the checkpoint is bounded METADATA (one row per active file) —
     // collecting it driver-side is the same cost as listing a manifest
+    // field-tolerant accessor: a checkpoint written by another engine
+    // (or an older one of ours) may carry fewer/more fields per struct
+    def opt[T](row: Row, name: String): Option[T] =
+      if (row != null && row.schema.fieldNames.contains(name) &&
+        !row.isNullAt(row.fieldIndex(name))) Some(row.getAs[T](name))
+      else None
     spark.read.parquet(p.toString).collect().foreach { row =>
-      val md = row.getAs[Row]("metaData")
-      if (md != null) {
+      opt[Row](row, "metaData").foreach { md =>
         r.schemaJson = md.getAs[String]("schemaString")
         r.partCols = md.getAs[scala.collection.Seq[String]]("partitionColumns").toSeq
       }
-      val add = row.getAs[Row]("add")
-      if (add != null) r.active += add.getAs[String]("path")
+      opt[Row](row, "add").foreach { add =>
+        r.applyAdd(AddFile(add.getAs[String]("path"),
+          opt[scala.collection.Map[String, String]](add, "partitionValues")
+            .map(_.toMap).getOrElse(Map.empty),
+          opt[Long](add, "size").getOrElse(0L),
+          opt[Long](add, "modificationTime").getOrElse(0L),
+          opt[String](add, "stats")))
+      }
+      opt[Row](row, "remove").foreach { rem =>
+        r.applyRemove(rem.getAs[String]("path"),
+          opt[Long](rem, "deletionTimestamp").getOrElse(0L))
+      }
     }
   }
 }

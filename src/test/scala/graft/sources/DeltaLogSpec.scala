@@ -137,6 +137,153 @@ class DeltaLogSpec extends SparkSpec {
     assert(v1.files.toSet === rawActiveSet(root, 1))
   }
 
+  test("add.stats data skipping: pruned read opens fewer files, same rows") {
+    val root = freshRoot("delta_skip")
+    val o = Tables.orders(spark, sf)
+    // commit in 4 orderkey slices so each file covers a DISJOINT
+    // o_orderkey range — the shape stats pruning exists for
+    val n = o.count()
+    for (k <- 0 until 4)
+      DeltaLog.commitAppend(
+        o.filter(col("o_orderkey") >= lit(k * n / 4) &&
+          col("o_orderkey") < lit((k + 1) * n / 4)).coalesce(1), root)
+    val v = DeltaLog.currentVersion(spark, root)
+    val snap = DeltaLog.snapshotAsOf(spark, root, v)
+    assert(snap.adds.size === 4)
+    assert(snap.adds.forall(_.stats.isDefined), "every add must carry stats")
+    // stats carry numRecords + min/max for the key column
+    val st = mapper.readTree(snap.adds.head.stats.get)
+    assert(st.get("numRecords").asLong() > 0)
+    assert(st.get("minValues").has("o_orderkey"))
+    assert(st.get("maxValues").has("o_orderkey"))
+
+    // a range inside slice 1 must prune to exactly 1 file
+    val lo = n / 4 + 5; val hi = n / 4 + 50
+    val ranges = Seq(DeltaLog.ColRange("o_orderkey", Some(lo), Some(hi)))
+    assert(DeltaLog.pruneFiles(snap, ranges).size === 1,
+      "disjoint-range files must prune to the single covering file")
+    // and on a STRING column too (statuses overlap, so no pruning —
+    // but an impossible range prunes everything)
+    assert(DeltaLog.pruneFiles(snap,
+      Seq(DeltaLog.ColRange("o_orderstatus", Some("Z"), None))).isEmpty)
+
+    // exactness: pruned read == unpruned read + filter
+    val pruned = DeltaLog.readVersionPruned(spark, root, v, ranges)
+    val full = DeltaLog.readVersion(spark, root, v)
+      .filter(col("o_orderkey").between(lo, hi))
+    assert(pruned.count() === full.count())
+    assert(pruned.agg(sum("o_orderkey")).head.getLong(0) ===
+      full.agg(sum("o_orderkey")).head.getLong(0))
+    // timestamp-typed skipping: a window outside any file's range is empty
+    val tsRanges = Seq(DeltaLog.ColRange("o_orderdate", Some("2030-01-01"), None))
+    assert(DeltaLog.pruneFiles(snap, tsRanges).isEmpty)
+  }
+
+  test("checkpoint of a partitioned table carries partitionValues and tombstones") {
+    val root = freshRoot("delta_cp_part")
+    val o = Tables.orders(spark, sf)
+      .withColumn("o_year", year(col("o_orderdate")))
+    DeltaLog.commitAppend(o.filter(col("o_year") <= 1997), root,
+      partitionBy = Seq("o_year"))
+    DeltaLog.commitAppend(o.filter(col("o_year") > 1997), root,
+      partitionBy = Seq("o_year"))
+    DeltaLog.commitOverwrite(o.filter(col("o_year") === 1995), root,
+      partitionBy = Seq("o_year")) // v2: tombstones for v0+v1's files
+    DeltaLog.writeCheckpoint(spark, root)
+
+    // the checkpoint parquet itself must carry partitionValues on adds
+    // and the removed files as remove tombstones — that is what a
+    // FOREIGN reader of our checkpoint consumes
+    val cpDf = spark.read.parquet(
+      s"$root/_delta_log/${"%020d".format(2)}.checkpoint.parquet")
+    val addRows = cpDf.filter(col("add").isNotNull)
+      .select(col("add.path"), col("add.partitionValues"), col("add.stats"))
+      .collect()
+    assert(addRows.nonEmpty)
+    addRows.foreach { r =>
+      val dirVal = r.getString(0).split('/')(0).split('=')(1)
+      assert(r.getMap[String, String](1).get("o_year").contains(dirVal),
+        "checkpoint add.partitionValues must match the directory value")
+      assert(r.getString(2) != null, "checkpoint add must carry stats")
+    }
+    val tombs = cpDf.filter(col("remove").isNotNull).count()
+    assert(tombs > 0, "checkpoint must carry the overwrite's tombstones")
+
+    // read-through-checkpoint == full replay (files AND schema)
+    val latest = DeltaLog.currentVersion(spark, root)
+    val viaCp = DeltaLog.snapshotAsOf(spark, root, latest, useCheckpoint = true)
+    val full = DeltaLog.snapshotAsOf(spark, root, latest, useCheckpoint = false)
+    assert(viaCp.files.toSet === full.files.toSet)
+    assert(viaCp.tombstones.toMap === full.tombstones.toMap)
+    assert(viaCp.schema === full.schema)
+    assert(DeltaLog.readLatest(spark, root).count() ===
+      o.filter(col("o_year") === 1995).count())
+  }
+
+  test("commit retries past a concurrent writer (injected collision)") {
+    val root = freshRoot("delta_race1")
+    val o = Tables.orders(spark, sf).limit(200)
+    DeltaLog.commitAppend(o, root) // v0
+    // simulate a concurrent winner: v1 already exists when we commit
+    val foreign = new java.io.File(s"$root/_delta_log/${"%020d".format(1)}.json")
+    val w = new java.io.FileWriter(foreign)
+    try w.write("""{"commitInfo":{"operation":"WRITE","engineInfo":"rival"}}""" + "\n")
+    finally w.close()
+    val v = DeltaLog.commitAppend(o, root)
+    assert(v === 2L, "commit must detect the occupied version and land at N+1")
+    assert(DeltaLog.readVersion(spark, root, 2).count() === 2 * o.count())
+  }
+
+  test("two concurrent commitAppend writers both land, as consecutive versions") {
+    val root = freshRoot("delta_race2")
+    val o = Tables.orders(spark, sf).filter(col("o_orderkey") < 600)
+    DeltaLog.commitAppend(o.filter(col("o_orderkey") < 100), root) // v0
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fa = Future(DeltaLog.commitAppend(o.filter(col("o_orderkey") % 2 === 0), root))
+    val fb = Future(DeltaLog.commitAppend(o.filter(col("o_orderkey") % 2 === 1), root))
+    val va = Await.result(fa, 120.seconds)
+    val vb = Await.result(fb, 120.seconds)
+    assert(Set(va, vb) === Set(1L, 2L),
+      s"both writers must land as consecutive versions, got ($va, $vb)")
+    val expected = o.filter(col("o_orderkey") < 100).count() + o.count()
+    assert(DeltaLog.readLatest(spark, root).count() === expected,
+      "no commit may be lost: both racers' rows must be present")
+  }
+
+  test("%XX partition-value unescaping decodes UTF-8 byte sequences") {
+    // multi-byte escapes (a foreign writer escaping non-ASCII) must
+    // decode as ONE UTF-8 sequence, not per-byte chars (mojibake)
+    assert(DeltaLog.unescape("caf%C3%A9") === "café")
+    assert(DeltaLog.unescape("%E2%82%AC99") === "€99")
+    // single-byte escapes and literals unchanged
+    assert(DeltaLog.unescape("a%3Ab%25c") === "a:b%c")
+    assert(DeltaLog.unescape("plain") === "plain")
+    // and the full write path round-trips Spark-escaped special chars
+    // (the container's JVM cannot create non-ASCII paths, so the
+    // on-disk case exercises ASCII escapes; the decoder above covers
+    // the multi-byte form a foreign log would carry)
+    val root = freshRoot("delta_esc")
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("a:b c", 1L),
+        org.apache.spark.sql.Row("a:b c", 2L),
+        org.apache.spark.sql.Row("plain", 3L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("city",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType))))
+    DeltaLog.commitAppend(df, root, partitionBy = Seq("city"))
+    val snap = DeltaLog.snapshotAsOf(spark, root, 0)
+    val vals = snap.adds.flatMap(_.partitionValues.get("city")).toSet
+    assert(vals === Set("a:b c", "plain"),
+      s"partitionValues must decode the writer's %XX escapes, got $vals")
+    assert(DeltaLog.readLatest(spark, root)
+      .filter(col("city") === "a:b c").count() === 2)
+  }
+
   test("schema round-trips through schemaString") {
     val root = freshRoot("delta_schema")
     val o = Tables.orders(spark, sf).limit(10)
