@@ -2,12 +2,12 @@ package graft.sources
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.avro.Schema
-import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableByteArrayInput}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types._
 
-import java.io.File
 import scala.jdk.CollectionConverters._
 
 /** Iceberg-format table metadata at the FORMAT level: JSON table
@@ -19,11 +19,15 @@ import scala.jdk.CollectionConverters._
   *   data/s<N>/...parquet            immutable files of snapshot N
   *   metadata/v<N>.metadata.json     table metadata (schema as the
   *                                   spec's {"type":"struct", fields
-  *                                   with ids} JSON; snapshot log)
+  *                                   with ids} JSON; snapshot log;
+  *                                   schemas array accumulates — each
+  *                                   snapshot records its schema-id)
   *   metadata/snap-<id>.avro         manifest LIST: one record per
   *                                   manifest file in the snapshot
   *   metadata/manifest-<id>.avro     manifest: one record per data
-  *                                   file (status + path + counts)
+  *                                   file (status + path + counts;
+  *                                   status=2 DELETED records an
+  *                                   overwrite's removed files)
   *   metadata/version-hint.text      pointer to the latest metadata
   *
   * The scale property is Iceberg's own: planning reads manifests
@@ -31,10 +35,15 @@ import scala.jdk.CollectionConverters._
   * writes one new manifest and REUSES the parent's manifest files in
   * its manifest list, so commit cost is O(new files) regardless of
   * table size, and time travel = reading an older snapshot's list.
+  * An overwrite writes a DELETE manifest (status=2 tombstones for the
+  * replaced files — the history record) plus an ADD manifest, without
+  * reusing parent manifests; older snapshots keep reading their own
+  * lists untouched.
   *
-  * Like [[Avro]], metadata avro IO is driver-side `java.io.File`
-  * streaming — manifests are small bounded metadata, the same cost
-  * class as every manifest list in this repo.
+  * All metadata IO goes through the Hadoop FileSystem API (manifests
+  * are read fully into memory — bounded metadata, the same cost class
+  * as every manifest list in this repo), so the chain works on any
+  * Hadoop-addressable store, not just the local FS.
   */
 object IcebergLite {
 
@@ -93,9 +102,9 @@ object IcebergLite {
   }
 
   /** The spec's schema JSON: struct fields carry ids + required. */
-  private def schemaJson(schema: StructType): com.fasterxml.jackson.databind.node.ObjectNode = {
+  private def schemaJson(schema: StructType, schemaId: Int): com.fasterxml.jackson.databind.node.ObjectNode = {
     val n = mapper.createObjectNode()
-    n.put("type", "struct"); n.put("schema-id", 0)
+    n.put("type", "struct"); n.put("schema-id", schemaId)
     val fields = n.putArray("fields")
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       val fn = fields.addObject()
@@ -113,99 +122,159 @@ object IcebergLite {
         nullable = !f.get("required").asBoolean())
     }.toSeq)
 
-  // ---- avro metadata IO (driver-side, bounded) -----------------------
+  // ---- Hadoop-FS metadata IO (driver-side, bounded) ------------------
 
-  private def writeAvro(path: File, schema: Schema,
-      recs: Seq[GenericRecord]): Long = {
-    val w = new DataFileWriter[GenericRecord](
-      new GenericDatumWriter[GenericRecord](schema))
-    w.create(schema, path)
-    try recs.foreach(w.append) finally w.close()
-    path.length()
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def readBytes(f: FileSystem, p: Path): Array[Byte] = {
+    val in = f.open(p)
+    try in.readAllBytes() finally in.close()
   }
 
-  private def readAvro(path: File): Seq[GenericRecord] = {
+  /** tmp-write + rename publish (the repo's atomic-publish idiom). */
+  private def writeBytes(f: FileSystem, p: Path, bytes: Array[Byte]): Unit = {
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    f.delete(p, false)
+    require(f.rename(tmp, p), s"metadata publish failed: $p")
+  }
+
+  private def writeAvro(f: FileSystem, path: Path, schema: Schema,
+      recs: Seq[GenericRecord]): Long = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, buf)
+    try recs.foreach(w.append) finally w.close()
+    val bytes = buf.toByteArray
+    writeBytes(f, path, bytes)
+    bytes.length.toLong
+  }
+
+  private def readAvro(f: FileSystem, path: Path): Seq[GenericRecord] = {
+    val in = new SeekableByteArrayInput(readBytes(f, path))
     val r = new DataFileReader[GenericRecord](
-      path, new GenericDatumReader[GenericRecord]())
+      in, new GenericDatumReader[GenericRecord]())
     try r.iterator().asScala.toList finally r.close()
   }
 
   // ---- table state ---------------------------------------------------
 
-  private def metaDir(root: String) = new File(root, "metadata")
+  private def metaDir(root: String) = new Path(root, "metadata")
 
   /** Latest metadata version per version-hint.text, -1 if none. */
-  def currentMetaVersion(root: String): Int = {
-    val hint = new File(metaDir(root), "version-hint.text")
-    if (!hint.exists()) -1
-    else {
-      val src = scala.io.Source.fromFile(hint, "UTF-8")
-      try src.mkString.trim.toInt finally src.close()
-    }
+  def currentMetaVersion(spark: SparkSession, root: String): Int = {
+    val f = fs(spark, root)
+    val hint = new Path(metaDir(root), "version-hint.text")
+    if (!f.exists(hint)) -1
+    else new String(readBytes(f, hint), "UTF-8").trim.toInt
   }
 
-  private def readMeta(root: String, v: Int) = {
-    val src = scala.io.Source.fromFile(
-      new File(metaDir(root), s"v$v.metadata.json"), "UTF-8")
-    try mapper.readTree(src.mkString) finally src.close()
+  private def readMeta(spark: SparkSession, root: String, v: Int) =
+    mapper.readTree(new String(readBytes(fs(spark, root),
+      new Path(metaDir(root), s"v$v.metadata.json")), "UTF-8"))
+
+  private final case class ManifestRef(path: String, length: Long, added: Int)
+
+  private def listManifests(spark: SparkSession, root: String,
+      meta: com.fasterxml.jackson.databind.JsonNode,
+      snapshotId: Long): Seq[ManifestRef] = {
+    val snap = meta.get("snapshots").elements().asScala.toSeq
+      .find(_.get("snapshot-id").asLong() == snapshotId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $snapshotId not in $root's snapshot log"))
+    readAvro(fs(spark, root), new Path(root, snap.get("manifest-list").asText()))
+      .map { r =>
+        ManifestRef(r.get("manifest_path").toString,
+          r.get("manifest_length").asInstanceOf[Long],
+          r.get("added_files_count").asInstanceOf[Int])
+      }
   }
 
-  /** Append df as a new snapshot; returns the new snapshot id.
-    * Commit = data files + ONE new manifest + a manifest list that
-    * reuses the parent's manifests + one metadata JSON + hint flip.
+  private def manifestRecord(status: Int, relPath: String, size: Long): GenericRecord = {
+    val e = new GenericData.Record(manifestSchema)
+    e.put("status", status)
+    val d = new GenericData.Record(manifestSchema.getField("data_file").schema())
+    d.put("file_path", relPath)
+    d.put("file_format", "PARQUET")
+    d.put("record_count", -1L) // stats optional in this subset
+    d.put("file_size_in_bytes", size)
+    e.put("data_file", d)
+    e
+  }
+
+  /** Shared commit machinery. `reuseParentManifests` is the append
+    * path (commit cost ∝ new files); the overwrite path instead writes
+    * a status=2 DELETE manifest for the parent's live files and does
+    * NOT carry parent manifests forward.
     */
-  def commitAppend(df: DataFrame, root: String): Long = {
-    val parentV = currentMetaVersion(root)
+  private def commit(df: DataFrame, root: String, overwrite: Boolean): Long = {
+    val spark = df.sparkSession
+    val f = fs(spark, root)
+    val parentV = currentMetaVersion(spark, root)
     val v = parentV + 1
     val snapId = v + 1L // deterministic, monotone
-    metaDir(root).mkdirs()
+    f.mkdirs(metaDir(root))
 
     val dataDir = s"data/s$v"
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$dataDir")
-    val dataFiles = Option(new File(root, dataDir).listFiles())
-      .getOrElse(Array.empty[File])
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val dataFiles = f.listStatus(new Path(root, dataDir)).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
 
-    // one manifest for this snapshot's added files
+    // one ADDED manifest for this snapshot's files
     val manifestName = s"manifest-$snapId.avro"
-    writeAvro(new File(metaDir(root), manifestName), manifestSchema,
-      dataFiles.toSeq.map { f =>
-        val e = new GenericData.Record(manifestSchema)
-        e.put("status", 1) // ADDED
-        val d = new GenericData.Record(
-          manifestSchema.getField("data_file").schema())
-        d.put("file_path", s"$dataDir/${f.getName}")
-        d.put("file_format", "PARQUET")
-        d.put("record_count", -1L) // stats optional in this subset
-        d.put("file_size_in_bytes", f.length())
-        e.put("data_file", d)
-        e
+    val manifestLen = writeAvro(f, new Path(metaDir(root), manifestName),
+      manifestSchema,
+      dataFiles.map(st => manifestRecord(1,
+        s"$dataDir/${st.getPath.getName}", st.getLen)))
+
+    val parentMeta = if (parentV < 0) None else Some(readMeta(spark, root, parentV))
+
+    // manifest list: append REUSES parent manifests; overwrite replaces
+    // them with one status=2 DELETE manifest recording the removal
+    val carried: Seq[ManifestRef] = parentMeta match {
+      case None => Nil
+      case Some(pm) =>
+        val parentSnap = pm.get("current-snapshot-id").asLong()
+        if (!overwrite) listManifests(spark, root, pm, parentSnap)
+        else {
+          val live = snapshotFilesOf(spark, root, pm, parentSnap)
+          val delName = s"manifest-$snapId-deletes.avro"
+          val delLen = writeAvro(f, new Path(metaDir(root), delName),
+            manifestSchema,
+            live.map { case (p, sz) => manifestRecord(2, p, sz) })
+          Seq(ManifestRef(s"metadata/$delName", delLen, 0))
+        }
+    }
+    val listName = s"snap-$snapId.avro"
+    val entries = carried :+
+      ManifestRef(s"metadata/$manifestName", manifestLen, dataFiles.length)
+    writeAvro(f, new Path(metaDir(root), listName), manifestListSchema,
+      entries.map { m =>
+        val r = new GenericData.Record(manifestListSchema)
+        r.put("manifest_path", m.path); r.put("manifest_length", m.length)
+        r.put("added_files_count", m.added); r
       })
 
-    // manifest list = parent's manifests + the new one (reuse, no copy)
-    val parentManifests: Seq[(String, Long, Int)] =
-      if (parentV < 0) Nil
-      else {
-        val pm = readMeta(root, parentV)
-        val listPath = pm.get("snapshots").elements().asScala.toSeq
-          .find(_.get("snapshot-id").asLong() == pm.get("current-snapshot-id").asLong())
-          .get.get("manifest-list").asText()
-        readAvro(new File(root, listPath)).map { r =>
-          (r.get("manifest_path").toString,
-            r.get("manifest_length").asInstanceOf[Long],
-            r.get("added_files_count").asInstanceOf[Int])
-        }
+    // schemas accumulate: reuse the id of an equal prior schema, else
+    // append with the next id — each snapshot records ITS schema-id,
+    // so time travel across a schema change reads each snapshot with
+    // the schema it was written under
+    val priorSchemas: Seq[(Int, StructType, com.fasterxml.jackson.databind.JsonNode)] =
+      parentMeta.map(_.get("schemas").elements().asScala.toSeq.map { s =>
+        (s.get("schema-id").asInt(), parseSchema(s), s)
+      }).getOrElse(Nil)
+    val (schemaId, schemasOut) =
+      priorSchemas.find(_._2 == df.schema) match {
+        case Some((id, _, _)) => (id, priorSchemas.map(_._3))
+        case None =>
+          val id = priorSchemas.map(_._1).maxOption.getOrElse(-1) + 1
+          (id, priorSchemas.map(_._3) :+
+            (schemaJson(df.schema, id): com.fasterxml.jackson.databind.JsonNode))
       }
-    val listName = s"snap-$snapId.avro"
-    val entries = parentManifests :+
-      ((s"metadata/$manifestName",
-        new File(metaDir(root), manifestName).length(), dataFiles.length))
-    writeAvro(new File(metaDir(root), listName), manifestListSchema,
-      entries.map { case (p, len, n) =>
-        val r = new GenericData.Record(manifestListSchema)
-        r.put("manifest_path", p); r.put("manifest_length", len)
-        r.put("added_files_count", n); r
-      })
 
     // metadata json: snapshot log accumulates, current flips
     val meta = mapper.createObjectNode()
@@ -213,68 +282,103 @@ object IcebergLite {
     meta.put("table-uuid", java.util.UUID.nameUUIDFromBytes(
       root.getBytes("UTF-8")).toString)
     meta.put("location", root)
-    meta.put("current-schema-id", 0)
-    meta.putArray("schemas").add(schemaJson(df.schema))
+    meta.put("current-schema-id", schemaId)
+    val schemasArr = meta.putArray("schemas")
+    schemasOut.foreach(schemasArr.add)
     meta.put("current-snapshot-id", snapId)
     val snaps = meta.putArray("snapshots")
-    if (parentV >= 0)
-      readMeta(root, parentV).get("snapshots").elements().asScala
-        .foreach(s => snaps.add(s))
+    parentMeta.foreach(_.get("snapshots").elements().asScala
+      .foreach(s => snaps.add(s)))
     val sn = snaps.addObject()
     sn.put("snapshot-id", snapId)
     sn.put("sequence-number", v + 1L)
     sn.put("timestamp-ms", System.currentTimeMillis())
     sn.put("manifest-list", s"metadata/$listName")
+    sn.put("schema-id", schemaId)
+    sn.put("operation", if (overwrite) "overwrite" else "append")
 
-    val metaFile = new File(metaDir(root), s"v$v.metadata.json")
-    val tmp = new File(metaDir(root), s".v$v.metadata.json.tmp")
-    val out = new java.io.FileOutputStream(tmp)
-    try out.write(mapper.writerWithDefaultPrettyPrinter()
-      .writeValueAsBytes(meta))
-    finally out.close()
-    require(tmp.renameTo(metaFile), s"metadata publish failed: $metaFile")
+    writeBytes(f, new Path(metaDir(root), s"v$v.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
     // hint flip = the commit point for HadoopTables readers
-    val hintTmp = new File(metaDir(root), ".version-hint.tmp")
-    val ho = new java.io.FileOutputStream(hintTmp)
-    try ho.write(s"$v".getBytes("UTF-8")) finally ho.close()
-    hintTmp.renameTo(new File(metaDir(root), "version-hint.text"))
+    writeBytes(f, new Path(metaDir(root), "version-hint.text"),
+      s"$v".getBytes("UTF-8"))
     snapId
+  }
+
+  /** Append df as a new snapshot; returns the new snapshot id.
+    * Commit = data files + ONE new manifest + a manifest list that
+    * reuses the parent's manifests + one metadata JSON + hint flip.
+    */
+  def commitAppend(df: DataFrame, root: String): Long =
+    commit(df, root, overwrite = false)
+
+  /** Replace the table content with df. The new snapshot's manifest
+    * list = one status=2 DELETE manifest tombstoning every file live
+    * in the parent + one ADDED manifest for df's files. Nothing is
+    * physically deleted: older snapshots' manifest lists are untouched
+    * and keep time-traveling to the replaced data.
+    */
+  def commitOverwrite(df: DataFrame, root: String): Long =
+    commit(df, root, overwrite = true)
+
+  /** (path, size) of a snapshot's live files via its manifest chain. */
+  private def snapshotFilesOf(spark: SparkSession, root: String,
+      meta: com.fasterxml.jackson.databind.JsonNode,
+      snapshotId: Long): Seq[(String, Long)] = {
+    val f = fs(spark, root)
+    listManifests(spark, root, meta, snapshotId).flatMap { m =>
+      readAvro(f, new Path(root, m.path))
+        .filter(_.get("status").asInstanceOf[Int] != 2) // DELETED
+        .map { e =>
+          val d = e.get("data_file").asInstanceOf[GenericRecord]
+          (d.get("file_path").toString,
+            d.get("file_size_in_bytes").asInstanceOf[Long])
+        }
+    }
   }
 
   /** Data file paths (root-relative) of a snapshot, via its manifest
     * list -> manifest chain. Excludes DELETED (status=2) entries.
     */
-  def snapshotFiles(root: String, snapshotId: Long): Seq[String] = {
-    val meta = readMeta(root, currentMetaVersion(root))
+  def snapshotFiles(spark: SparkSession, root: String,
+      snapshotId: Long): Seq[String] =
+    snapshotFilesOf(spark, root,
+      readMeta(spark, root, currentMetaVersion(spark, root)), snapshotId)
+      .map(_._1)
+
+  /** Read the table as of `snapshotId` (time travel), using the SCHEMA
+    * THAT SNAPSHOT WAS WRITTEN UNDER (its schema-id into the schemas
+    * array) — a schema change between commits must not misread older
+    * snapshots. Snapshots from writers that recorded no schema-id fall
+    * back to the current schema.
+    */
+  def readSnapshot(spark: SparkSession, root: String,
+      snapshotId: Long): DataFrame = {
+    val meta = readMeta(spark, root, currentMetaVersion(spark, root))
     val snap = meta.get("snapshots").elements().asScala.toSeq
       .find(_.get("snapshot-id").asLong() == snapshotId)
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $snapshotId not in $root's snapshot log"))
-    val listPath = snap.get("manifest-list").asText()
-    readAvro(new File(root, listPath)).flatMap { m =>
-      readAvro(new File(root, m.get("manifest_path").toString))
-        .filter(_.get("status").asInstanceOf[Int] != 2)
-        .map(_.get("data_file").asInstanceOf[GenericRecord]
-          .get("file_path").toString)
-    }
+    val schemaId =
+      if (snap.has("schema-id")) snap.get("schema-id").asInt()
+      else meta.get("current-schema-id").asInt()
+    val schemaNode = meta.get("schemas").elements().asScala.toSeq
+      .find(_.get("schema-id").asInt() == schemaId)
+      .getOrElse(throw new IllegalStateException(
+        s"schema-id $schemaId of snapshot $snapshotId missing from " +
+          s"the schemas array — metadata is corrupt"))
+    val schema = parseSchema(schemaNode)
+    val files = snapshotFiles(spark, root, snapshotId).map(p => s"$root/$p")
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files: _*)
   }
 
-  /** Read the table as of `snapshotId` (time travel), with the schema
-    * parsed back from the metadata JSON's Iceberg schema.
-    */
-  def readSnapshot(spark: SparkSession, root: String,
-      snapshotId: Long): DataFrame = {
-    val meta = readMeta(root, currentMetaVersion(root))
-    val schema = parseSchema(
-      meta.get("schemas").elements().asScala.next())
-    val files = snapshotFiles(root, snapshotId).map(p => s"$root/$p")
-    spark.read.schema(schema).parquet(files: _*)
-  }
-
-  def currentSnapshotId(root: String): Long =
-    readMeta(root, currentMetaVersion(root))
+  def currentSnapshotId(spark: SparkSession, root: String): Long =
+    readMeta(spark, root, currentMetaVersion(spark, root))
       .get("current-snapshot-id").asLong()
 
   def readLatest(spark: SparkSession, root: String): DataFrame =
-    readSnapshot(spark, root, currentSnapshotId(root))
+    readSnapshot(spark, root, currentSnapshotId(spark, root))
 }

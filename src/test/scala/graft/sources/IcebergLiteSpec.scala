@@ -25,8 +25,8 @@ class IcebergLiteSpec extends SparkSpec {
     val snap1 = IcebergLite.commitAppend(a, root)
     val snap2 = IcebergLite.commitAppend(b, root)
 
-    val files1 = IcebergLite.snapshotFiles(root, snap1).toSet
-    val files2 = IcebergLite.snapshotFiles(root, snap2).toSet
+    val files1 = IcebergLite.snapshotFiles(spark, root, snap1).toSet
+    val files2 = IcebergLite.snapshotFiles(spark, root, snap2).toSet
     assert(files1.nonEmpty && files1.subsetOf(files2),
       "snapshot 2 must reuse snapshot 1's data files (append semantics)")
     assert(files1.forall(_.startsWith("data/s0/")))
@@ -37,7 +37,7 @@ class IcebergLiteSpec extends SparkSpec {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def listFor(snapId: Long): Set[String] = {
       val src = scala.io.Source.fromFile(
-        s"$root/metadata/v${IcebergLite.currentMetaVersion(root)}.metadata.json", "UTF-8")
+        s"$root/metadata/v${IcebergLite.currentMetaVersion(spark, root)}.metadata.json", "UTF-8")
       val meta = try mapper.readTree(src.mkString) finally src.close()
       import scala.jdk.CollectionConverters._
       val listPath = meta.get("snapshots").elements().asScala.toSeq
@@ -57,6 +57,77 @@ class IcebergLiteSpec extends SparkSpec {
     // time travel reads exactly each snapshot's rows
     assert(IcebergLite.readSnapshot(spark, root, snap1).count() === a.count())
     assert(IcebergLite.readSnapshot(spark, root, snap2).count() === o.count())
+  }
+
+  test("commitOverwrite tombstones the parent's files (status=2) and keeps history readable") {
+    val root = freshRoot("iceberg_ow")
+    val o = Tables.orders(spark, sf)
+    val a = o.filter(col("o_orderkey") % 3 === 0)
+    val b = o.filter(col("o_orderkey") % 3 === 1)
+    val c = o.filter(col("o_orderkey") % 3 === 2)
+    val snap1 = IcebergLite.commitAppend(a, root)
+    val snap2 = IcebergLite.commitAppend(b, root)
+    val snap3 = IcebergLite.commitOverwrite(c, root)
+
+    // live set of the overwrite snapshot = ONLY c's files
+    val files3 = IcebergLite.snapshotFiles(spark, root, snap3).toSet
+    assert(files3.nonEmpty && files3.forall(_.startsWith("data/s2/")),
+      s"overwrite's live set must be only the new files: $files3")
+    // history intact: older snapshots still read their own data
+    assert(IcebergLite.readSnapshot(spark, root, snap1).count() === a.count())
+    assert(IcebergLite.readSnapshot(spark, root, snap2).count() === a.count() + b.count())
+    assert(IcebergLite.readSnapshot(spark, root, snap3).count() === c.count())
+    assert(IcebergLite.readLatest(spark, root).count() === c.count())
+
+    // the delete manifest exists and tombstones exactly the parent's
+    // live files as status=2 entries
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val delManifest = f.listStatus(new org.apache.hadoop.fs.Path(root, "metadata"))
+      .map(_.getPath.getName).find(_.endsWith("-deletes.avro"))
+    assert(delManifest.isDefined, "overwrite must write a delete manifest")
+    val r = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      new java.io.File(s"$root/metadata/${delManifest.get}"),
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    import scala.jdk.CollectionConverters._
+    val tombstoned =
+      try r.iterator().asScala.map { e =>
+        assert(e.get("status").asInstanceOf[Int] === 2)
+        e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+          .get("file_path").toString
+      }.toSet
+      finally r.close()
+    assert(tombstoned === IcebergLite.snapshotFiles(spark, root, snap2).toSet,
+      "delete manifest must tombstone exactly the parent's live files")
+  }
+
+  test("time travel across a schema change reads each snapshot with its own schema") {
+    val root = freshRoot("iceberg_schemaevo")
+    val o = Tables.orders(spark, sf).limit(50)
+    val v1 = o.select(col("o_orderkey"), col("o_totalprice"))
+    val v2 = o.select(col("o_orderkey"), col("o_totalprice"),
+      col("o_orderstatus")) // schema WIDENS between commits
+    val snap1 = IcebergLite.commitAppend(v1, root)
+    val snap2 = IcebergLite.commitAppend(v2, root)
+
+    val r1 = IcebergLite.readSnapshot(spark, root, snap1)
+    assert(r1.schema.fieldNames.toSeq === Seq("o_orderkey", "o_totalprice"),
+      "older snapshot must read under the schema it was WRITTEN with")
+    assert(r1.count() === 50)
+    val r2 = IcebergLite.readSnapshot(spark, root, snap2)
+    assert(r2.schema.fieldNames.toSeq ===
+      Seq("o_orderkey", "o_totalprice", "o_orderstatus"))
+    assert(r2.count() === 100)
+    // both schemas live in the schemas array with distinct ids
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val src = scala.io.Source.fromFile(
+      s"$root/metadata/v${IcebergLite.currentMetaVersion(spark, root)}.metadata.json", "UTF-8")
+    val meta = try mapper.readTree(src.mkString) finally src.close()
+    import scala.jdk.CollectionConverters._
+    val ids = meta.get("schemas").elements().asScala
+      .map(_.get("schema-id").asInt()).toSeq
+    assert(ids.distinct.size === 2,
+      s"schemas array must accumulate both schemas, got ids $ids")
   }
 
   test("Iceberg schema JSON round-trips to the Spark schema") {
