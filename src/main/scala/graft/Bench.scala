@@ -97,8 +97,50 @@ object Bench {
     val failed = results.collect { case (k, None) => s""""$k"""" }
       .mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    def line(queries: Seq[(String, Double)]) =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${dict(queries)},"failed":$failed,"n_queries":${ok.size},"env":$env,"sf":"$sfDir"}"""
+    spark.stop()
+    // SPARK_GRAFT_SOLO=N: re-measure the N slowest queries, each in a
+    // FRESH JVM with this JVM's exact flags. A full-suite pass shares
+    // memory/code-cache/page-cache with 250 neighbors; when a query
+    // regresses, the (suite, solo) pair makes attribution mechanical —
+    // a big suite/solo gap says "neighbor pressure", matching solo
+    // times say "the operator itself" (the r7 ladder burned hours
+    // attributing a 6x q_bucketed_join inflation by hand).
+    val soloKvs = sys.env.get("SPARK_GRAFT_SOLO").map(_.trim.toInt)
+      .filter(_ > 0).toSeq.flatMap { n =>
+        import scala.jdk.CollectionConverters._
+        val javaBin = java.nio.file.Paths
+          .get(System.getProperty("java.home"), "bin", "java").toString
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments.asScala.toSeq
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        ok.sortBy(-_._2).take(n).flatMap { case (name, suiteT) =>
+          val tmp = java.nio.file.Files.createTempFile("graft_solo_", ".json")
+          val cmd = (Seq(javaBin) ++ jvmArgs ++
+            Seq("-cp", System.getProperty("java.class.path"),
+              "graft.Bench", tmp.toString, name)).asJava
+          val pb = new ProcessBuilder(cmd)
+          pb.environment().remove("SPARK_GRAFT_SOLO") // no recursion
+          pb.redirectErrorStream(true)
+          pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+          val exit = pb.start().waitFor()
+          val soloT =
+            try {
+              val node = mapper.readTree(tmp.toFile).get("queries").get(name)
+              if (exit == 0 && node != null) Some(node.asDouble) else None
+            } catch { case _: Exception => None }
+            finally { java.nio.file.Files.deleteIfExists(tmp); () }
+          System.err.println(f"[bench solo] $name suite=$suiteT%.2fs " +
+            s"solo=${soloT.fold("FAILED")(t => f"$t%.2fs")}")
+          soloT.map(t => name -> (suiteT, t))
+        }
+      }
+    val soloJson =
+      if (soloKvs.isEmpty) ""
+      else soloKvs.map { case (k, (s, v)) =>
+        f""""$k":{"suite":$s%.3f,"solo":$v%.3f}"""
+      }.mkString(""","solo":{""", ",", "}")
+    def line(queries: Seq[(String, Double)], extra: String) =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${dict(queries)},"failed":$failed,"n_queries":${ok.size},"env":$env$extra,"sf":"$sfDir"}"""
     // Full per-query timings go to a file (argv(0) or ./bench_out.json).
     // The driver reads only the LAST ~2000 chars of this process's
     // stdout and sbt appends "[success] ..." chatter after us, so the
@@ -107,8 +149,7 @@ object Bench {
     // grows with every registry addition).
     val outFile = args.headOption.getOrElse("bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
-      line(ok.sortBy(_._1)) + "\n")
-    spark.stop()
-    println(line(ok.sortBy(-_._2).take(20).sortBy(_._1)))
+      line(ok.sortBy(_._1), soloJson) + "\n")
+    println(line(ok.sortBy(-_._2).take(20).sortBy(_._1), ""))
   }
 }
