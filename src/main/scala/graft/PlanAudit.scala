@@ -89,17 +89,21 @@ object PlanAudit {
     ("txt_unigram_logprob",
       "The Zipf-skew-proof vocabulary join: head tokens (top-1024 words — the Zipf mass) join via BroadcastHashJoin with NO shuffle; the tail path is a broadcast LeftAnti (cheap head exclusion) followed by a shuffle join whose every key has frequency <= the head minimum, so no task can be hot. The fixed sf1 cliff: a single shuffle join here funnels the top word's tokens through one task however many executors exist.",
       reg("txt_unigram_logprob")),
+    // ---- round-8 additions ----
+    ("src_delta_skipping",
+      "The add.stats data-skipping read: file pruning happens at the METADATA level (driver-side stats-range tests against the replayed add actions), so the plan contains a plain FileScan whose input is ONLY the admitted file subset — no filter-over-all-files shape, no indirection node. The residual range predicate still appears in PushedFilters on that scan (file-grain pruning is necessary, not sufficient), and the aggregate above it is the standard partial/final pair. At 100 TB: planning cost ∝ active-file count, scan cost ∝ admitted files only.",
+      reg("src_delta_skipping")),
     ("graph_pagerank (superstep)",
       "The per-iteration unit cost of distributed PageRank: the ranks side enters the contribution join via BroadcastExchange (node-count rows), so the edge index is NEVER shuffled per superstep — the only per-step shuffle Exchange is the dst-keyed contribution aggregation with a partial sum before it. (The left-leg edge-index build with its own Exchanges appears in this audit plan only because the plan is un-persisted; the operator builds eDeg once, loop-invariant, and persists it.) The full operator runs this plan once per superstep behind an eager per-step checkpoint.",
       (s, d) => graft.operators.Graph.pageRankSuperstepPlan(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val out = args.drop(1).headOption.getOrElse("PLAN_AUDIT_r7.md")
+    val out = args.drop(1).headOption.getOrElse("PLAN_AUDIT_r8.md")
     val spark = Session.local(4)
     spark.sparkContext.setLogLevel("ERROR")
     val sb = new StringBuilder
-    sb.append("# Plan audit — scale-critical operators (round 7)\n\n")
+    sb.append("# Plan audit — scale-critical operators (round 8)\n\n")
     sb.append("Generated by `runMain graft.PlanAudit` at sf=" + sfDir +
       ". Each section states the property the plan must exhibit for the\n" +
       "operator to hold up at 100 TB, followed by the actual\n" +

@@ -29,10 +29,13 @@ object GenData {
     pmod(xxhash64(id, lit(salt), lit(seed)), lit(n))
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: GenData <sf> <outDir> [embDim]")
+    require(args.length >= 2,
+      "usage: GenData <sf> <outDir> [embDim] [table,table,...]")
     val sf = args(0).toDouble
     val out = args(1)
     val embDim = if (args.length >= 3) args(2).toInt else 64
+    val tables = if (args.length >= 4)
+      Some(args(3).split(',').map(_.trim).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -41,7 +44,7 @@ object GenData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, sf, out, embDim = embDim)
+    generate(spark, sf, out, embDim = embDim, tables = tables)
     spark.stop()
   }
 
@@ -63,7 +66,8 @@ object GenData {
     * the way real corpora dedup.
     */
   def generate(spark: SparkSession, sf: Double, out: String,
-      seed: Long = 0L, embDim: Int = 64): Unit = {
+      seed: Long = 0L, embDim: Int = 64,
+      tables: Option[Set[String]] = None): Unit = {
     def u(id: Column, salt: Int): Column = uniform(id, salt, seed)
     def ui(id: Column, salt: Int, n: Long): Column =
       uniformInt(id, salt, n, seed)
@@ -89,12 +93,13 @@ object GenData {
     // >10x tail of the sf1->sf10 ladder was this layout artifact, not
     // operator cost). Shallower decades keep the base (files only
     // shrink below it in bytes, never in count — same as a real lake).
-    def write(df: DataFrame, name: String, base: Int): Unit = {
-      val files = math.max(base, math.min(512L, (base * sf).round)).toInt
-      df.repartition(files)
-        .write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
-      println(s"[gendata] $name written ($files files)")
-    }
+    def write(df: DataFrame, name: String, base: Int): Unit =
+      if (tables.forall(_.contains(name))) {
+        val files = math.max(base, math.min(512L, (base * sf).round)).toInt
+        df.repartition(files)
+          .write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
+        println(s"[gendata] $name written ($files files)")
+      }
 
     // fixed dimensions — identical to the shipped corpus
     import spark.implicits._
