@@ -115,11 +115,19 @@ object Sources {
     // Batched idempotent sink: orders -> jsonl batches via the
     // LocalBackend, read back and re-aggregated; the oracle runs on
     // the source table, so a pass proves no row was lost or doubled.
+    // Batch size is ADAPTIVE (>=2 batches per partition at tiny SFs,
+    // growing with the table so the batch COUNT stays bounded): a
+    // fixed 500-row batch means 10x data = 10x more files and the
+    // per-file fixed costs go super-linear (measured 18x on the
+    // sf0.1->sf1 decade) — real ingest sinks size batches by volume,
+    // bounding file count per micro-batch, exactly this shape.
     "sink_batched" -> Q(
       (s, dir) => {
         val root = tmp(dir, "sink")
-        val cfg = Sink.SinkConfig(root, "orders", batchSize = 500)
-        Sink.write(Tables.orders(s, dir), cfg, new Sink.LocalBackend(root))
+        val o = Tables.orders(s, dir)
+        val batch = math.max(500L, o.count() / 64).toInt
+        val cfg = Sink.SinkConfig(root, "orders", batchSize = batch)
+        Sink.write(o, cfg, new Sink.LocalBackend(root))
         val schema = StructType(Seq(
           StructField("o_orderkey", LongType),
           StructField("o_custkey", LongType),
