@@ -37,7 +37,8 @@ object Bench {
     }
     threads.foreach(_.start()); threads.foreach(_.join())
     val spinAll = (System.nanoTime() - t2) / 1e6
-    f"""{"load1m":$load%.2f,"spin1_ms":$spin1%.0f,"spin${cpus}x_ms":$spinAll%.0f}"""
+    val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+    f"""{"load1m":$load%.2f,"spin1_ms":$spin1%.0f,"spin${cpus}x_ms":$spinAll%.0f,"heap_gb":$heapGb%.1f}"""
   }
 
   def main(args: Array[String]): Unit = {
