@@ -118,6 +118,13 @@ object GraftFunctions {
         new ExpressionInfo(classOf[NearestCells].getName, "graft_cells"),
         (children: Seq[Expression]) => NearestCells.build(children))
     }
+    val srpIdent = FunctionIdentifier("graft_srp")
+    if (!registry.functionExists(srpIdent)) {
+      registry.registerFunction(
+        srpIdent,
+        new ExpressionInfo(classOf[SrpSignature].getName, "graft_srp"),
+        (children: Seq[Expression]) => SrpSignature.build(children))
+    }
     val bloomIdent = FunctionIdentifier("graft_bloom_contains")
     if (!registry.functionExists(bloomIdent)) {
       registry.registerFunction(

@@ -184,6 +184,127 @@ case class NearestCells(child: Expression, cents: Array[Array[Double]], k: Int)
     copy(child = newChild)
 }
 
+/** Banded sign-random-projection (SRP) signature of a double-array
+  * vector: one long per band, bit r of band b = sign(v . planes[b*rpb
+  * + r]). SRP is the LSH family for COSINE similarity (collision
+  * probability of one bit = 1 - angle/pi), so banding the bits gives
+  * the same candidate-generation contract MinHash gives Jaccard:
+  * pairs above the similarity target collide in >=1 band w.h.p.,
+  * random pairs almost never do. This is the scale path for high-dim
+  * embedding near-dup where METRIC pruning (IVF ball bounds) is
+  * geometry-dead: at dim>=256 a 0.45-cosine threshold is distance
+  * ~1.05 on the unit sphere while KMeans cell radii on
+  * noise-dominated data are ~1 — triangle-inequality admissibility
+  * rejects nothing and the candidate join degenerates to all pairs
+  * (measured: the dim-256 sf10 corpus spilled >60 GB through the IVF
+  * path; the SRP path bounds candidates by planted-pair density).
+  *
+  * The projection planes ride inside the expression object
+  * (addReferenceObj) exactly like [[NearestCells]] — a bits x dim
+  * literal subtree would dominate Catalyst analysis time. Null
+  * elements contribute nothing; rowsPerBand <= 64.
+  */
+case class SrpSignature(child: Expression, planes: Array[Array[Double]],
+    rowsPerBand: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  import org.apache.spark.sql.types.LongType
+
+  require(rowsPerBand >= 1 && rowsPerBand <= 64,
+    s"rowsPerBand must be in [1, 64], got $rowsPerBand")
+  require(planes.length % rowsPerBand == 0,
+    s"planes (${planes.length}) must be a whole number of bands of $rowsPerBand")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def bands: Int = planes.length / rowsPerBand
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var sig = 0L
+      var r = 0
+      while (r < rowsPerBand) {
+        val plane = planes(b * rowsPerBand + r)
+        var acc = 0.0
+        val dim = math.min(plane.length, v.numElements())
+        var i = 0
+        while (i < dim) {
+          if (!v.isNullAt(i)) acc += plane(i) * v.getDouble(i)
+          i += 1
+        }
+        if (acc >= 0.0) sig |= (1L << r)
+        r += 1
+      }
+      out(b) = sig
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val out = ctx.freshName("out")
+      val b = ctx.freshName("b")
+      val r = ctx.freshName("r")
+      val i = ctx.freshName("i")
+      val sig = ctx.freshName("sig")
+      val acc = ctx.freshName("acc")
+      val dim = ctx.freshName("dim")
+      val plane = ctx.freshName("plane")
+      s"""
+        Object[] $out = new Object[$bands];
+        for (int $b = 0; $b < $bands; $b++) {
+          long $sig = 0L;
+          for (int $r = 0; $r < $rowsPerBand; $r++) {
+            double[] $plane = $planesRef[$b * $rowsPerBand + $r];
+            double $acc = 0.0;
+            int $dim = java.lang.Math.min($plane.length, $c.numElements());
+            for (int $i = 0; $i < $dim; $i++) {
+              if (!$c.isNullAt($i)) $acc += $plane[$i] * $c.getDouble($i);
+            }
+            if ($acc >= 0.0) $sig |= (1L << $r);
+          }
+          $out[$b] = $sig;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SrpSignature =
+    copy(child = newChild)
+}
+
+object SrpSignature {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.types._
+
+  /** Builder for `graft_srp(vec, <literal planes>, <literal rpb>)`:
+    * collapses the literal plane matrix into the expression object at
+    * build time (the [[NearestCells.build]] device).
+    */
+  def build(children: Seq[Expression]): Expression = {
+    val planes = children(1) match {
+      case Literal(ad: ArrayData, ArrayType(ArrayType(DoubleType, _), _)) =>
+        ad.toArray[ArrayData](ArrayType(DoubleType)).map(_.toDoubleArray())
+      case other => throw new IllegalArgumentException(
+        s"graft_srp planes must be a literal array<array<double>>, got $other")
+    }
+    val rpb = children(2) match {
+      case Literal(i: Int, IntegerType) => i
+      case other => throw new IllegalArgumentException(
+        s"graft_srp rowsPerBand must be an int literal, got $other")
+    }
+    SrpSignature(children(0), planes, rpb)
+  }
+}
+
 object NearestCells {
   import org.apache.spark.sql.catalyst.expressions.Literal
   import org.apache.spark.sql.types._

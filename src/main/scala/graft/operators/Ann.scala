@@ -345,6 +345,68 @@ object Ann {
         greatest(col("x.vec_id"), col("y.vec_id")).as("id_b"))
   }
 
+  /** Deterministic Rademacher (+-1) projection planes for SRP — a
+    * pure function of (dim, bits, seed) via a splitmix-style mix, so
+    * every JVM (and every re-run) derives the identical signature
+    * family without shipping state.
+    */
+  private def srpPlanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(bits) { k =>
+      Array.tabulate(dim) { j =>
+        var x = seed + k.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xC2B2AE3D27D4EB4FL
+        x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+        x ^= x >>> 27; x *= 0x94D049BB133111EBL
+        x ^= x >>> 31
+        if ((x & 1L) == 0L) 1.0 else -1.0
+      }
+    }
+
+  /** Cosine-threshold near-dup pairs via banded sign-random-projection
+    * LSH — the HIGH-DIMENSION scale path of the embedding-dedup family
+    * (see [[graft.functions.SrpSignature]] for why IVF ball-bound
+    * pruning is geometry-dead past ~dim 100: a 0.45-cosine threshold
+    * is unit-sphere distance ~1.05, the same order as any cell radius
+    * on noise-dominated data, so admissibility rejects nothing and the
+    * exact path degenerates to the n^2 join).
+    *
+    * Shape: one codegen projection pass emits `bands` longs per vector
+    * (each packing `rowsPerBand` sign bits); the self-join keys on
+    * (band, signature) so the shuffle carries bands x n tiny rows;
+    * candidates are deduped across bands BEFORE verification; the
+    * exact codegen dot verifies every emitted pair, so FALSE POSITIVES
+    * ARE IMPOSSIBLE — the LSH tradeoff is confined to recall at the
+    * threshold boundary (P[collide in >=1 band] = 1-(1-p^r)^b with
+    * p = 1 - acos(cos)/pi: ~0.99 at cos 0.87, ~1e-2 for random pairs'
+    * band-collision EXPECTATION at r=14, b=24 — AnnSpec pins measured
+    * recall against the exact brute-force pair set).
+    */
+  def embeddingSrpPairs(s: SparkSession, dir: String, threshold: Double = 0.45,
+      bands: Int = 24, rowsPerBand: Int = 14, seed: Long = 42L): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = graft.DfCache.memo(
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), l2normExpr(col("embedding")).as("nv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      s"pca-nv:$dir") // same df as pcaTopComponent's memo — shared cache
+    val dim = corpusDim(s, dir)
+    val planes = srpPlanes(dim, bands * rowsPerBand, seed)
+    // signatures only (no vector payload) ride the band shuffle
+    val sigs = emb.select(col("vec_id"),
+        posexplode(call_function("graft_srp", col("nv"),
+          typedLit(planes.map(_.toSeq).toSeq), lit(rowsPerBand)))
+          .as(Seq("band", "s")))
+    val cand = sigs.as("x").join(sigs.as("y"),
+        col("x.band") === col("y.band") && col("x.s") === col("y.s") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("nbands"))
+    cand
+      .join(emb.select(col("vec_id").as("id_a"), col("nv").as("va")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("nv").as("vb")), Seq("id_b"))
+      .filter(dot(col("va"), col("vb")) >= threshold)
+      .select("id_a", "id_b")
+  }
+
   /** The fixed probe set: the first `n` vec_ids. */
   def queryVectors(s: SparkSession, dir: String, n: Int = 5): DataFrame =
     Tables.embeddings(s, dir).filter(col("vec_id") < n)

@@ -186,7 +186,12 @@ object Sources {
     // lossless and the idempotent replay added no duplicates.
     "sink_jdbc" -> Q(
       (s, dir) => {
-        val url = s"jdbc:derby:${tmp(dir, "derby")}/db;create=true"
+        // pid-scoped db dir: embedded Derby holds an engine-wide lock
+        // for the JVM's lifetime, so a solo re-measure JVM (Bench's
+        // SPARK_GRAFT_SOLO children) could never boot a path its
+        // parent suite JVM had already opened
+        val url = s"jdbc:derby:${tmp(dir,
+          s"derby_p${ProcessHandle.current().pid()}")}/db;create=true"
         val cfg = Sink.SinkConfig("", "orders_agg", batchSize = 16)
         // Full reload into a persistent destination: clear first —
         // batch-key overwrite alone would leave stale batches if a
@@ -320,13 +325,19 @@ object Sources {
     // table exactly (no range gaps or overlaps).
     "src_jdbc" -> Q(
       (s, dir) => {
-        val url = s"jdbc:derby:${tmp(dir, "derbysrc")}/db;create=true"
+        // pid-scoped for solo re-measure JVMs (see sink_jdbc's comment)
+        val url = s"jdbc:derby:${tmp(dir,
+          s"derbysrc_p${ProcessHandle.current().pid()}")}/db;create=true"
         graft.sources.Jdbc.truncate(url, "supplier_src")
-        val cfg = Sink.SinkConfig("", "supplier_src", batchSize = 32)
-        Sink.writeTyped(
-          Tables.supplier(s, dir)
-            .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
-          cfg, new graft.sources.JdbcBackend(url))
+        val sup = Tables.supplier(s, dir)
+          .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        // volume-adaptive batches, same rationale as sink_batched: a
+        // fixed 32-row batch means 10x data = 10x more INSERT
+        // transactions and the per-txn fixed cost goes super-linear
+        // (3k+ txns at sf10); real loaders size batches by volume
+        val cfg = Sink.SinkConfig("", "supplier_src",
+          batchSize = math.max(32L, sup.count() / 128).toInt)
+        Sink.writeTyped(sup, cfg, new graft.sources.JdbcBackend(url))
         s.read.format("jdbc")
           .option("url", url).option("dbtable", "supplier_src")
           .option("partitionColumn", "s_suppkey")

@@ -604,8 +604,9 @@ object Stats {
     // a 30-minute interval; the +1/-1 boundary sweep with a running
     // sum finds the peak overlap per type. End points sort before
     // simultaneous starts (ORDER BY t, d with d=-1 first), giving
-    // half-open [t, t+30m) semantics deterministically. One union +
-    // one keyed window + one agg — the sweep is linear in events.
+    // half-open [t, t+30m) semantics deterministically. The sweep is
+    // linear in events AND bucket-parallel (see the fn comment) — a
+    // per-type global window would cap parallelism at 5 tasks.
     "ch_max_intersections" -> Q(
       (s, dir) => {
         val e = Tables.events(s, dir)
@@ -613,11 +614,37 @@ object Stats {
             lit(1).as("d"))
           .unionAll(e.select(col("event_type"),
             (col("ts_us") + 1800000000L).as("t"), lit(-1).as("d")))
-        val w = Window.partitionBy("event_type").orderBy("t", "d")
-          .rowsBetween(Window.unboundedPreceding, 0)
-        pts.withColumn("conc", sum(col("d")).over(w))
+        // TWO-LEVEL PARALLEL SWEEP. A single window partitioned by
+        // event_type caps parallelism at the TYPE cardinality (5):
+        // one task sorts the whole type regardless of cluster size —
+        // the low-cardinality-window trap (measured 12x on the
+        // sf1->sf10 decade; at 100 TB it is 5 tasks, full stop).
+        // Classic prefix-sum parallelization instead: time-bucket the
+        // boundary points (ties share a bucket, so cross-bucket order
+        // is total), sweep each (type, bucket) independently, then the
+        // global running sum at any point = exclusive prefix of
+        // earlier buckets' +-1 totals + the local running sum — so
+        // peak = max over buckets of (prefix offset + local peak).
+        // The bucket window runs (types x buckets)-wide; the prefix
+        // window touches one tiny row per bucket. Bucket width derives
+        // from the domain span so bucket count scales with the data.
+        val st = e.agg(min(col("ts_us")), max(col("ts_us")),
+          count(lit(1))).head()
+        val spanUs = st.getLong(1) - st.getLong(0) + 1800000001L
+        val targetBuckets = math.max(
+          s.sparkContext.defaultParallelism * 8L, st.getLong(2) / 250000L)
+        val w = math.max(1L, spanUs / targetBuckets)
+        val wLoc = Window.partitionBy("event_type", "bucket")
+          .orderBy("t", "d").rowsBetween(Window.unboundedPreceding, 0)
+        val wPre = Window.partitionBy("event_type").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        pts.withColumn("bucket", expr(s"t div ${w}L"))
+          .withColumn("run", sum(col("d")).over(wLoc))
+          .groupBy("event_type", "bucket")
+          .agg(max(col("run")).as("lpeak"), sum(col("d")).as("btot"))
+          .withColumn("off", coalesce(sum(col("btot")).over(wPre), lit(0L)))
           .groupBy("event_type")
-          .agg(max(col("conc")).as("peak"))
+          .agg(max(col("off") + col("lpeak")).as("peak"))
           .orderBy("event_type")
       },
       Some("""

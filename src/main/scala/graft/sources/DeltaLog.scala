@@ -526,6 +526,55 @@ object DeltaLog {
     moved.toSeq.sortBy(_._1)
   }
 
+  /** Per-file add.stats for every staged file. Footer reads are
+    * independent O(1)-metadata IOs, but a serial driver loop makes the
+    * commit O(files) wall-clock — the one scale-hostile shape a
+    * metadata-only commit can have (a partitioned write easily stages
+    * hundreds of files; measured: the serial loop was ~90% of a 29 s
+    * commit at ~900 small files). Small commits stay on the driver
+    * (no job-scheduling overhead); past that the footers are read as
+    * ONE Spark job over the staged paths, so commit wall-clock is
+    * O(files / cores) — executors read footers where the data lives,
+    * exactly how table-format writers gather manifest stats at scale.
+    * A failed stats read degrades to a stats-less add action (skipping
+    * is an optimization, never a correctness gate), so per-file
+    * failures never abort the commit.
+    */
+  private def collectStats(spark: SparkSession, root: String,
+      rels: Seq[String], schema: StructType): Map[String, Option[String]] = {
+    def one(conf: org.apache.hadoop.conf.Configuration,
+        rel: String): Option[String] =
+      try Some(fileStats(conf, new Path(root, rel), schema))
+      catch { case _: Exception => None } // stats are optional metadata
+    if (rels.size <= 16) {
+      val conf = spark.sessionState.newHadoopConf()
+      rels.map(r => r -> one(conf, r)).toMap
+    } else {
+      // Hadoop Configuration is not serializable: ship its entries and
+      // rebuild per task (keeps filesystem config/credentials intact
+      // on real clusters, where a default Configuration() would not
+      // reach object storage).
+      val entries = {
+        val c = spark.sessionState.newHadoopConf()
+        val b = Seq.newBuilder[(String, String)]
+        val it = c.iterator()
+        while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+        b.result()
+      }
+      spark.sparkContext
+        .parallelize(rels,
+          math.min(rels.size, spark.sparkContext.defaultParallelism))
+        .mapPartitions { it =>
+          val c = new org.apache.hadoop.conf.Configuration(false)
+          entries.foreach { case (k, v) => c.set(k, v) }
+          it.map(r => r -> (
+            try Some(fileStats(c, new Path(root, r), schema))
+            catch { case _: Exception => None }))
+        }
+        .collect().toMap
+    }
+  }
+
   private def commitInfoLine(op: String, txnId: String): String = {
     val n = mapper.createObjectNode()
     val c = n.putObject("commitInfo")
@@ -551,15 +600,12 @@ object DeltaLog {
     val spark = df.sparkSession
     val ts = System.currentTimeMillis()
     val files = stageDataFiles(df, root, partitionBy)
-    val conf = spark.sessionState.newHadoopConf()
     val dataCols = df.schema.fields
       .filterNot(f => partitionBy.contains(f.name))
     val statsSchema = StructType(dataCols.toIndexedSeq)
+    val statsByRel = collectStats(spark, root, files.map(_._1), statsSchema)
     val adds = files.map { case (rel, sz) =>
-      val stats =
-        try Some(fileStats(conf, new Path(root, rel), statsSchema))
-        catch { case _: Exception => None } // stats are optional metadata
-      addLine(rel, sz, ts, stats)
+      addLine(rel, sz, ts, statsByRel.getOrElse(rel, None))
     }
     val txnId = java.util.UUID.randomUUID().toString
     var attempt = 0

@@ -13,18 +13,30 @@ import org.apache.spark.sql.SparkSession
   * eps-perturbed clones (~0.5% of rows) instead, so true pairs grow ~n
   * and the decade ratio becomes a real measurement.
   *
-  * For each corpus dir given, this runs the exact IVF pair finder
-  * end-to-end (same code path as the dedup_embedding_ivf registry row)
-  * best-of-2 and reports rows, true pairs, pair density per row
-  * (pairs/n — flat across SFs iff the corpus is measurable), and
-  * steady-state seconds.
+  * What the dim-256 corpus then EXPOSED (this round): IVF ball-bound
+  * pruning is geometry-dead at high dimension — cell radii ~1 vs a
+  * threshold distance 1.05 admit every cell pair and the exact path
+  * degenerates to the n² join (the sf10 attempt spilled >60 GB). So
+  * this probe measures BOTH family members per corpus:
+  *   - the exact IVF path ([[graft.operators.Ann.embeddingIvfPairs]])
+  *     only while n is small enough that n² verification is sane —
+  *     it doubles as the ground truth for recall;
+  *   - the SRP-banded path ([[graft.operators.Ann.embeddingSrpPairs]],
+  *     the high-dim scale algorithm) at every SF, with measured recall
+  *     against the exact set where available.
+  *
+  * Both run best-of-2; the JSON records rows, dim, pair counts,
+  * pairs-per-row (flat across SFs iff the corpus is measurable),
+  * steady-state seconds, and SRP recall.
   *
   * Usage: runMain graft.tools.EmbScale <out.json> <sf>=<dir> ...
+  *        [-DmaxIvfRows via env SPARK_GRAFT_MAX_IVF_ROWS, default 50000]
   */
 object EmbScale {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: EmbScale <out.json> <sf>=<dir> ...")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val maxIvf = sys.env.getOrElse("SPARK_GRAFT_MAX_IVF_ROWS", "50000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -38,25 +50,50 @@ object EmbScale {
       val Array(sf, dir) = arg.split("=", 2)
       val n = graft.Tables.embeddings(spark, dir).count()
       val dim = graft.operators.Ann.corpusDim(spark, dir)
-      def once(): (Long, Double) = {
-        val t0 = System.nanoTime()
-        val pairs = graft.operators.Ann.embeddingIvfPairs(spark, dir).count()
-        (pairs, (System.nanoTime() - t0) / 1e9)
+      def best2(mk: () => org.apache.spark.sql.DataFrame): (Long, Double) = {
+        def once(): (Long, Double) = {
+          val t0 = System.nanoTime()
+          val c = mk().count()
+          (c, (System.nanoTime() - t0) / 1e9)
+        }
+        val (c, t1) = once(); val (_, t2) = once()
+        (c, math.min(t1, t2))
       }
-      val (pairs, t1) = once(); val (_, t2) = once()
-      val sec = math.min(t1, t2)
-      println(f"[embscale] $sf dir=$dir n=$n dim=$dim pairs=$pairs " +
-        f"density_per_row=${pairs.toDouble / n}%.4f sec=$sec%.2f")
-      f""""$sf":{"dir":"$dir","n":$n,"dim":$dim,"pairs":$pairs,""" +
-        f""""pairs_per_row":${pairs.toDouble / n}%.5f,"sec":$sec%.3f}"""
+      val (srpPairs, srpSec) =
+        best2(() => graft.operators.Ann.embeddingSrpPairs(spark, dir))
+      val ivfPart =
+        if (n <= maxIvf) {
+          val (ivfPairs, ivfSec) =
+            best2(() => graft.operators.Ann.embeddingIvfPairs(spark, dir))
+          val hit = graft.operators.Ann.embeddingSrpPairs(spark, dir)
+            .join(graft.operators.Ann.embeddingIvfPairs(spark, dir),
+              Seq("id_a", "id_b"), "left_semi").count()
+          val recall = if (ivfPairs == 0) 1.0 else hit.toDouble / ivfPairs
+          println(f"[embscale] $sf exact: pairs=$ivfPairs sec=$ivfSec%.2f " +
+            f"srp_recall=$recall%.4f")
+          f""","ivf_pairs":$ivfPairs,"ivf_sec":$ivfSec%.3f,""" +
+            f""""srp_recall_vs_exact":$recall%.4f"""
+        } else {
+          println(s"[embscale] $sf exact IVF skipped (n=$n > $maxIvf: " +
+            "the n^2-verification regime the SRP path exists to avoid)")
+          ""","ivf_skipped":"n beyond exact-verification regime""""
+        }
+      println(f"[embscale] $sf dir=$dir n=$n dim=$dim srp_pairs=$srpPairs " +
+        f"pairs_per_row=${srpPairs.toDouble / n}%.5f srp_sec=$srpSec%.2f")
+      f""""$sf":{"dir":"$dir","n":$n,"dim":$dim,"srp_pairs":$srpPairs,""" +
+        f""""pairs_per_row":${srpPairs.toDouble / n}%.5f,""" +
+        f""""srp_sec":$srpSec%.3f$ivfPart}"""
     }
     spark.stop()
     val doc = "{" +
-      "\"what\":\"dedup_embedding_ivf on GenData dim-256 corpora: " +
-      "explicit ~0.5%-clone construction makes true pairs ~n, so " +
-      "pairs_per_row must stay ~flat across SFs and the wall-time " +
-      "decade ratio measures the OPERATOR (the 64-dim corpus was " +
-      "output-bound, r7 adjudication). Best-of-2, local[" + cpus + "].\"," +
+      "\"what\":\"embedding near-dup scaling on GenData dim-256 corpora " +
+      "(explicit ~0.5%-clone construction: true pairs ~n, so " +
+      "pairs_per_row must stay ~flat across SFs and wall-time decade " +
+      "ratios measure the ALGORITHM). srp = banded sign-random-" +
+      "projection LSH + exact-dot verification (the high-dim scale " +
+      "path; false positives impossible, recall measured vs the exact " +
+      "IVF set where n permits exact verification). Best-of-2, " +
+      "local[" + cpus + "].\"," +
       results.mkString(",") + "}"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(args(0)), doc + "\n")
     println(doc)

@@ -117,6 +117,29 @@ class DeltaLogSpec extends SparkSpec {
     assert(gotYears === expYears)
   }
 
+  test("distributed stats collection (>16 staged files) matches the log") {
+    // past 16 files commit() gathers add.stats as one Spark job over
+    // the staged paths instead of a serial driver loop — same stats,
+    // O(files/cores) wall-clock. Pin: every add still carries stats,
+    // per-file numRecords sums to the table count, and the global
+    // min/max over per-file stats equals the table's true min/max.
+    val root = freshRoot("delta_stats_dist")
+    val o = Tables.orders(spark, sf)
+    DeltaLog.commitAppend(o.repartition(24), root) // 24 files > 16
+    val snap = DeltaLog.snapshotAsOf(spark, root, 0)
+    assert(snap.adds.size === 24)
+    assert(snap.adds.forall(_.stats.isDefined), "every add must carry stats")
+    val sts = snap.adds.map(a => mapper.readTree(a.stats.get))
+    assert(sts.map(_.get("numRecords").asLong()).sum === o.count())
+    val mins = sts.map(_.get("minValues").get("o_orderkey").asLong())
+    val maxs = sts.map(_.get("maxValues").get("o_orderkey").asLong())
+    val (expMin, expMax) = {
+      val r = o.agg(min("o_orderkey"), max("o_orderkey")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(mins.min === expMin && maxs.max === expMax)
+  }
+
   test("checkpoint replay equals full JSON replay") {
     val root = freshRoot("delta_cp")
     val o = Tables.orders(spark, sf)
