@@ -361,6 +361,25 @@ object Ann {
       }
     }
 
+  /** Rademacher planes derived from md5 — the ORACLE-REPLAYABLE plane
+    * family (the dedup_simhash device): sign of plane row k, component
+    * j is the high bit of md5("k:j"), which DuckDB recomputes as
+    * `substring(md5(k || ':' || j), 1, 1) BETWEEN '0' AND '7'`. Any
+    * iid sign family gives the same LSH guarantees; this one lets the
+    * oracle replay the FULL algorithm (planes -> signs -> band
+    * signatures -> bucket join -> cap -> exact verify) bit-for-bit.
+    */
+  private[graft] def srpPlanesMd5(dim: Int, bits: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(bits) { k =>
+      Array.tabulate(dim) { j =>
+        md.reset()
+        val d = md.digest(s"$k:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if ((d(0) & 0x80) == 0) 1.0 else -1.0
+      }
+    }
+  }
+
   /** Cosine-threshold near-dup pairs via banded sign-random-projection
     * LSH — the HIGH-DIMENSION scale path of the embedding-dedup family
     * (see [[graft.functions.SrpSignature]] for why IVF ball-bound
@@ -379,9 +398,27 @@ object Ann {
     * p = 1 - acos(cos)/pi: ~0.99 at cos 0.87, ~1e-2 for random pairs'
     * band-collision EXPECTATION at r=14, b=24 — AnnSpec pins measured
     * recall against the exact brute-force pair set).
+    *
+    * HOT-BUCKET CAP (`maxBucket`): a bucket of D identical vectors
+    * shares every band signature, so the uncapped self-join emits
+    * O(D^2) pairs per band — the one skew minhash-LSH caps and the
+    * r8 SRP draft did not. Buckets larger than `maxBucket` emit only
+    * ADJACENT pairs in vec_id order (a chain, D-1 pairs) instead of
+    * all pairs: output stays linear in the bucket, and for the
+    * clone-cluster case that causes hot buckets the chain preserves
+    * the transitive closure downstream connected-components dedup
+    * consumes (chain pairs of identical vectors always pass the exact
+    * verify). The cap is deterministic (row_number over vec_id), so
+    * the oracle replays it.
+    *
+    * `planeMode` = "splitmix" (default, production: seed-derived
+    * planes, srpPlanes above) or "md5" (oracle mode: DuckDB-replayable
+    * plane family, srpPlanesMd5 — used by the dedup_embedding_srp
+    * registry gate, which replays the entire pipeline in SQL).
     */
   def embeddingSrpPairs(s: SparkSession, dir: String, threshold: Double = 0.45,
-      bands: Int = 24, rowsPerBand: Int = 14, seed: Long = 42L): DataFrame = {
+      bands: Int = 24, rowsPerBand: Int = 14, seed: Long = 42L,
+      planeMode: String = "splitmix", maxBucket: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val emb = graft.DfCache.memo(
       Tables.embeddings(s, dir)
@@ -389,15 +426,27 @@ object Ann {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       s"pca-nv:$dir") // same df as pcaTopComponent's memo — shared cache
     val dim = corpusDim(s, dir)
-    val planes = srpPlanes(dim, bands * rowsPerBand, seed)
+    val planes = planeMode match {
+      case "splitmix" => srpPlanes(dim, bands * rowsPerBand, seed)
+      case "md5" => srpPlanesMd5(dim, bands * rowsPerBand)
+      case other => throw new IllegalArgumentException(
+        s"planeMode must be splitmix|md5, got $other")
+    }
     // signatures only (no vector payload) ride the band shuffle
     val sigs = emb.select(col("vec_id"),
         posexplode(call_function("graft_srp", col("nv"),
           typedLit(planes.map(_.toSeq).toSeq), lit(rowsPerBand)))
           .as(Seq("band", "s")))
-    val cand = sigs.as("x").join(sigs.as("y"),
+    // bucket bookkeeping for the cap: both windows share the (band, s)
+    // partitioning the self-join shuffles on anyway
+    val wb = Window.partitionBy("band", "s")
+    val bkt = sigs
+      .withColumn("rn", row_number().over(wb.orderBy("vec_id")))
+      .withColumn("cnt", count(lit(1)).over(wb))
+    val cand = bkt.as("x").join(bkt.as("y"),
         col("x.band") === col("y.band") && col("x.s") === col("y.s") &&
-          col("x.vec_id") < col("y.vec_id"))
+          col("x.vec_id") < col("y.vec_id") &&
+          (col("x.cnt") <= maxBucket || col("y.rn") === col("x.rn") + 1))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("nbands"))
     cand
@@ -406,6 +455,28 @@ object Ann {
       .filter(dot(col("va"), col("vb")) >= threshold)
       .select("id_a", "id_b")
   }
+
+  /** Memoized dim-256 GenData twin of a shipped corpus dir — the
+    * BENCH corpus for dedup_embedding_srp. The shipped embeddings are
+    * dim-64 with n²-growing true pairs (the r7-adjudicated
+    * measurability artifact); production embedding columns are
+    * 256-4096-dim with ~linear clone density, which is exactly what
+    * GenData's dim!=64 construction plants (~0.5% eps-clones). Scale
+    * factor is parsed from the dir name (driver dirs are .../sfX);
+    * generation is hash-deterministic and runs once per JVM.
+    */
+  private val benchDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def dim256BenchDir(s: SparkSession, dir: String): String =
+    benchDirCache.computeIfAbsent(dir, _ => {
+      val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir)
+        .map(_.group(1).toDouble).getOrElse(0.1)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_bench_emb256_sf$sf"
+      graft.tools.GenData.generate(s, sf, out, seed = 0L, embDim = 256,
+        tables = Some(Set("embeddings")))
+      invalidateDim(out)
+      out
+    })
 
   /** The fixed probe set: the first `n` vec_ids. */
   def queryVectors(s: SparkSession, dir: String, n: Int = 5): DataFrame =

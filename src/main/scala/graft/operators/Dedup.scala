@@ -553,6 +553,71 @@ object Dedup {
         ORDER BY id_a, id_b""")),
 
     // ------------------------------------------------------------------
+    // Banded sign-random-projection LSH pairs — the HIGH-DIMENSION
+    // scale path of the family (IVF ball-bound pruning is geometry-
+    // dead past ~dim 100; see Ann.embeddingSrpPairs). Gated by the
+    // FULL-REPLAY device (dedup_simhash's md5 precedent, one level
+    // up): planes are md5-derived in oracle mode, so DuckDB recomputes
+    // planes -> signs -> packed band signatures -> (band, sig) bucket
+    // join -> hot-bucket cap -> exact cosine verification — the oracle
+    // pins the ALGORITHM, not just its output, and recall vs the
+    // exact pair set stays a spec-pinned measurement (AnnSpec).
+    // Oracle-mode banding is r=8, b=42: at the shipped corpus's
+    // near-threshold cosines (~0.45-0.6) that keeps true-pair
+    // collisions likely-but-not-certain, so the emitted set is
+    // SENSITIVE to every signature bit (r=14 would emit ~nothing at
+    // cos 0.5 — an empty, gate-less oracle; r=4 would admit every
+    // pair and gate only the verifier). The BENCH runs the production
+    // shape — splitmix planes, r=14, b=24 — on the dim-256 GenData
+    // twin corpus (planted ~0.5% eps-clones, the construction real
+    // embedding columns have), where banding is the measured scale
+    // win (Ann.dim256BenchDir).
+    "dedup_embedding_srp" -> Q(
+      (s, dir) => Ann.embeddingSrpPairs(s, dir, threshold = 0.45,
+          bands = 42, rowsPerBand = 8, planeMode = "md5")
+        .orderBy("id_a", "id_b"),
+      Some("""
+        WITH planes AS (
+          SELECT pk.k AS k, pj.j AS j,
+                 CASE WHEN substring(md5(CAST(pk.k AS VARCHAR) || ':' ||
+                        CAST(pj.j AS VARCHAR)), 1, 1)
+                      BETWEEN '0' AND '7' THEN 1.0 ELSE -1.0 END AS s
+          FROM range(0, 336) pk(k), range(0, 64) pj(j)),
+        vec AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+                 unnest(embedding) AS v
+          FROM embeddings),
+        acc AS (
+          SELECT v.vec_id, p.k // 8 AS band, p.k % 8 AS r,
+                 sum(p.s * v.v) AS a
+          FROM vec v JOIN planes p ON p.j = v.j
+          GROUP BY 1, 2, 3),
+        sigs AS (
+          SELECT vec_id, band,
+                 sum(CASE WHEN a >= 0 THEN (CAST(1 AS BIGINT) << r)
+                     ELSE 0 END) AS sig
+          FROM acc GROUP BY 1, 2),
+        buckets AS (
+          SELECT vec_id, band, sig,
+                 row_number() OVER (PARTITION BY band, sig
+                                    ORDER BY vec_id) AS rn,
+                 count(*) OVER (PARTITION BY band, sig) AS cnt
+          FROM sigs),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+          FROM buckets x JOIN buckets y
+            ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id
+           AND (x.cnt <= 64 OR y.rn = x.rn + 1))
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN embeddings a ON a.vec_id = c.id_a
+        JOIN embeddings b ON b.vec_id = c.id_b
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        ORDER BY id_a, id_b"""),
+      benchFn = Some((s, dir) =>
+        Ann.embeddingSrpPairs(s, Ann.dim256BenchDir(s, dir)))),
+
+    // ------------------------------------------------------------------
     // INCREMENTAL dedup — the shape every production ingest actually
     // runs: a small new batch (sources src18/src19 stand in for
     // today's crawl) probed against the HISTORY's inverted shingle

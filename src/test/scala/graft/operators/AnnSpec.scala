@@ -180,4 +180,67 @@ class AnnSpec extends SparkSpec {
     // determinism: planes are a pure function of (dim, bits, seed)
     assert(pairs(Ann.embeddingSrpPairs(spark, out)) == srp)
   }
+
+  test("SRP md5 oracle mode: subset of exact, nonempty, deterministic") {
+    // The dedup_embedding_srp registry gate's shape (md5-derived
+    // planes, r=8, b=42) on the shipped corpus: false positives
+    // impossible (exact-dot verify), output nonempty (the gate is
+    // only meaningful if signature bits decide membership), replay
+    // deterministic.
+    def pairs(): Set[(Long, Long)] =
+      Ann.embeddingSrpPairs(spark, sf, threshold = 0.45,
+          bands = 42, rowsPerBand = 8, planeMode = "md5")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs()
+    val exact = Ann.embeddingIvfPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "md5-mode gate emitted no pairs — gate is vacuous")
+    assert(got.subsetOf(exact),
+      s"md5 mode emitted unverified pairs: ${(got -- exact).take(3)}")
+    assert(pairs() == got)
+  }
+
+  test("SRP hot-bucket cap: clone cluster emits a chain, closure intact") {
+    // 100 identical vectors share EVERY band signature — the one skew
+    // LSH banding manufactures itself. Uncapped that is 4950 pairs per
+    // band; capped (maxBucket=8) each hot bucket emits only adjacent
+    // pairs, so output stays linear and the transitive closure the
+    // downstream connected-components dedup consumes is preserved
+    // (identical-vector chain pairs always pass the exact verify).
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_spec_srpcap"
+    val p = new org.apache.hadoop.fs.Path(out)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    val dim = 16
+    val clone = Array.tabulate(dim)(j => math.sin(j + 1.0).toFloat)
+    val rows = (0 until 100).map(i => (i.toLong, clone)) ++
+      (100 until 150).map { i =>
+        (i.toLong, Array.tabulate(dim)(j =>
+          math.sin(i * 31.0 + j * 7.0 + 0.5).toFloat))
+      }
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding")
+      .write.parquet(s"$out/embeddings.parquet")
+    Ann.invalidateDim(out)
+    val got = Ann.embeddingSrpPairs(spark, out, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the cap's guarantee, stated precisely: every hot bucket is the
+    // full clone set (all 100 clones share every band signature), so
+    // clone-clone output must be EXACTLY the adjacency chain — any
+    // non-adjacent clone pair means all-pairs leaked through a hot
+    // bucket. (Noise-noise pairs at dim 16 legitimately pass the 0.45
+    // verify — cos sigma ~ 1/4 — and are not the cap's concern.)
+    val clonePairs = got.filter { case (a, b) => a < 100 && b < 100 }
+    assert(clonePairs.forall { case (a, b) => b == a + 1 },
+      s"non-adjacent clone pair leaked: ${clonePairs.filter(p => p._2 != p._1 + 1).take(3)}")
+    assert(got.size < 1000, s"output not linear: ${got.size} pairs")
+    assert((0 until 99).forall(i => got.contains((i.toLong, i + 1L))),
+      "clone chain has gaps")
+    // closure: union-find over emitted pairs connects all 100 clones
+    val parent = Array.tabulate(150)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    got.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+    assert((0 until 100).map(find).distinct.size == 1,
+      "clone cluster not transitively connected under the cap")
+  }
 }
