@@ -93,17 +93,23 @@ object PlanAudit {
     ("src_delta_skipping",
       "The add.stats data-skipping read: file pruning happens at the METADATA level (driver-side stats-range tests against the replayed add actions), so the plan contains a plain FileScan whose input is ONLY the admitted file subset — no filter-over-all-files shape, no indirection node. The residual range predicate still appears in PushedFilters on that scan (file-grain pruning is necessary, not sufficient), and the aggregate above it is the standard partial/final pair. At 100 TB: planning cost ∝ active-file count, scan cost ∝ admitted files only.",
       reg("src_delta_skipping")),
+    // ---- round-9 additions ----
+    ("dedup_embedding_srp (bench shape)",
+      "The high-dim embedding near-dup scale plan: the SRP projection (graft_srp, planes inside the expression object) is pure per-row codegen work; the candidate self-join keys its Exchange on (band, signature) so the shuffle carries bands x n tiny rows, never vector payloads; the hot-bucket-cap windows (row_number + count over (band, s)) share that same partitioning — no extra Exchange; candidates dedupe across bands in a partial/final aggregate BEFORE the two vector-fetch joins; and the exact-dot verification filter sits above joins whose build sides are the memoized normalized-vector cache. At 100 TB: no n^2 anywhere, no metric-pruning geometry assumption, bucket skew bounded by the cap.",
+      (s, d) => SparkEntry.registry("dedup_embedding_srp").benchFn
+        .getOrElse(sys.error("dedup_embedding_srp must register a bench shape"))
+        .apply(s, d)),
     ("graph_pagerank (superstep)",
       "The per-iteration unit cost of distributed PageRank: the ranks side enters the contribution join via BroadcastExchange (node-count rows), so the edge index is NEVER shuffled per superstep — the only per-step shuffle Exchange is the dst-keyed contribution aggregation with a partial sum before it. (The left-leg edge-index build with its own Exchanges appears in this audit plan only because the plan is un-persisted; the operator builds eDeg once, loop-invariant, and persists it.) The full operator runs this plan once per superstep behind an eager per-step checkpoint.",
       (s, d) => graft.operators.Graph.pageRankSuperstepPlan(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val out = args.drop(1).headOption.getOrElse("PLAN_AUDIT_r8.md")
+    val out = args.drop(1).headOption.getOrElse("PLAN_AUDIT_r9.md")
     val spark = Session.local(4)
     spark.sparkContext.setLogLevel("ERROR")
     val sb = new StringBuilder
-    sb.append("# Plan audit — scale-critical operators (round 8)\n\n")
+    sb.append("# Plan audit — scale-critical operators (round 9)\n\n")
     sb.append("Generated by `runMain graft.PlanAudit` at sf=" + sfDir +
       ". Each section states the property the plan must exhibit for the\n" +
       "operator to hold up at 100 TB, followed by the actual\n" +

@@ -469,8 +469,12 @@ object Ann {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   def dim256BenchDir(s: SparkSession, dir: String): String =
     benchDirCache.computeIfAbsent(dir, _ => {
-      val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir)
-        .map(_.group(1).toDouble).getOrElse(0.1)
+      // floored at sf0.1 (2000 rows — trivial generation cost): below
+      // that the ~0.5% clone draw can land on ZERO planted pairs and
+      // the registry contract (rows > 0 at sf0.001) would flake; the
+      // ladder SFs (0.1/1/10) are unaffected by the floor
+      val sf = math.max(0.1, "sf([0-9.]+)".r.findFirstMatchIn(dir)
+        .map(_.group(1).toDouble).getOrElse(0.1))
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_bench_emb256_sf$sf"
       graft.tools.GenData.generate(s, sf, out, seed = 0L, embDim = 256,
         tables = Some(Set("embeddings")))

@@ -207,10 +207,14 @@ object DeltaLog {
   /** Conjunctive closed range over one top-level column (absent bound
     * = unbounded). Bounds are plain values: numbers for numeric
     * columns, "yyyy-MM-dd" for dates, "yyyy-MM-dd[THH:mm:ss[.ffffff]]"
-    * for timestamps, strings otherwise.
+    * for timestamps, strings otherwise. `isNull` adds a nullness
+    * predicate pruned via add.stats nullCount: Some(true) = rows
+    * WHERE col IS NULL (files with nullCount 0 are skipped),
+    * Some(false) = IS NOT NULL (files where nullCount == numRecords —
+    * all-null files — are skipped).
     */
   final case class ColRange(column: String, lower: Option[Any] = None,
-      upper: Option[Any] = None)
+      upper: Option[Any] = None, isNull: Option[Boolean] = None)
 
   private def canonTs(s: String): String = {
     val t = s.stripSuffix("Z")
@@ -224,8 +228,33 @@ object DeltaLog {
       case _: NumericType =>
         new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
       case TimestampNTZType | TimestampType => canonTs(a).compareTo(canonTs(b))
-      case _ => a.compareTo(b) // strings and ISO dates order lexically
+      // UNSIGNED UTF-8 byte order, NOT String.compareTo: the min/max
+      // written by fileStats come from parquet's unsigned-lexicographic
+      // UTF-8 comparator, and Spark's own UTF8String residual filter
+      // compares the same way. UTF-16 code-unit order disagrees with
+      // both for supplementary-plane characters (emoji are routine in
+      // text corpora): a file whose true min/max straddle the range
+      // could be judged disjoint and silently pruned. ISO dates are
+      // ASCII, where the two orders coincide.
+      case _ => java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
+  }
+
+  /** Re-render a session-timezone wall-clock bound as the UTC
+    * wall-clock convention fileStats writes TimestampType stats in.
+    * Without this a non-UTC session would prune at file grain against
+    * one instant and row-filter against another (TimestampNTZ has no
+    * zone and needs no conversion).
+    */
+  private def boundToUtc(v: String, sessionTz: String): String = {
+    val t = v.stripSuffix("Z").replace(' ', 'T')
+    val ldt = java.time.LocalDateTime.parse(
+      if (t.length == 10) t + "T00:00:00" else t)
+    ldt.atZone(java.time.ZoneId.of(sessionTz))
+      .withZoneSameInstant(java.time.ZoneOffset.UTC)
+      .toLocalDateTime.format(tsFmt)
   }
 
   /** The subset of `snap`'s files whose stats / partitionValues ADMIT
@@ -234,27 +263,53 @@ object DeltaLog {
     * skipping is an optimization layer, never a correctness filter
     * (foreign logs without stats still read exactly, just unpruned).
     */
-  def pruneFiles(snap: Snapshot, ranges: Seq[ColRange]): Seq[AddFile] = {
+  def pruneFiles(snap: Snapshot, ranges: Seq[ColRange],
+      sessionTz: String = "UTC"): Seq[AddFile] = {
+    import org.apache.spark.sql.types.TimestampType
     val types = snap.schema.fields.map(f => f.name -> f.dataType).toMap
     snap.adds.filter { a =>
       ranges.forall { rg =>
         types.get(rg.column).forall { dt =>
           try {
             if (snap.partitionColumns.contains(rg.column))
+              // partition values are session-TZ dir-name renderings —
+              // the same convention as the query bound; no conversion
               a.partitionValues.get(rg.column).forall { v =>
                 rg.lower.forall(lo => cmpVals(dt, v, lo.toString) >= 0) &&
                 rg.upper.forall(hi => cmpVals(dt, v, hi.toString) <= 0)
               }
-            else a.stats.forall { sj =>
-              val st = mapper.readTree(sj)
-              def bound(section: String): Option[String] =
-                Option(st.get(section)).flatMap(s => Option(s.get(rg.column)))
-                  .map(_.asText())
-              // admit unless max < lower or min > upper
-              bound("maxValues").forall(mx =>
-                rg.lower.forall(lo => cmpVals(dt, mx, lo.toString) >= 0)) &&
-              bound("minValues").forall(mn =>
-                rg.upper.forall(hi => cmpVals(dt, mn, hi.toString) <= 0))
+            else {
+              // stats are UTC wall-clock (fileStats); re-render zoned
+              // timestamp bounds so both layers compare one instant
+              def adj(b: Any): String =
+                if (dt == TimestampType && sessionTz != "UTC")
+                  boundToUtc(b.toString, sessionTz)
+                else b.toString
+              a.stats.forall { sj =>
+                val st = mapper.readTree(sj)
+                def bound(section: String): Option[String] =
+                  Option(st.get(section)).flatMap(s => Option(s.get(rg.column)))
+                    .map(_.asText())
+                // nullness pruning via nullCount: a file PROVABLY
+                // contains no matching row when it has zero nulls
+                // (IS NULL query) or is entirely null (IS NOT NULL)
+                val nullOk = rg.isNull.forall { wantNull =>
+                  val nc = Option(st.get("nullCount"))
+                    .flatMap(s => Option(s.get(rg.column))).map(_.asLong())
+                  val nr = Option(st.get("numRecords")).map(_.asLong())
+                  (nc, nr) match {
+                    case (Some(0L), _) if wantNull => false
+                    case (Some(n), Some(total)) if !wantNull && n == total => false
+                    case _ => true // stats absent: admit (never filter)
+                  }
+                }
+                // admit unless max < lower or min > upper
+                nullOk &&
+                bound("maxValues").forall(mx =>
+                  rg.lower.forall(lo => cmpVals(dt, mx, adj(lo)) >= 0)) &&
+                bound("minValues").forall(mn =>
+                  rg.upper.forall(hi => cmpVals(dt, mn, adj(hi)) <= 0))
+              }
             }
           } catch { case _: Exception => true }
         }
@@ -273,7 +328,8 @@ object DeltaLog {
       ranges: Seq[ColRange], useCheckpoint: Boolean = true): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val snap = snapshotAsOf(spark, root, v, useCheckpoint)
-    val kept = pruneFiles(snap, ranges)
+    val kept = pruneFiles(snap, ranges,
+      spark.sessionState.conf.sessionLocalTimeZone)
     val types = snap.schema.fields.map(f => f.name -> f.dataType).toMap
     val base =
       if (kept.isEmpty)
@@ -287,26 +343,66 @@ object DeltaLog {
       val dt = types(rg.column)
       val lo = rg.lower.map(b => col(rg.column) >= lit(b.toString).cast(dt))
       val hi = rg.upper.map(b => col(rg.column) <= lit(b.toString).cast(dt))
-      (lo.toSeq ++ hi.toSeq).foldLeft(df)(_.filter(_))
+      val nn = rg.isNull.map(want =>
+        if (want) col(rg.column).isNull else col(rg.column).isNotNull)
+      (lo.toSeq ++ hi.toSeq ++ nn.toSeq).foldLeft(df)(_.filter(_))
     }
   }
 
   // ---- commit (write side) ------------------------------------------
 
-  /** PUT-IF-ABSENT publish: write a temp file, then rename WITHOUT the
-    * overwrite option — the same primitive Delta's own HDFS log store
-    * publishes commits with. On stores whose rename is atomic-fail-if-
-    * exists (HDFS namenode) a collision surfaces as the rename
-    * throwing; on a raw local FS (POSIX rename overwrites) the
-    * pre-rename existence check plus the read-back verification below
-    * close the race window: a writer only believes it owns version N
-    * after re-reading `dest` and finding ITS OWN bytes there. Returns
-    * false when another writer won — the caller retries at N+1.
+  /** PUT-IF-ABSENT publish — the commit-point primitive. Two paths by
+    * store capability:
+    *
+    * LOCAL FS: write a temp file, then hard-LINK it to `dest`
+    * (link(2) is the POSIX put-if-absent: the kernel atomically fails
+    * with EEXIST when dest exists, and on success dest appears with
+    * its FULL content — readers never observe a partial commit). This
+    * replaces the r8 rename+verify-read scheme, whose verify window
+    * had a residual ABA: on overwriting-rename filesystems writer A
+    * could rename, read back its own bytes and return won, then
+    * writer B's rename overwrote commit N and ALSO verified its own
+    * bytes — both believed they owned N and A's actions were silently
+    * dropped (r9 ADVICE). Filesystems without hard links fall through
+    * to the rename path.
+    *
+    * OTHER STORES: temp write + FileContext.rename(Rename.NONE) — the
+    * same primitive Delta's own HDFS log store publishes with; on
+    * HDFS/object stores the namenode/store arbitrates atomically and
+    * a collision surfaces as FileAlreadyExistsException. The
+    * read-back verification is kept as a best-effort narrowing for
+    * exotic stores whose rename both succeeds and overwrites; it is
+    * NOT a correctness guarantee there (multi-writer on such a store
+    * needs a real coordination service).
     */
-  private def publishNew(spark: SparkSession, dest: Path,
+  private[sources] def publishNew(spark: SparkSession, dest: Path,
       bytes: Array[Byte]): Boolean = {
     val conf = spark.sessionState.newHadoopConf()
     val f = dest.getFileSystem(conf)
+    val scheme = Option(f.makeQualified(dest).toUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      val destNio = java.nio.file.Paths.get(f.makeQualified(dest).toUri)
+      val tmpNio = destNio.resolveSibling(
+        s".${dest.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      try {
+        java.nio.file.Files.createDirectories(destNio.getParent)
+        java.nio.file.Files.write(tmpNio, bytes)
+        try { java.nio.file.Files.createLink(destNio, tmpNio); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            // no-hardlink mount: degrade to the Hadoop rename path
+            publishNewByRename(conf, f, dest, bytes)
+        }
+      } finally {
+        java.nio.file.Files.deleteIfExists(tmpNio); ()
+      }
+    } else publishNewByRename(conf, f, dest, bytes)
+  }
+
+  private def publishNewByRename(conf: org.apache.hadoop.conf.Configuration,
+      f: org.apache.hadoop.fs.FileSystem, dest: Path,
+      bytes: Array[Byte]): Boolean = {
     val tmp = new Path(dest.getParent,
       s".${dest.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = f.create(tmp, true)
@@ -315,8 +411,8 @@ object DeltaLog {
       try {
         val fc = org.apache.hadoop.fs.FileContext.getFileContext(dest.toUri, conf)
         fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.NONE)
-        // verify-win: on overwriting-rename filesystems both racers'
-        // renames "succeed" — only the one whose bytes landed owns N
+        // best-effort verify for stores whose rename overwrites (see
+        // publishNew scaladoc — narrowing, not a guarantee)
         if (f.getFileStatus(dest).getLen != bytes.length) false
         else {
           val in = f.open(dest)
@@ -413,24 +509,35 @@ object DeltaLog {
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val numRecords = blocks.map(_.getRowCount).sum
-      // accumulate (min, max, nulls, statsComplete) per top-level column
+      // accumulate (min, max, nulls, minmaxComplete, nullsComplete)
+      // per top-level column. The two completeness flags are
+      // INDEPENDENT: an all-null column has no min/max (hasNonNullValue
+      // false) but a perfectly valid numNulls — conflating them (the
+      // r8 shape) dropped the nullCount exactly where IS NOT NULL
+      // pruning needs it most. min/max stay trustworthy across blocks
+      // as long as every block either contributes values or is
+      // provably all-null.
       val acc = scala.collection.mutable.LinkedHashMap[
-        String, (Any, Any, Long, Boolean)]()
+        String, (Any, Any, Long, Boolean, Boolean)]()
       for (b <- blocks; c <- b.getColumns.asScala) {
         val colName = c.getPath.toDotString
         if (byName.contains(colName)) { // nested leaves are skipped
           val st = c.getStatistics
-          val ok = st != null && st.hasNonNullValue && st.isNumNullsSet
+          val stOk = st != null && st.isNumNullsSet
+          val allNull = stOk && !st.hasNonNullValue &&
+            st.getNumNulls == b.getRowCount
+          val hasVals = stOk && st.hasNonNullValue
           val (mn, mx): (Any, Any) =
-            if (ok) (st.genericGetMin, st.genericGetMax) else (null, null)
-          val prev = acc.getOrElse(colName, (null, null, 0L, true))
+            if (hasVals) (st.genericGetMin, st.genericGetMax) else (null, null)
+          val prev = acc.getOrElse(colName, (null, null, 0L, true, true))
           def lt(a: Any, b: Any): Boolean =
             a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
           acc(colName) = (
             if (prev._1 == null) mn else if (mn != null && lt(mn, prev._1)) mn else prev._1,
             if (prev._2 == null) mx else if (mx != null && lt(prev._2, mx)) mx else prev._2,
-            prev._3 + (if (ok) st.getNumNulls else 0L),
-            prev._4 && ok)
+            prev._3 + (if (stOk) st.getNumNulls else 0L),
+            prev._4 && (hasVals || allNull),
+            prev._5 && stOk)
         }
       }
       val n = mapper.createObjectNode()
@@ -455,12 +562,12 @@ object DeltaLog {
           case (_, bo: java.lang.Boolean) => o.put(name, bo.booleanValue()): Unit
           case _ => () // unsupported physical type: omit from stats
         }
-      for ((name, (mn, mx, nulls, complete)) <- acc) {
-        if (complete && mn != null) {
+      for ((name, (mn, mx, nulls, mmOk, ncOk)) <- acc) {
+        if (mmOk && mn != null) {
           putVal(minN, name, byName(name), mn)
           putVal(maxN, name, byName(name), mx)
         }
-        if (complete) nullN.put(name, nulls): Unit
+        if (ncOk) nullN.put(name, nulls): Unit
       }
       mapper.writeValueAsString(n)
     } finally reader.close()

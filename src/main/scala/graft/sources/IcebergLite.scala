@@ -132,13 +132,20 @@ object IcebergLite {
     try in.readAllBytes() finally in.close()
   }
 
-  /** tmp-write + rename publish (the repo's atomic-publish idiom). */
+  /** tmp-write + ATOMIC overwriting rename (FileContext with
+    * Rename.OVERWRITE — DeltaLog.publishOverwrite's primitive). The
+    * previous delete-then-rename left a window where a reader saw no
+    * file at all: for version-hint.text that meant currentMetaVersion
+    * briefly returned -1 and readLatest failed. The tmp name carries a
+    * uuid so concurrent writers never clobber each other's staging.
+    */
   private def writeBytes(f: FileSystem, p: Path, bytes: Array[Byte]): Unit = {
-    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val tmp = new Path(p.getParent,
+      s".${p.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = f.create(tmp, true)
     try out.write(bytes) finally out.close()
-    f.delete(p, false)
-    require(f.rename(tmp, p), s"metadata publish failed: $p")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, f.getConf)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def writeAvro(f: FileSystem, path: Path, schema: Schema,
@@ -164,12 +171,21 @@ object IcebergLite {
 
   private def metaDir(root: String) = new Path(root, "metadata")
 
-  /** Latest metadata version per version-hint.text, -1 if none. */
+  /** Latest metadata version: read version-hint.text, then PROBE
+    * upward while v{n+1}.metadata.json exists — the HadoopTables
+    * convention, where the hint is advisory (a concurrent committer
+    * may have published a newer metadata file whose hint flip hasn't
+    * landed, or the hint write may have been lost entirely). -1 if the
+    * table has no metadata at all.
+    */
   def currentMetaVersion(spark: SparkSession, root: String): Int = {
     val f = fs(spark, root)
     val hint = new Path(metaDir(root), "version-hint.text")
-    if (!f.exists(hint)) -1
-    else new String(readBytes(f, hint), "UTF-8").trim.toInt
+    var v =
+      if (!f.exists(hint)) -1
+      else new String(readBytes(f, hint), "UTF-8").trim.toInt
+    while (f.exists(new Path(metaDir(root), s"v${v + 1}.metadata.json"))) v += 1
+    v
   }
 
   private def readMeta(spark: SparkSession, root: String, v: Int) =
@@ -210,99 +226,134 @@ object IcebergLite {
     * a status=2 DELETE manifest for the parent's live files and does
     * NOT carry parent manifests forward.
     */
+  /** OPTIMISTIC-CONCURRENCY commit (the DeltaLog.commit shape; closes
+    * the r8 verdict's last-writer-wins finding). Data files are
+    * written ONCE to a writer-unique dir (never collide); the
+    * metadata loop then: reads the current version, builds metadata
+    * v=N+1 against that parent, and publishes v{N+1}.metadata.json
+    * with the put-if-absent primitive (DeltaLog.publishNew — hard
+    * link on local FS, atomic-fail-if-exists rename on HDFS-likes).
+    * The METADATA FILE is the commit point — real HadoopTables
+    * semantics; losing the race re-reads the winner's metadata as the
+    * new parent and retries, so an overwrite recomputes its DELETE
+    * manifest from the files live at ITS commit point. The hint flip
+    * after the win is advisory (currentMetaVersion probes past it).
+    * Manifest/list names carry the writer tag: two racers building
+    * the same version must never reference each other's bytes.
+    */
   private def commit(df: DataFrame, root: String, overwrite: Boolean): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
-    val parentV = currentMetaVersion(spark, root)
-    val v = parentV + 1
-    val snapId = v + 1L // deterministic, monotone
     f.mkdirs(metaDir(root))
+    val tag = java.util.UUID.randomUUID().toString.take(8)
 
-    val dataDir = s"data/s$v"
+    val dataDir = s"data/s-$tag"
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$dataDir")
     val dataFiles = f.listStatus(new Path(root, dataDir)).toSeq
       .filter(_.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
 
-    // one ADDED manifest for this snapshot's files
-    val manifestName = s"manifest-$snapId.avro"
-    val manifestLen = writeAvro(f, new Path(metaDir(root), manifestName),
-      manifestSchema,
-      dataFiles.map(st => manifestRecord(1,
-        s"$dataDir/${st.getPath.getName}", st.getLen)))
+    var attempt = 0
+    while (true) {
+      val parentV = currentMetaVersion(spark, root)
+      val v = parentV + 1
+      val snapId = v + 1L // deterministic, monotone
 
-    val parentMeta = if (parentV < 0) None else Some(readMeta(spark, root, parentV))
+      // one ADDED manifest for this snapshot's files
+      val manifestName = s"manifest-$snapId-$tag.avro"
+      val manifestLen = writeAvro(f, new Path(metaDir(root), manifestName),
+        manifestSchema,
+        dataFiles.map(st => manifestRecord(1,
+          s"$dataDir/${st.getPath.getName}", st.getLen)))
 
-    // manifest list: append REUSES parent manifests; overwrite replaces
-    // them with one status=2 DELETE manifest recording the removal
-    val carried: Seq[ManifestRef] = parentMeta match {
-      case None => Nil
-      case Some(pm) =>
-        val parentSnap = pm.get("current-snapshot-id").asLong()
-        if (!overwrite) listManifests(spark, root, pm, parentSnap)
-        else {
-          val live = snapshotFilesOf(spark, root, pm, parentSnap)
-          val delName = s"manifest-$snapId-deletes.avro"
-          val delLen = writeAvro(f, new Path(metaDir(root), delName),
-            manifestSchema,
-            live.map { case (p, sz) => manifestRecord(2, p, sz) })
-          Seq(ManifestRef(s"metadata/$delName", delLen, 0))
-        }
-    }
-    val listName = s"snap-$snapId.avro"
-    val entries = carried :+
-      ManifestRef(s"metadata/$manifestName", manifestLen, dataFiles.length)
-    writeAvro(f, new Path(metaDir(root), listName), manifestListSchema,
-      entries.map { m =>
-        val r = new GenericData.Record(manifestListSchema)
-        r.put("manifest_path", m.path); r.put("manifest_length", m.length)
-        r.put("added_files_count", m.added); r
-      })
+      val parentMeta =
+        if (parentV < 0) None else Some(readMeta(spark, root, parentV))
 
-    // schemas accumulate: reuse the id of an equal prior schema, else
-    // append with the next id — each snapshot records ITS schema-id,
-    // so time travel across a schema change reads each snapshot with
-    // the schema it was written under
-    val priorSchemas: Seq[(Int, StructType, com.fasterxml.jackson.databind.JsonNode)] =
-      parentMeta.map(_.get("schemas").elements().asScala.toSeq.map { s =>
-        (s.get("schema-id").asInt(), parseSchema(s), s)
-      }).getOrElse(Nil)
-    val (schemaId, schemasOut) =
-      priorSchemas.find(_._2 == df.schema) match {
-        case Some((id, _, _)) => (id, priorSchemas.map(_._3))
-        case None =>
-          val id = priorSchemas.map(_._1).maxOption.getOrElse(-1) + 1
-          (id, priorSchemas.map(_._3) :+
-            (schemaJson(df.schema, id): com.fasterxml.jackson.databind.JsonNode))
+      // manifest list: append REUSES parent manifests; overwrite
+      // replaces them with one status=2 DELETE manifest recording the
+      // removal — recomputed per attempt from the CURRENT parent
+      val carried: Seq[ManifestRef] = parentMeta match {
+        case None => Nil
+        case Some(pm) =>
+          val parentSnap = pm.get("current-snapshot-id").asLong()
+          if (!overwrite) listManifests(spark, root, pm, parentSnap)
+          else {
+            val live = snapshotFilesOf(spark, root, pm, parentSnap)
+            val delName = s"manifest-$snapId-$tag-deletes.avro"
+            val delLen = writeAvro(f, new Path(metaDir(root), delName),
+              manifestSchema,
+              live.map { case (p, sz) => manifestRecord(2, p, sz) })
+            Seq(ManifestRef(s"metadata/$delName", delLen, 0))
+          }
       }
+      val listName = s"snap-$snapId-$tag.avro"
+      val entries = carried :+
+        ManifestRef(s"metadata/$manifestName", manifestLen, dataFiles.length)
+      writeAvro(f, new Path(metaDir(root), listName), manifestListSchema,
+        entries.map { m =>
+          val r = new GenericData.Record(manifestListSchema)
+          r.put("manifest_path", m.path); r.put("manifest_length", m.length)
+          r.put("added_files_count", m.added); r
+        })
 
-    // metadata json: snapshot log accumulates, current flips
-    val meta = mapper.createObjectNode()
-    meta.put("format-version", 2)
-    meta.put("table-uuid", java.util.UUID.nameUUIDFromBytes(
-      root.getBytes("UTF-8")).toString)
-    meta.put("location", root)
-    meta.put("current-schema-id", schemaId)
-    val schemasArr = meta.putArray("schemas")
-    schemasOut.foreach(schemasArr.add)
-    meta.put("current-snapshot-id", snapId)
-    val snaps = meta.putArray("snapshots")
-    parentMeta.foreach(_.get("snapshots").elements().asScala
-      .foreach(s => snaps.add(s)))
-    val sn = snaps.addObject()
-    sn.put("snapshot-id", snapId)
-    sn.put("sequence-number", v + 1L)
-    sn.put("timestamp-ms", System.currentTimeMillis())
-    sn.put("manifest-list", s"metadata/$listName")
-    sn.put("schema-id", schemaId)
-    sn.put("operation", if (overwrite) "overwrite" else "append")
+      // schemas accumulate: reuse the id of an equal prior schema,
+      // else append with the next id — each snapshot records ITS
+      // schema-id, so time travel across a schema change reads each
+      // snapshot with the schema it was written under. The comparison
+      // canonicalizes df.schema through the same JSON round-trip the
+      // priors took (drops StructField metadata and non-roundtripping
+      // detail) — raw StructType equality re-registered an identical
+      // schema on every commit whenever the df carried field metadata.
+      val canonSchema = parseSchema(schemaJson(df.schema, -1))
+      val priorSchemas: Seq[(Int, StructType, com.fasterxml.jackson.databind.JsonNode)] =
+        parentMeta.map(_.get("schemas").elements().asScala.toSeq.map { s =>
+          (s.get("schema-id").asInt(), parseSchema(s), s)
+        }).getOrElse(Nil)
+      val (schemaId, schemasOut) =
+        priorSchemas.find(_._2 == canonSchema) match {
+          case Some((id, _, _)) => (id, priorSchemas.map(_._3))
+          case None =>
+            val id = priorSchemas.map(_._1).maxOption.getOrElse(-1) + 1
+            (id, priorSchemas.map(_._3) :+
+              (schemaJson(df.schema, id): com.fasterxml.jackson.databind.JsonNode))
+        }
 
-    writeBytes(f, new Path(metaDir(root), s"v$v.metadata.json"),
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
-    // hint flip = the commit point for HadoopTables readers
-    writeBytes(f, new Path(metaDir(root), "version-hint.text"),
-      s"$v".getBytes("UTF-8"))
-    snapId
+      // metadata json: snapshot log accumulates, current flips
+      val meta = mapper.createObjectNode()
+      meta.put("format-version", 2)
+      meta.put("table-uuid", java.util.UUID.nameUUIDFromBytes(
+        root.getBytes("UTF-8")).toString)
+      meta.put("location", root)
+      meta.put("current-schema-id", schemaId)
+      val schemasArr = meta.putArray("schemas")
+      schemasOut.foreach(schemasArr.add)
+      meta.put("current-snapshot-id", snapId)
+      val snaps = meta.putArray("snapshots")
+      parentMeta.foreach(_.get("snapshots").elements().asScala
+        .foreach(s => snaps.add(s)))
+      val sn = snaps.addObject()
+      sn.put("snapshot-id", snapId)
+      sn.put("sequence-number", v + 1L)
+      sn.put("timestamp-ms", System.currentTimeMillis())
+      sn.put("manifest-list", s"metadata/$listName")
+      sn.put("schema-id", schemaId)
+      sn.put("operation", if (overwrite) "overwrite" else "append")
+
+      // COMMIT POINT: put-if-absent on the metadata file
+      if (DeltaLog.publishNew(spark,
+        new Path(metaDir(root), s"v$v.metadata.json"),
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))) {
+        // advisory for readers that trust the hint; probing covers a
+        // lost/stale flip
+        writeBytes(f, new Path(metaDir(root), "version-hint.text"),
+          s"$v".getBytes("UTF-8"))
+        return snapId
+      }
+      attempt += 1
+      require(attempt < 50,
+        s"iceberg commit to $root lost $attempt publish races — giving up")
+    }
+    -1L // unreachable
   }
 
   /** Append df as a new snapshot; returns the new snapshot id.

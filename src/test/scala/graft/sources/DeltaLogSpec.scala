@@ -275,6 +275,91 @@ class DeltaLogSpec extends SparkSpec {
       "no commit may be lost: both racers' rows must be present")
   }
 
+  test("nullCount pruning: IS NULL / IS NOT NULL skip provably-irrelevant files") {
+    val root = freshRoot("delta_nulls")
+    val s = spark
+    import s.implicits._
+    // file 1: no nulls; file 2: some null; file 3: ALL null
+    DeltaLog.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "tag").coalesce(1), root)
+    DeltaLog.commitAppend(Seq((3L, "c"), (4L, null)).toDF("id", "tag").coalesce(1), root)
+    DeltaLog.commitAppend(
+      Seq((5L, null: String), (6L, null: String)).toDF("id", "tag").coalesce(1), root)
+    val v = DeltaLog.currentVersion(spark, root)
+    val snap = DeltaLog.snapshotAsOf(spark, root, v)
+    assert(snap.adds.size === 3)
+    // IS NULL: the no-null file is provably irrelevant
+    val isNull = Seq(DeltaLog.ColRange("tag", isNull = Some(true)))
+    assert(DeltaLog.pruneFiles(snap, isNull).size === 2)
+    assert(DeltaLog.readVersionPruned(spark, root, v, isNull)
+      .collect().map(_.getLong(0)).toSet === Set(4L, 5L, 6L))
+    // IS NOT NULL: the all-null file is provably irrelevant
+    val notNull = Seq(DeltaLog.ColRange("tag", isNull = Some(false)))
+    assert(DeltaLog.pruneFiles(snap, notNull).size === 2)
+    assert(DeltaLog.readVersionPruned(spark, root, v, notNull)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+  }
+
+  test("commit hammer: 4 racing writers x 4 commits, no commit lost") {
+    // The r8 publish used rename + read-back verification, which had a
+    // residual ABA on overwriting-rename filesystems: two racers could
+    // BOTH verify their own bytes at version N and one commit silently
+    // vanished. The hard-link put-if-absent (publishNew) makes the
+    // kernel arbitrate exactly one winner; this hammer drives enough
+    // same-version contention that the old scheme's window is actually
+    // exercised, and asserts the invariant that matters: every commit
+    // lands, at a distinct version, and the final replay sees all rows.
+    val root = freshRoot("delta_hammer")
+    val o = Tables.orders(spark, sf).filter(col("o_orderkey") < 1600)
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futures = (0 until 4).map { w =>
+      Future {
+        (0 until 4).map { i =>
+          DeltaLog.commitAppend(
+            o.filter(col("o_orderkey") % 16 === lit(w * 4 + i)), root)
+        }
+      }
+    }
+    val versions = futures.flatMap(Await.result(_, 300.seconds))
+    assert(versions.toSet === (0L until 16L).toSet,
+      s"16 commits must land as versions 0..15, got ${versions.sorted}")
+    assert(DeltaLog.readLatest(spark, root).count() === o.count(),
+      "a racing writer's commit was silently dropped")
+  }
+
+  test("timestamp stats pruning agrees with the row filter in a non-UTC session") {
+    // fileStats renders TimestampType min/max as UTC wall-clock; the
+    // query bound arrives as SESSION wall-clock. In a UTC+9 session
+    // the unconverted comparison judged a file disjoint when its rows
+    // actually match (instants [bound-9h, bound) were silently
+    // dropped). pruneFiles now re-renders the bound in UTC first.
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "Asia/Tokyo")
+      val root = freshRoot("delta_tz")
+      val s = spark
+      import s.implicits._
+      // Tokyo 09:00 == UTC 00:00 — the regime where the two renderings
+      // straddle the bound below
+      val df = Seq(1L, 2L, 3L).toDF("id")
+        .withColumn("ev", lit("2024-01-01 09:00:00").cast("timestamp"))
+      DeltaLog.commitAppend(df.coalesce(1), root)
+      val v = DeltaLog.currentVersion(spark, root)
+      // bound Tokyo 05:00 (= UTC 2023-12-31T20:00): rows match, but the
+      // UTC-rendered stats max (00:00) sorts BELOW the unconverted
+      // bound string — the old compare pruned the file
+      val ranges = Seq(DeltaLog.ColRange("ev", Some("2024-01-01T05:00:00"), None))
+      val pruned = DeltaLog.readVersionPruned(spark, root, v, ranges)
+      assert(pruned.count() === 3L,
+        "file wrongly pruned: stats (UTC) compared against a session-TZ bound")
+      // and the prune still fires when no instant can match
+      val none = Seq(DeltaLog.ColRange("ev", Some("2030-01-01"), None))
+      assert(DeltaLog.readVersionPruned(spark, root, v, none).count() === 0L)
+    } finally spark.conf.set(tzKey, saved)
+  }
+
   test("%XX partition-value unescaping decodes UTF-8 byte sequences") {
     // multi-byte escapes (a foreign writer escaping non-ASCII) must
     // decode as ONE UTF-8 sequence, not per-byte chars (mojibake)

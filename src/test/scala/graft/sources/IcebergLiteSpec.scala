@@ -29,8 +29,14 @@ class IcebergLiteSpec extends SparkSpec {
     val files2 = IcebergLite.snapshotFiles(spark, root, snap2).toSet
     assert(files1.nonEmpty && files1.subsetOf(files2),
       "snapshot 2 must reuse snapshot 1's data files (append semantics)")
-    assert(files1.forall(_.startsWith("data/s0/")))
-    assert((files2 -- files1).forall(_.startsWith("data/s1/")))
+    // each commit's files live in its own writer-unique data dir
+    // (OCC: concurrent writers must never collide on a data path)
+    def dirsOf(fs: Set[String]): Set[String] =
+      fs.map(_.split('/').dropRight(1).mkString("/"))
+    assert(files1.forall(_.startsWith("data/s-")))
+    assert(dirsOf(files1).size == 1)
+    assert(dirsOf(files2 -- files1).size == 1)
+    assert(dirsOf(files1) != dirsOf(files2 -- files1))
 
     // structural manifest reuse: snap2's manifest LIST references the
     // SAME manifest avro file snap1's list does — no manifest rewrite
@@ -71,7 +77,9 @@ class IcebergLiteSpec extends SparkSpec {
 
     // live set of the overwrite snapshot = ONLY c's files
     val files3 = IcebergLite.snapshotFiles(spark, root, snap3).toSet
-    assert(files3.nonEmpty && files3.forall(_.startsWith("data/s2/")),
+    val earlier = IcebergLite.snapshotFiles(spark, root, snap1).toSet ++
+      IcebergLite.snapshotFiles(spark, root, snap2).toSet
+    assert(files3.nonEmpty && files3.intersect(earlier).isEmpty,
       s"overwrite's live set must be only the new files: $files3")
     // history intact: older snapshots still read their own data
     assert(IcebergLite.readSnapshot(spark, root, snap1).count() === a.count())
@@ -99,6 +107,36 @@ class IcebergLiteSpec extends SparkSpec {
       finally r.close()
     assert(tombstoned === IcebergLite.snapshotFiles(spark, root, snap2).toSet,
       "delete manifest must tombstone exactly the parent's live files")
+  }
+
+  test("two concurrent committers both land as consecutive snapshots") {
+    // r8 left the Iceberg commit last-writer-wins (version-hint
+    // overwrite): two racers could build the same v and one snapshot
+    // silently vanished. The commit point is now put-if-absent on
+    // v{N}.metadata.json with a re-read-parent retry loop — the same
+    // optimistic-concurrency shape DeltaLog.commit got in r8.
+    val root = freshRoot("iceberg_race")
+    val o = Tables.orders(spark, sf).filter(col("o_orderkey") < 400)
+    IcebergLite.commitAppend(o.filter(col("o_orderkey") < 100), root)
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fa = Future(IcebergLite.commitAppend(
+      o.filter(col("o_orderkey") % 2 === 0), root))
+    val fb = Future(IcebergLite.commitAppend(
+      o.filter(col("o_orderkey") % 2 === 1), root))
+    val sa = Await.result(fa, 120.seconds)
+    val sb = Await.result(fb, 120.seconds)
+    assert(Set(sa, sb) === Set(2L, 3L),
+      s"both writers must land as consecutive snapshots, got ($sa, $sb)")
+    assert(IcebergLite.currentMetaVersion(spark, root) === 2)
+    val expected = o.filter(col("o_orderkey") < 100).count() + o.count()
+    assert(IcebergLite.readLatest(spark, root).count() === expected,
+      "no commit may be lost: both racers' rows must be present")
+    // and the loser's history stayed coherent: every snapshot readable
+    Seq(1L, sa, sb).foreach { sid =>
+      assert(IcebergLite.readSnapshot(spark, root, sid).count() > 0)
+    }
   }
 
   test("time travel across a schema change reads each snapshot with its own schema") {
