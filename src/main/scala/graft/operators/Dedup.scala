@@ -573,9 +573,18 @@ object Dedup {
     // embedding columns have), where banding is the measured scale
     // win (Ann.dim256BenchDir).
     "dedup_embedding_srp" -> Q(
-      (s, dir) => Ann.embeddingSrpPairs(s, dir, threshold = 0.45,
-          bands = 42, rowsPerBand = 8, planeMode = "md5")
-        .orderBy("id_a", "id_b"),
+      (s, dir) => {
+        // the oracle below replays md5 planes over range(0, 64) — a
+        // corpus with a different dim would silently DROP components
+        // in the plane join and gate against a wrong replay, so it
+        // must fail loudly here instead (the ann_ivf_topk device)
+        val dim = Ann.corpusDim(s, dir)
+        require(dim == 64,
+          s"dedup_embedding_srp's oracle pins dim=64 but the corpus is $dim-dim")
+        Ann.embeddingSrpPairs(s, dir, threshold = 0.45,
+            bands = 42, rowsPerBand = 8, planeMode = "md5")
+          .orderBy("id_a", "id_b")
+      },
       Some("""
         WITH planes AS (
           SELECT pk.k AS k, pj.j AS j,

@@ -249,12 +249,24 @@ object DeltaLog {
     * zone and needs no conversion).
     */
   private def boundToUtc(v: String, sessionTz: String): String = {
-    val t = v.stripSuffix("Z").replace(' ', 'T')
-    val ldt = java.time.LocalDateTime.parse(
-      if (t.length == 10) t + "T00:00:00" else t)
-    ldt.atZone(java.time.ZoneId.of(sessionTz))
-      .withZoneSameInstant(java.time.ZoneOffset.UTC)
-      .toLocalDateTime.format(tsFmt)
+    val t0 = v.replace(' ', 'T')
+    val t = if (t0.length == 10) t0 + "T00:00:00" else t0
+    // A bound carrying an explicit offset ('Z' / '+hh:mm') names an
+    // INSTANT. The row-filter layer casts it with Spark semantics
+    // (offset honored), so the prune layer must honor it too —
+    // stripping the 'Z' and re-zoning the wall-clock in the session
+    // zone would make the two layers compare instants up to a zone
+    // offset apart and could prune files whose rows match.
+    val utc =
+      try java.time.OffsetDateTime.parse(t)
+        .withOffsetSameInstant(java.time.ZoneOffset.UTC).toLocalDateTime
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          java.time.LocalDateTime.parse(t)
+            .atZone(java.time.ZoneId.of(sessionTz))
+            .withZoneSameInstant(java.time.ZoneOffset.UTC).toLocalDateTime
+      }
+    utc.format(tsFmt)
   }
 
   /** The subset of `snap`'s files whose stats / partitionValues ADMIT
@@ -390,14 +402,39 @@ object DeltaLog {
         try { java.nio.file.Files.createLink(destNio, tmpNio); true }
         catch {
           case _: java.nio.file.FileAlreadyExistsException => false
-          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          case _: UnsupportedOperationException =>
             // no-hardlink mount: degrade to the Hadoop rename path
             publishNewByRename(conf, f, dest, bytes)
+          case e: java.nio.file.FileSystemException
+              if isNoHardlinkSupport(e) =>
+            publishNewByRename(conf, f, dest, bytes)
+          // Any OTHER FileSystemException (EIO, disk-full, transient
+          // contention) must SURFACE: silently degrading to the
+          // overwriting-rename path would reopen exactly the ABA
+          // window this primitive exists to close, turning a
+          // transient fault into a dropped commit.
         }
       } finally {
         java.nio.file.Files.deleteIfExists(tmpNio); ()
       }
     } else publishNewByRename(conf, f, dest, bytes)
+  }
+
+  /** Does this link(2) failure mean "the filesystem cannot hard-link"
+    * (a stable property of the mount — safe to fall back) rather than
+    * a transient fault (must surface)? EPERM ("operation not
+    * permitted") is what Linux returns for no-hardlink filesystems
+    * (vfat, some FUSE mounts); EOPNOTSUPP ("operation not supported")
+    * and EXDEV ("cross-device link") likewise name capability, not
+    * state. Reason-string matching is the only signal NIO exposes.
+    */
+  private def isNoHardlinkSupport(e: java.nio.file.FileSystemException): Boolean = {
+    val r = Option(e.getReason).getOrElse(e.getMessage match {
+      case null => ""
+      case m => m
+    }).toLowerCase(java.util.Locale.ROOT)
+    r.contains("not permitted") || r.contains("not supported") ||
+      r.contains("cross-device")
   }
 
   private def publishNewByRename(conf: org.apache.hadoop.conf.Configuration,

@@ -74,6 +74,43 @@ class AnnSpec extends SparkSpec {
     assert(mean >= 0.86, f"PQ recall below floor: $mean%.2f (pinned 0.90)")
   }
 
+  test("IVF-PQ top-k (trained, dim 64): recall@10 vs brute force") {
+    val bf = topk("ann_bruteforce_topk")
+    val got = collectTopk(Ann.ivfPqTopK(spark, sf))
+    val mean = recallAt10(got, bf)
+    info(f"mean IVF-PQ recall@10 = $mean%.2f")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("ANN_RECALL_IVFPQ.json"),
+      f"""{"metric":"ivfpq_recall_at_10","value":$mean%.3f,"cells":8,"nprobe":4,"m":8,"ks":32,"rerank":100,"queries":${bf.size}}%n"""
+        .getBytes("UTF-8"))
+    // the composed index can only lose recall where its stages do:
+    // coarse probe misses (IVF's 0.92) and ADC shortlist misses
+    // (PQ's 0.90); the floor is measured-minus-margin like both
+    assert(mean >= 0.84, f"IVF-PQ recall below floor: $mean%.2f")
+  }
+
+  test("IVF-PQ dim-256 serving: recall@10 at production dims, deterministic") {
+    // The serving family's first production-dim measurement (the r9
+    // verdict's #3): the dim-256 GenData twin served by the trained
+    // IVF-PQ index at cells~sqrt(n) — recall ground truth is the
+    // exact brute force over the SAME corpus.
+    val d256 = Ann.dim256BenchDir(spark, sf)
+    val bf = collectTopk(Ann.bruteForceTopK(spark, d256))
+    val got = collectTopk(Ann.ivfPqTopKD256(spark, sf))
+    val mean = recallAt10(got, bf)
+    info(f"dim-256 IVF-PQ recall@10 = $mean%.2f")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("ANN_RECALL_D256.json"),
+      f"""{"metric":"ivfpq_d256_recall_at_10","value":$mean%.3f,"dim":256,"cells":"max(16,sqrt(n))","nprobe":"max(4,cells/4)","m":"dim/8","ks":64,"rerank":200,"queries":${bf.size}}%n"""
+        .getBytes("UTF-8"))
+    // measured 0.92 at subLen=8 (m=dim/8) — the constant-subspace-
+    // length scaling; floor = measured-minus-margin
+    assert(mean >= 0.88, f"dim-256 IVF-PQ recall below floor: $mean%.2f (pinned 0.92)")
+    // served-index determinism: a repeat probe reproduces the lists
+    assert(collectTopk(Ann.ivfPqTopKD256(spark, sf)) == got,
+      "dim-256 IVF-PQ serving not deterministic")
+  }
+
   test("seeded (oracle-mode) IVF and PQ: valid top-k shape, deterministic, usable recall") {
     val bf = topk("ann_bruteforce_topk")
     // the registry fn IS the seeded mode for these two entries
