@@ -361,6 +361,55 @@ object Ann {
       }
     }
 
+  /** Derive SRP banding (rowsPerBand, bands) from a recall contract —
+    * the self-tuning inverse of the collision law, so a caller states
+    * WHAT it needs ("pairs at cosine >= simAt must surface with
+    * probability >= recall") instead of hand-picking the r=14/b=24
+    * fixture. The law: a single SRP bit agrees on a pair with
+    * probability p = 1 - acos(cos)/pi, so a pair collides in at least
+    * one of b bands of r bits with P = 1 - (1 - p^r)^b. Inverting at
+    * the contract point: b(r) = ceil(ln(1-recall) / ln(1-p^r)).
+    * Feasibility: random pairs (cos ~ 0, p = 1/2) must stay out of
+    * the candidate join — the expected colliding-band count per
+    * random pair, b * 2^-r, is capped by `fpBandBudget`. Among
+    * feasible (r, b) the minimizer of total projection bits r*b wins
+    * (projection work per vector and signature width both scale with
+    * it; b alone sets the shuffle fan-out).
+    *
+    * Note the contract point is the SIMILARITY OF THE PAIRS TO BE
+    * FOUND (e.g. 0.87+ for near-dup clones), not the exact-verify
+    * threshold: verification makes false positives impossible
+    * regardless, so banding only decides recall and candidate volume.
+    */
+  def srpParams(simAt: Double, recall: Double,
+      fpBandBudget: Double = 0.01): (Int, Int) = {
+    require(simAt > 0.0 && simAt < 1.0, s"simAt must be in (0,1): $simAt")
+    require(recall >= 0.5 && recall < 1.0, s"recall must be in [0.5,1): $recall")
+    val p = 1.0 - math.acos(simAt) / math.Pi
+    val feasible = (1 to 64).flatMap { r =>
+      val pr = math.pow(p, r)
+      if (pr >= 1.0) None
+      else {
+        val b = math.ceil(math.log1p(-recall) / math.log1p(-pr)).toLong
+        if (b >= 1 && b <= 4096 && b * math.pow(0.5, r) <= fpBandBudget)
+          Some((r, b.toInt))
+        else None
+      }
+    }
+    require(feasible.nonEmpty,
+      s"no SRP banding meets recall=$recall at sim=$simAt within " +
+        s"fpBandBudget=$fpBandBudget — relax the contract")
+    feasible.minBy { case (r, b) => r.toLong * b }
+  }
+
+  /** Forward collision law: P[>=1 band collides] at cosine `cos`
+    * under banding (r, b) — the quantity [[srpParams]] inverts.
+    */
+  def srpCollisionP(cos: Double, rowsPerBand: Int, bands: Int): Double = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, cos))) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(p, rowsPerBand), bands)
+  }
+
   /** Rademacher planes derived from md5 — the ORACLE-REPLAYABLE plane
     * family (the dedup_simhash device): sign of plane row k, component
     * j is the high bit of md5("k:j"), which DuckDB recomputes as

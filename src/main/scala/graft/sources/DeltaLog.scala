@@ -739,10 +739,40 @@ object DeltaLog {
     * serializable behavior the Delta protocol's conflict rules give
     * blind appends/overwrites.
     */
+  /** The remove-action paths of commit `v` (empty for pure appends). */
+  private def removesIn(f: FileSystem, root: String, v: Long): Set[String] =
+    readCommitLines(f, root, v).flatMap { l =>
+      Option(mapper.readTree(l).get("remove")).map(_.get("path").asText())
+    }.toSet
+
+  /** WRITE-WRITE CONFLICT CHECK (the Delta protocol's rule, minimal
+    * form): a transaction that built its commit against snapshot
+    * `from` conflicts with any commit in (from, to] that REMOVED
+    * files — a concurrent overwrite or copy-on-write rewrite
+    * invalidates the snapshot the transaction assumed, so committing
+    * on top would silently interleave with (and potentially
+    * resurrect) state the remover already superseded. Commits that
+    * only ADD files never conflict here (blind appends commute).
+    */
+  private def conflictCheck(f: FileSystem, root: String, from: Long,
+      to: Long, op: String): Unit = {
+    var v = from + 1
+    while (v <= to) {
+      val removed = removesIn(f, root, v)
+      if (removed.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"$op against $root built on snapshot $from conflicts with " +
+            s"commit $v, which removed ${removed.size} file(s) " +
+            "(concurrent overwrite/rewrite) — re-read the table and retry")
+      v += 1
+    }
+  }
+
   private def commit(df: DataFrame, root: String, partitionBy: Seq[String],
-      overwrite: Boolean): Long = {
+      overwrite: Boolean, readVersion: Option[Long]): Long = {
     val spark = df.sparkSession
     val ts = System.currentTimeMillis()
+    val f = fs(spark, root)
     val files = stageDataFiles(df, root, partitionBy)
     val dataCols = df.schema.fields
       .filterNot(f => partitionBy.contains(f.name))
@@ -752,16 +782,23 @@ object DeltaLog {
       addLine(rel, sz, ts, statsByRel.getOrElse(rel, None))
     }
     val txnId = java.util.UUID.randomUUID().toString
+    val opName = if (overwrite) "OVERWRITE" else "WRITE"
+    // the snapshot this transaction is ASSUMED to have built against:
+    // explicit when the caller read the table (and passes what it
+    // read), else the version current at commit entry — so only
+    // commits that land DURING the publish race are checked
+    val startParent = readVersion.getOrElse(currentVersion(spark, root))
     var attempt = 0
     while (true) {
       val parent = currentVersion(spark, root)
+      if (parent > startParent) conflictCheck(f, root, startParent, parent, opName)
       val v = parent + 1
       val removed: Seq[String] =
         if (overwrite && parent >= 0)
           snapshotAsOf(spark, root, parent).files
         else Nil
       val lines = scala.collection.mutable.Buffer[String]()
-      lines += commitInfoLine(if (overwrite) "OVERWRITE" else "WRITE", txnId)
+      lines += commitInfoLine(opName, txnId)
       if (v == 0L) {
         lines += protocolLine
         lines += metaDataLine(df.schema, partitionBy)
@@ -778,18 +815,82 @@ object DeltaLog {
     -1L // unreachable
   }
 
-  /** Append df as commit N+1 (new add actions only). */
+  /** Append df as commit N+1 (new add actions only). `readVersion`,
+    * when given, is the snapshot the caller read before writing; the
+    * commit then ABORTS (ConcurrentModificationException) if any
+    * commit since removed files — i.e. an overwrite/rewrite raced in
+    * and the append's snapshot no longer describes the table. Without
+    * it, appends are blind and only in-flight races are checked.
+    */
   def commitAppend(df: DataFrame, root: String,
-      partitionBy: Seq[String] = Nil): Long =
-    commit(df, root, partitionBy, overwrite = false)
+      partitionBy: Seq[String] = Nil, readVersion: Option[Long] = None): Long =
+    commit(df, root, partitionBy, overwrite = false, readVersion)
 
   /** Replace the table content with df: remove actions for every
     * currently-active file + add actions for the new ones. Old
     * versions keep reading their own files (nothing is deleted).
+    * Conflict rule: intermediate APPENDS are fine (the remove set is
+    * recomputed from the fresh parent each attempt, so the overwrite
+    * supersedes them serializably); an intermediate REMOVER aborts.
     */
   def commitOverwrite(df: DataFrame, root: String,
-      partitionBy: Seq[String] = Nil): Long =
-    commit(df, root, partitionBy, overwrite = true)
+      partitionBy: Seq[String] = Nil, readVersion: Option[Long] = None): Long =
+    commit(df, root, partitionBy, overwrite = true, readVersion)
+
+  /** COPY-ON-WRITE REWRITE commit — the compaction / DELETE / MERGE
+    * shape: the caller read `removePaths` at snapshot `readVersion`,
+    * rewrote them into `df`, and commits remove(old) + add(new) in
+    * one atomic version. Validation is READ-SET scoped (finer than
+    * commitOverwrite's): concurrent APPENDS never conflict (the
+    * rewrite touches only its own files), and a concurrent remover
+    * conflicts only if it removed one of THIS transaction's files —
+    * in which case committing would resurrect superseded rows, so it
+    * throws ConcurrentModificationException (real Delta's
+    * ConcurrentDeleteReadException). Two disjoint rewrites (e.g.
+    * per-partition compactions) therefore commit concurrently.
+    */
+  def commitRewrite(df: DataFrame, root: String, readVersion: Long,
+      removePaths: Seq[String], partitionBy: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val ts = System.currentTimeMillis()
+    val f = fs(spark, root)
+    val files = stageDataFiles(df, root, partitionBy)
+    val statsSchema = StructType(
+      df.schema.fields.filterNot(x => partitionBy.contains(x.name)).toIndexedSeq)
+    val statsByRel = collectStats(spark, root, files.map(_._1), statsSchema)
+    val adds = files.map { case (rel, sz) =>
+      addLine(rel, sz, ts, statsByRel.getOrElse(rel, None))
+    }
+    val txnId = java.util.UUID.randomUUID().toString
+    val readSet = removePaths.toSet
+    var attempt = 0
+    while (true) {
+      val parent = currentVersion(spark, root)
+      var v = readVersion + 1
+      while (v <= parent) {
+        val hit = removesIn(f, root, v).intersect(readSet)
+        if (hit.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"REWRITE against $root read ${removePaths.size} file(s) at " +
+              s"snapshot $readVersion but commit $v already removed " +
+              s"${hit.size} of them (${hit.take(2).mkString(", ")} ...) — " +
+              "the rewrite's inputs are superseded; re-read and retry")
+        v += 1
+      }
+      val next = parent + 1
+      val lines = scala.collection.mutable.Buffer[String]()
+      lines += commitInfoLine("REWRITE", txnId)
+      lines ++= removePaths.map(removeLine(_, ts))
+      lines ++= adds
+      if (publishNew(spark, new Path(logDir(root), commitName(next)),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8")))
+        return next
+      attempt += 1
+      require(attempt < 50,
+        s"rewrite commit to $root lost $attempt publish races — giving up")
+    }
+    -1L // unreachable
+  }
 
   // ---- checkpoint ----------------------------------------------------
 
@@ -883,6 +984,23 @@ object DeltaLog {
     }
   }
 
+  /** DRIVER-MEMORY CEILING (stated, not hidden): checkpoint replay —
+    * like the JSON log replay above it — materializes one `AddFile`
+    * per active file on the driver, ~200-400 B each (path +
+    * partitionValues + stats JSON). That bounds this implementation
+    * at roughly 1-2 GB of driver heap per 5M active files; a 100 TB
+    * table at 128 MB files is ~800k files (~300 MB) — fine — but a
+    * small-file-riddled table at tens of millions of files is not.
+    * Real Delta hits the same wall and answers with a DISTRIBUTED
+    * state reconstruction (checkpoint read as a DataFrame, pruning
+    * pushed into the scan, only the matching AddFiles collected).
+    * The distributed path here would be the same shape — filter the
+    * checkpoint DataFrame with ColRange predicates BEFORE collect —
+    * and is the known next step if the ceiling is ever the binding
+    * constraint; at that point `Snapshot` (a driver-side Seq) must
+    * become lazy too. Compaction (sink_compact) is the operational
+    * mitigation that keeps file counts in the comfortable regime.
+    */
   private def loadCheckpoint(spark: SparkSession, root: String, v: Long,
       r: Replay): Unit = {
     val p = new Path(logDir(root), f"$v%020d.checkpoint.parquet")

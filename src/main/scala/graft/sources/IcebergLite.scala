@@ -241,7 +241,8 @@ object IcebergLite {
     * Manifest/list names carry the writer tag: two racers building
     * the same version must never reference each other's bytes.
     */
-  private def commit(df: DataFrame, root: String, overwrite: Boolean): Long = {
+  private def commit(df: DataFrame, root: String, overwrite: Boolean,
+      readVersion: Option[Long] = None): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     f.mkdirs(metaDir(root))
@@ -253,9 +254,36 @@ object IcebergLite {
       .filter(_.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
 
+    // the metadata version this transaction's snapshot was read at
+    // (explicit from the caller, else the version current at entry) —
+    // the baseline for the write-write conflict check below
+    val startParent: Long =
+      readVersion.getOrElse(currentMetaVersion(spark, root).toLong)
     var attempt = 0
     while (true) {
       val parentV = currentMetaVersion(spark, root)
+      // WRITE-WRITE CONFLICT CHECK (Iceberg's validation rule,
+      // minimal form): any snapshot committed since this
+      // transaction's baseline whose operation REPLACED files
+      // ("overwrite" — it tombstoned the live set) invalidates the
+      // snapshot this commit assumed; blindly committing on top
+      // would interleave with superseded state. Snapshots are
+      // identified by sequence-number (= meta version + 1), so the
+      // ones to inspect are those with sequence > startParent + 1.
+      // Pure appends commute and never conflict.
+      if (parentV > startParent) {
+        val pm = readMeta(spark, root, parentV)
+        val conflicting = pm.get("snapshots").elements().asScala
+          .filter(s => s.get("sequence-number").asLong() > startParent + 1L)
+          .filter(_.get("operation").asText() == "overwrite")
+          .toSeq
+        if (conflicting.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"commit to $root built on metadata v$startParent conflicts " +
+              s"with ${conflicting.size} concurrent overwrite snapshot(s) " +
+              s"(first: ${conflicting.head.get("snapshot-id").asLong()}) — " +
+              "re-read the table and retry")
+      }
       val v = parentV + 1
       val snapId = v + 1L // deterministic, monotone
 
@@ -359,18 +387,29 @@ object IcebergLite {
   /** Append df as a new snapshot; returns the new snapshot id.
     * Commit = data files + ONE new manifest + a manifest list that
     * reuses the parent's manifests + one metadata JSON + hint flip.
+    * `readVersion`, when given, is the metadata version the caller
+    * read before writing; the commit then ABORTS
+    * (ConcurrentModificationException) if an overwrite snapshot
+    * landed since — the table the append assumed no longer exists.
+    * Without it, appends are blind and only in-flight races are
+    * validated.
     */
-  def commitAppend(df: DataFrame, root: String): Long =
-    commit(df, root, overwrite = false)
+  def commitAppend(df: DataFrame, root: String,
+      readVersion: Option[Long] = None): Long =
+    commit(df, root, overwrite = false, readVersion)
 
   /** Replace the table content with df. The new snapshot's manifest
     * list = one status=2 DELETE manifest tombstoning every file live
     * in the parent + one ADDED manifest for df's files. Nothing is
     * physically deleted: older snapshots' manifest lists are untouched
-    * and keep time-traveling to the replaced data.
+    * and keep time-traveling to the replaced data. Conflict rule:
+    * intermediate appends are superseded serializably (the DELETE
+    * manifest is recomputed from the fresh parent each attempt); an
+    * intermediate overwrite aborts.
     */
-  def commitOverwrite(df: DataFrame, root: String): Long =
-    commit(df, root, overwrite = true)
+  def commitOverwrite(df: DataFrame, root: String,
+      readVersion: Option[Long] = None): Long =
+    commit(df, root, overwrite = true, readVersion)
 
   /** (path, size) of a snapshot's live files via its manifest chain. */
   private def snapshotFilesOf(spark: SparkSession, root: String,

@@ -78,11 +78,39 @@ object EmbScale {
             "the n^2-verification regime the SRP path exists to avoid)")
           ""","ivf_skipped":"n beyond exact-verification regime""""
         }
+      // SERVING probe (round 10): the trained IVF-PQ top-k index at
+      // this corpus's production sizing — cells ~ sqrt(n), nprobe =
+      // cells/4, constant subspace length 8 (m = dim/8, ks = 64,
+      // rr = 200; see Ann.ivfPqTopKD256). best-of-2, so the reported
+      // second is the WARM probe (train-once-serve-many — training
+      // rides the first call and the disk cache). Recall vs the
+      // exact brute force over the same corpus (5 queries x n dots —
+      // cheap at every SF, unlike the n^2 pair verification above).
+      val servingPart =
+        if (dim % 8 != 0) ""","serving_skipped":"dim not divisible by 8""""
+        else {
+          val cells = math.max(16, math.sqrt(n.toDouble).toInt)
+          val nprobe = math.max(4, cells / 4)
+          def serve() = graft.operators.Ann.ivfPqTopK(spark, dir,
+            cells = cells, nprobe = nprobe, m = dim / 8, ks = 64, rr = 200)
+          val (_, srvSec) = best2(() => serve())
+          val bf = graft.operators.Ann.bruteForceTopK(spark, dir)
+            .select("query_id", "neighbor_id")
+          val hits = serve().select("query_id", "neighbor_id")
+            .join(bf, Seq("query_id", "neighbor_id"), "left_semi").count()
+          val denom = bf.count()
+          val recall = if (denom == 0) 1.0 else hits.toDouble / denom
+          println(f"[embscale] $sf serving: ivfpq cells=$cells " +
+            f"nprobe=$nprobe sec=$srvSec%.2f recall=$recall%.4f")
+          f""","serving":{"index":"ivfpq","cells":$cells,"nprobe":$nprobe,""" +
+            f""""m":${dim / 8},"ks":64,"rerank":200,"sec":$srvSec%.3f,""" +
+            f""""recall_at_10_vs_exact":$recall%.4f}"""
+        }
       println(f"[embscale] $sf dir=$dir n=$n dim=$dim srp_pairs=$srpPairs " +
         f"pairs_per_row=${srpPairs.toDouble / n}%.5f srp_sec=$srpSec%.2f")
       f""""$sf":{"dir":"$dir","n":$n,"dim":$dim,"srp_pairs":$srpPairs,""" +
         f""""pairs_per_row":${srpPairs.toDouble / n}%.5f,""" +
-        f""""srp_sec":$srpSec%.3f$ivfPart}"""
+        f""""srp_sec":$srpSec%.3f$ivfPart$servingPart}"""
     }
     spark.stop()
     val doc = "{" +
@@ -92,7 +120,9 @@ object EmbScale {
       "ratios measure the ALGORITHM). srp = banded sign-random-" +
       "projection LSH + exact-dot verification (the high-dim scale " +
       "path; false positives impossible, recall measured vs the exact " +
-      "IVF set where n permits exact verification). Best-of-2, " +
+      "IVF set where n permits exact verification). serving = trained " +
+      "IVF-PQ top-k probe (warm, train-once-serve-many) with recall " +
+      "vs exact brute force at every SF. Best-of-2, " +
       "local[" + cpus + "].\"," +
       results.mkString(",") + "}"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(args(0)), doc + "\n")

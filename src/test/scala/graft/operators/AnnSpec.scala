@@ -237,6 +237,77 @@ class AnnSpec extends SparkSpec {
     assert(pairs() == got)
   }
 
+  test("srpParams: derived banding honors its recall contract, analytically and measured") {
+    // analytic self-check: the inversion satisfies the forward
+    // collision law at the contract point, within the FP budget
+    for ((simAt, rec) <- Seq((0.87, 0.9), (0.9, 0.95), (0.8, 0.8))) {
+      val (r, b) = Ann.srpParams(simAt, rec)
+      info(f"srpParams($simAt%.2f, $rec%.2f) = (r=$r, b=$b)")
+      assert(Ann.srpCollisionP(simAt, r, b) >= rec,
+        s"derived ($r, $b) misses the $rec recall contract at sim $simAt")
+      assert(b * math.pow(0.5, r) <= 0.01 + 1e-12,
+        s"derived ($r, $b) blows the random-pair band budget")
+    }
+    // measured on the planted-clone corpus (clones at cos in [0.87,
+    // 0.98], i.e. at-or-above the 0.87 contract point; corpus and
+    // planes are both hash-deterministic, so this is a fixed
+    // measurement, not a flaky sample)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_spec_srpparams"
+    val p = new org.apache.hadoop.fs.Path(out)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    graft.tools.GenData.generate(spark, 0.1, out, seed = 7L, embDim = 256,
+      tables = Some(Set("embeddings")))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Ann.embeddingIvfPairs(spark, out, threshold = 0.87))
+    assert(exact.nonEmpty)
+    // per-pair collision probabilities from the ACTUAL cosines: the
+    // realized recall must be consistent with the law the derivation
+    // inverted (mean - 3 sigma over the finite pair set — the honest
+    // bound; with ~a dozen planted pairs a raw `measured >= contract`
+    // is a coin-flip assertion even when the banding is perfect)
+    val vecs = graft.Tables.embeddings(spark, out)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cosOf(a: Long, b: Long): Double = {
+      val (x, y) = (vecs(a), vecs(b))
+      var (d, nx, ny) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < x.length) {
+        d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
+      }
+      d / math.sqrt(nx * ny)
+    }
+    for ((simAt, rec) <- Seq((0.87, 0.9), (0.87, 0.7))) {
+      val (r, b) = Ann.srpParams(simAt, rec)
+      val ps = exact.toSeq.map { case (i, j) =>
+        Ann.srpCollisionP(cosOf(i, j), r, b) }
+      // every per-pair probability honors the contract (clones sit
+      // at-or-above the contract similarity) ...
+      assert(ps.forall(_ >= rec - 1e-9),
+        s"law predicts sub-contract recall for some pair under ($r, $b)")
+      // ... and the realized recall, POOLED over 5 independent plane
+      // seeds (60 deterministic Bernoulli trials — a single seed's 12
+      // trials put a 1-in-30 all-correct-but-unlucky draw above 3
+      // sigma, and seed 42's draw IS one), is consistent with the law
+      val seeds = 1L to 5L
+      val hits = seeds.map { seed =>
+        pairs(Ann.embeddingSrpPairs(spark, out, threshold = 0.87,
+          bands = b, rowsPerBand = r, seed = seed)).intersect(exact).size
+      }.sum
+      val n = exact.size * seeds.size
+      val measured = hits.toDouble / n
+      val mean = ps.sum / ps.size
+      val sd = math.sqrt(ps.map(q => q * (1 - q)).sum * seeds.size) / n
+      info(f"derived (r=$r, b=$b) for recall>=$rec: pooled measured " +
+        f"$measured%.3f over $n trials, law predicts $mean%.3f +- $sd%.3f")
+      assert(measured >= mean - 3 * sd - 1e-9,
+        f"pooled measured $measured%.3f inconsistent with law " +
+          f"$mean%.3f +- $sd%.3f under derived ($r, $b)")
+    }
+  }
+
   test("SRP hot-bucket cap: clone cluster emits a chain, closure intact") {
     // 100 identical vectors share EVERY band signature — the one skew
     // LSH banding manufactures itself. Uncapped that is 4950 pairs per

@@ -399,4 +399,62 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.snapshotAsOf(spark, root, 0).schema === o.schema)
     assert(DeltaLog.readLatest(spark, root).schema === o.schema)
   }
+
+  test("append racing an overwrite: stale-snapshot append aborts, table stays coherent") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = freshRoot("delta_conflict_ao")
+    val o = Tables.orders(spark, sf)
+    DeltaLog.commitAppend(o.filter(col("o_orderkey") % 3 === 0), root) // v0
+    // transaction T reads the table at v0 ...
+    val readV = DeltaLog.currentVersion(spark, root)
+    // ... while a second writer overwrites it (own thread — the race)
+    val ow = Future(DeltaLog.commitOverwrite(
+      o.filter(col("o_orderkey") % 3 === 1), root))
+    val v1 = Await.result(ow, 120.seconds)
+    assert(v1 === 1L)
+    // T's append must ABORT: the snapshot it assumed was removed
+    intercept[java.util.ConcurrentModificationException] {
+      DeltaLog.commitAppend(o.filter(col("o_orderkey") % 3 === 2), root,
+        readVersion = Some(readV))
+    }
+    // the overwrite's state is intact, nothing from T leaked in
+    assert(DeltaLog.currentVersion(spark, root) === 1L)
+    assert(DeltaLog.readLatest(spark, root).count() ===
+      o.filter(col("o_orderkey") % 3 === 1).count())
+    // a BLIND append (no read snapshot) commutes and still lands —
+    // the WriteSerializable default
+    val v2 = DeltaLog.commitAppend(o.filter(col("o_orderkey") % 3 === 2), root)
+    assert(v2 === 2L)
+    assert(DeltaLog.readLatest(spark, root).count() ===
+      o.filter(col("o_orderkey") % 3 =!= 0).count())
+  }
+
+  test("CoW rewrite: read-set conflict aborts, disjoint rewrites both commit") {
+    val root = freshRoot("delta_conflict_rw")
+    val o = Tables.orders(spark, sf)
+    val a = o.filter(col("o_orderkey") % 2 === 0)
+    val b = o.filter(col("o_orderkey") % 2 === 1)
+    DeltaLog.commitAppend(a.repartition(1), root) // v0: file A
+    DeltaLog.commitAppend(b.repartition(1), root) // v1: file B
+    val readV = DeltaLog.currentVersion(spark, root)
+    val snap = DeltaLog.snapshotAsOf(spark, root, readV)
+    assert(snap.files.size === 2)
+    val fileA = DeltaLog.snapshotAsOf(spark, root, 0).files.head
+    val fileB = snap.files.filterNot(_ == fileA).head
+    // two CoW transactions at the same read snapshot, DISJOINT file
+    // sets (per-partition compactions): both must commit
+    val v2 = DeltaLog.commitRewrite(a.repartition(1), root, readV, Seq(fileA))
+    val v3 = DeltaLog.commitRewrite(b.repartition(1), root, readV, Seq(fileB))
+    assert(v2 === 2L && v3 === 3L)
+    assert(DeltaLog.readLatest(spark, root).count() === o.count())
+    // a third rewrite whose READ SET was superseded by v2 must abort:
+    // committing remove(fileA)+add would resurrect pre-v2 rows
+    intercept[java.util.ConcurrentModificationException] {
+      DeltaLog.commitRewrite(a.repartition(1), root, readV, Seq(fileA))
+    }
+    assert(DeltaLog.currentVersion(spark, root) === 3L)
+    assert(DeltaLog.readLatest(spark, root).count() === o.count())
+  }
 }

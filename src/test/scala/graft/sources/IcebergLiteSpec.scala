@@ -177,4 +177,32 @@ class IcebergLiteSpec extends SparkSpec {
       o.schema.map(f => (f.name, f.dataType)))
     assert(back.count() === 10)
   }
+
+  test("append racing an overwrite: stale-snapshot append aborts, blind append lands") {
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val root = freshRoot("iceberg_conflict_ao")
+    val o = Tables.orders(spark, sf).filter(col("o_orderkey") < 400)
+    IcebergLite.commitAppend(o.filter(col("o_orderkey") % 3 === 0), root) // v0
+    // transaction T reads the table at metadata v0 ...
+    val readV = IcebergLite.currentMetaVersion(spark, root)
+    // ... while a second writer overwrites it (own thread — the race)
+    val ow = Future(IcebergLite.commitOverwrite(
+      o.filter(col("o_orderkey") % 3 === 1), root))
+    Await.result(ow, 120.seconds): Unit
+    // T's append must ABORT: the live set it assumed was tombstoned
+    intercept[java.util.ConcurrentModificationException] {
+      IcebergLite.commitAppend(o.filter(col("o_orderkey") % 3 === 2), root,
+        readVersion = Some(readV))
+    }
+    // the overwrite's state is intact; nothing from T leaked in
+    assert(IcebergLite.currentMetaVersion(spark, root) === 1)
+    assert(IcebergLite.readLatest(spark, root).count() ===
+      o.filter(col("o_orderkey") % 3 === 1).count())
+    // a BLIND append (no read snapshot) commutes and still lands
+    IcebergLite.commitAppend(o.filter(col("o_orderkey") % 3 === 2), root): Unit
+    assert(IcebergLite.readLatest(spark, root).count() ===
+      o.filter(col("o_orderkey") % 3 =!= 0).count())
+  }
 }
