@@ -99,6 +99,12 @@ object PlanAudit {
       (s, d) => SparkEntry.registry("dedup_embedding_srp").benchFn
         .getOrElse(sys.error("dedup_embedding_srp must register a bench shape"))
         .apply(s, d)),
+    // ---- round-10 additions ----
+    ("ann_ivfpq_topk (bench shape)",
+      "The composed dim-256 production serving plan (IVF coarse + PQ ADC + exact rerank): corpus-side work is ONE codegen pass emitting (cell, m codes) per vector (graft_cells for both the coarse cell and every per-subspace encode — centroids and codebooks ride inside the expression objects); the probe set and the (query x sub x code) LUT both enter via BroadcastExchange, so the candidate restriction is a broadcast join on cell and the ADC partial lookup never shuffles; the per-(query, candidate) integer sum is a map-side-combinable hash aggregate; only the rr-row shortlist fetches raw vectors for the rerank. At 100 TB: the scan pays dim NOWHERE (codes are dim-free lookups) and n only within probed cells — the FAISS IVF-PQ cost model, as a Spark plan.",
+      (s, d) => SparkEntry.registry("ann_ivfpq_topk").benchFn
+        .getOrElse(sys.error("ann_ivfpq_topk must register a bench shape"))
+        .apply(s, d)),
     ("graph_pagerank (superstep)",
       "The per-iteration unit cost of distributed PageRank: the ranks side enters the contribution join via BroadcastExchange (node-count rows), so the edge index is NEVER shuffled per superstep — the only per-step shuffle Exchange is the dst-keyed contribution aggregation with a partial sum before it. (The left-leg edge-index build with its own Exchanges appears in this audit plan only because the plan is un-persisted; the operator builds eDeg once, loop-invariant, and persists it.) The full operator runs this plan once per superstep behind an eager per-step checkpoint.",
       (s, d) => graft.operators.Graph.pageRankSuperstepPlan(s, d)))

@@ -277,13 +277,27 @@ object DeltaLog {
     */
   def pruneFiles(snap: Snapshot, ranges: Seq[ColRange],
       sessionTz: String = "UTC"): Seq[AddFile] = {
-    import org.apache.spark.sql.types.TimestampType
     val types = snap.schema.fields.map(f => f.name -> f.dataType).toMap
-    snap.adds.filter { a =>
+    snap.adds.filter(
+      fileAdmits(_, ranges, types, snap.partitionColumns, sessionTz))
+  }
+
+  /** The per-file data-skipping predicate — ONE implementation shared
+    * by the driver-side ([[pruneFiles]]) and distributed
+    * ([[prunedSnapshotViaCheckpoint]]) prune paths, so the two can
+    * never diverge. Pure function of the AddFile; the closure state a
+    * distributed caller captures (ranges, types, partition columns,
+    * session TZ) is a few small serializable values.
+    */
+  private[sources] def fileAdmits(a: AddFile, ranges: Seq[ColRange],
+      types: Map[String, DataType], partitionColumns: Seq[String],
+      sessionTz: String): Boolean = {
+    import org.apache.spark.sql.types.TimestampType
+    {
       ranges.forall { rg =>
         types.get(rg.column).forall { dt =>
           try {
-            if (snap.partitionColumns.contains(rg.column))
+            if (partitionColumns.contains(rg.column))
               // partition values are session-TZ dir-name renderings —
               // the same convention as the query bound; no conversion
               a.partitionValues.get(rg.column).forall { v =>
@@ -329,19 +343,119 @@ object DeltaLog {
     }
   }
 
+  /** DISTRIBUTED state reconstruction + pruning over the checkpoint
+    * parquet — the scale path past [[loadCheckpoint]]'s documented
+    * O(files) driver ceiling. The checkpoint's add rows are filtered
+    * on EXECUTORS with the very same [[fileAdmits]] predicate the
+    * driver path runs (one implementation, no divergence); only the
+    * SURVIVORS are collected, plus the post-checkpoint JSON deltas,
+    * which are O(commits since checkpoint) by the checkpoint
+    * contract. A 50M-file table whose query matches 10k files costs
+    * the driver 10k AddFiles, not 50M.
+    *
+    * Replay semantics preserved exactly: newer JSON adds OVERRIDE
+    * same-path checkpoint rows (the override set rides the closure —
+    * bounded by commits-since-checkpoint), newer removes kill them,
+    * newer metaData wins the schema. Returns None when there is no
+    * usable checkpoint at or below `asOf` or the checkpoint lacks
+    * the add fields this path projects (foreign minimal checkpoints)
+    * — callers fall back to the driver replay. The returned
+    * Snapshot's `adds` is the PRUNED set and its tombstones are only
+    * the post-checkpoint ones: it serves reads, not re-checkpointing.
+    */
+  def prunedSnapshotViaCheckpoint(spark: SparkSession, root: String,
+      asOf: Long, ranges: Seq[ColRange],
+      sessionTz: String = "UTC"): Option[Snapshot] = {
+    val f = fs(spark, root)
+    lastCheckpointVersion(spark, root).filter(_ <= asOf).flatMap { cv =>
+      val cpPath = new Path(logDir(root), f"$cv%020d.checkpoint.parquet")
+      if (!f.exists(cpPath)) None
+      else {
+        val cpDf = spark.read.parquet(cpPath.toString)
+        val addField = cpDf.schema.fields.find(_.name == "add")
+          .map(_.dataType).collect { case s: StructType => s }
+        val needed = Seq("path", "partitionValues", "size",
+          "modificationTime", "stats")
+        if (!addField.exists(s => needed.forall(s.fieldNames.contains)))
+          None
+        else {
+          // post-checkpoint deltas: O(commits since checkpoint)
+          val r = new Replay
+          for (v <- cv + 1 to asOf) readCommitLines(f, root, v)
+            .foreach(r.applyLine)
+          val overridden: Set[String] =
+            r.active.keySet.toSet ++ r.tombstones.keySet.toSet
+          // schema: newest metaData wins; else the checkpoint's row
+          val schemaJson = Option(r.schemaJson).getOrElse {
+            val md = cpDf.where(org.apache.spark.sql.functions
+                .col("metaData").isNotNull)
+              .select("metaData.schemaString").limit(1).collect()
+            require(md.nonEmpty,
+              s"checkpoint $cpPath carries no metaData action")
+            md(0).getString(0)
+          }
+          val partCols: Seq[String] =
+            if (r.schemaJson != null) r.partCols
+            else {
+              val pc = cpDf.where(org.apache.spark.sql.functions
+                  .col("metaData").isNotNull)
+                .select("metaData.partitionColumns").limit(1).collect()
+              if (pc.isEmpty || pc(0).isNullAt(0)) Nil
+              else pc(0).getSeq[String](0).toSeq
+            }
+          val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+          val types = schema.fields.map(x => x.name -> x.dataType).toMap
+          // the distributed filter: same predicate, executor-side
+          import spark.implicits._
+          val survivors = cpDf
+            .where(org.apache.spark.sql.functions.col("add").isNotNull)
+            .select(org.apache.spark.sql.functions.col("add.path"),
+              org.apache.spark.sql.functions.col("add.partitionValues"),
+              org.apache.spark.sql.functions.col("add.size"),
+              org.apache.spark.sql.functions.col("add.modificationTime"),
+              org.apache.spark.sql.functions.col("add.stats"))
+            .as[(String, Map[String, String], Long, Long, Option[String])]
+            .filter { t =>
+              !overridden.contains(t._1) &&
+                fileAdmits(AddFile(t._1,
+                    Option(t._2).getOrElse(Map.empty), t._3, t._4, t._5),
+                  ranges, types, partCols, sessionTz)
+            }
+            .collect()
+            .map(t => AddFile(t._1, Option(t._2).getOrElse(Map.empty),
+              t._3, t._4, t._5))
+          val keptNewer = r.active.values
+            .filter(fileAdmits(_, ranges, types, partCols, sessionTz))
+          Some(Snapshot(asOf, schema, partCols,
+            survivors.toSeq ++ keptNewer, r.tombstones.toSeq))
+        }
+      }
+    }
+  }
+
   /** Time-travel read that PLANS ONLY the files `pruneFiles` admits —
     * the add.stats data-skipping layer real Delta readers run before
     * any parquet footer is opened. The ranges are re-applied as a
     * residual row filter (file-grain pruning is necessary, not
     * sufficient), so the result equals readVersion(...).filter(...)
-    * while opening a subset of its files.
+    * while opening a subset of its files. With a usable checkpoint
+    * the file set is reconstructed and pruned DISTRIBUTED
+    * ([[prunedSnapshotViaCheckpoint]]) — the driver only ever holds
+    * the survivors.
     */
   def readVersionPruned(spark: SparkSession, root: String, v: Long,
       ranges: Seq[ColRange], useCheckpoint: Boolean = true): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val snap = snapshotAsOf(spark, root, v, useCheckpoint)
-    val kept = pruneFiles(snap, ranges,
-      spark.sessionState.conf.sessionLocalTimeZone)
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val pruned =
+      if (useCheckpoint) prunedSnapshotViaCheckpoint(spark, root, v, ranges, tz)
+      else None
+    val (snap, kept) = pruned match {
+      case Some(s) => (s, s.adds)
+      case None =>
+        val s = snapshotAsOf(spark, root, v, useCheckpoint)
+        (s, pruneFiles(s, ranges, tz))
+    }
     val types = snap.schema.fields.map(f => f.name -> f.dataType).toMap
     val base =
       if (kept.isEmpty)

@@ -400,6 +400,64 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.readLatest(spark, root).schema === o.schema)
   }
 
+  test("distributed checkpoint pruning equals driver replay pruning exactly") {
+    val root = freshRoot("delta_distprune")
+    val o = Tables.orders(spark, sf)
+    // partitioned table with stats, checkpoint mid-history, then
+    // post-checkpoint adds AND a remove — the distributed path must
+    // honor overrides from the JSON deltas, not just checkpoint rows
+    DeltaLog.commitAppend(o.filter(col("o_orderkey") % 4 === 0),
+      root, Seq("o_orderpriority"))
+    DeltaLog.commitAppend(o.filter(col("o_orderkey") % 4 === 1),
+      root, Seq("o_orderpriority"))
+    val cpv = DeltaLog.writeCheckpoint(spark, root)
+    assert(cpv === 1L)
+    DeltaLog.commitAppend(o.filter(col("o_orderkey") % 4 === 2),
+      root, Seq("o_orderpriority"))
+    // CoW-remove one pre-checkpoint file (rewrite it into a new one)
+    val v2snap = DeltaLog.snapshotAsOf(spark, root, 2)
+    val victim = DeltaLog.snapshotAsOf(spark, root, 0).adds.head
+    DeltaLog.commitRewrite(
+      DeltaLog.readVersion(spark, root, 2)
+        .limit(0), // rewrite to empty: pure remove, max override stress
+      root, 2, Seq(victim.path), Seq("o_orderpriority"))
+    val v = DeltaLog.currentVersion(spark, root)
+    assert(v === 3L)
+    val queries = Seq(
+      Seq(DeltaLog.ColRange("o_totalprice", lower = Some(150000))),
+      Seq(DeltaLog.ColRange("o_orderpriority",
+        lower = Some("1-URGENT"), upper = Some("1-URGENT"))),
+      Seq(DeltaLog.ColRange("o_orderstatus", isNull = Some(false))),
+      Seq.empty[DeltaLog.ColRange])
+    for (ranges <- queries) {
+      val driver = DeltaLog.pruneFiles(
+        DeltaLog.snapshotAsOf(spark, root, v), ranges)
+      val dist = DeltaLog.prunedSnapshotViaCheckpoint(
+        spark, root, v, ranges)
+      assert(dist.isDefined, "checkpoint path must engage")
+      assert(dist.get.adds.map(_.path).toSet === driver.map(_.path).toSet,
+        s"distributed prune diverges from driver prune for $ranges")
+      // and the full pruned read equals the unpruned read + filter
+      val got = DeltaLog.readVersionPruned(spark, root, v, ranges)
+        .collect().map(_.toString).sorted
+      val want = ranges.foldLeft(DeltaLog.readVersion(spark, root, v)) {
+        (df, rg) =>
+          val lo = rg.lower.map(b =>
+            col(rg.column) >= lit(b.toString).cast(df.schema(rg.column).dataType))
+          val hi = rg.upper.map(b =>
+            col(rg.column) <= lit(b.toString).cast(df.schema(rg.column).dataType))
+          val nn = rg.isNull.map(w =>
+            if (w) col(rg.column).isNull else col(rg.column).isNotNull)
+          (lo.toSeq ++ hi.toSeq ++ nn.toSeq).foldLeft(df)(_.filter(_))
+      }.collect().map(_.toString).sorted
+      assert(got.toSeq === want.toSeq,
+        s"pruned read rows diverge for $ranges")
+    }
+    // the victim file is gone from both paths
+    assert(!DeltaLog.prunedSnapshotViaCheckpoint(spark, root, v, Nil)
+      .get.adds.map(_.path).contains(victim.path))
+  }
+
   test("append racing an overwrite: stale-snapshot append aborts, table stays coherent") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
