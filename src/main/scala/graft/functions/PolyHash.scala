@@ -118,6 +118,20 @@ object GraftFunctions {
         new ExpressionInfo(classOf[NearestCells].getName, "graft_cells"),
         (children: Seq[Expression]) => NearestCells.build(children))
     }
+    val l2Ident = FunctionIdentifier("graft_l2norm")
+    if (!registry.functionExists(l2Ident)) {
+      registry.registerFunction(
+        l2Ident,
+        new ExpressionInfo(classOf[L2Normalize].getName, "graft_l2norm"),
+        (children: Seq[Expression]) => L2Normalize(children.head))
+    }
+    val pqIdent = FunctionIdentifier("graft_pq_encode")
+    if (!registry.functionExists(pqIdent)) {
+      registry.registerFunction(
+        pqIdent,
+        new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+        (children: Seq[Expression]) => PqEncode.build(children))
+    }
     val srpIdent = FunctionIdentifier("graft_srp")
     if (!registry.functionExists(srpIdent)) {
       registry.registerFunction(

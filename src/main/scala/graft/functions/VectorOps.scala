@@ -184,6 +184,222 @@ case class NearestCells(child: Expression, cents: Array[Array[Double]], k: Int)
     copy(child = newChild)
 }
 
+/** L2 normalization of a double-array column as ONE native codegen
+  * expression. The HOF formulation (`aggregate` for the norm +
+  * `transform` for the divide) runs both lambdas INTERPRETED at ~2
+  * boxed dispatches per element — materializing a 20k x 256 corpus'
+  * normalized vectors cost 21 s (measured; ~1 ms/row), which
+  * dominated the first timed run of every embedding bench. This
+  * expression is the same arithmetic in one primitive loop.
+  *
+  * BIT-EXACT parity with the HOF (load-bearing — every embedding
+  * oracle's nvPrelude replays this fold in DuckDB): the norm is the
+  * 0.0-seeded sum of x*x in index order, sqrt is correctly-rounded
+  * IEEE, each output is x / norm. Null-element semantics match the
+  * HOF too: a null element nulls the accumulated norm (acc + null),
+  * so EVERY output element becomes null (x / null); a null x stays
+  * null regardless.
+  */
+case class L2Normalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  import org.apache.spark.sql.types._
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var acc = 0.0
+    var anyNull = false
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) anyNull = true
+      else { val x = v.getDouble(i); acc += x * x }
+      i += 1
+    }
+    val out = new Array[Any](n)
+    if (!anyNull) {
+      val nrm = math.sqrt(acc)
+      i = 0
+      while (i < n) { out(i) = v.getDouble(i) / nrm; i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val anyNull = ctx.freshName("anyNull")
+      val out = ctx.freshName("out")
+      val nrm = ctx.freshName("nrm")
+      s"""
+        int $n = $c.numElements();
+        double $acc = 0.0;
+        boolean $anyNull = false;
+        for (int $i = 0; $i < $n; $i++) {
+          if ($c.isNullAt($i)) { $anyNull = true; }
+          else { double ${i}_x = $c.getDouble($i); $acc += ${i}_x * ${i}_x; }
+        }
+        Object[] $out = new Object[$n];
+        if (!$anyNull) {
+          double $nrm = java.lang.Math.sqrt($acc);
+          for (int $i = 0; $i < $n; $i++) {
+            $out[$i] = (Object) ($c.getDouble($i) / $nrm);
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): L2Normalize =
+    copy(child = newChild)
+}
+
+/** Product-quantization encode of a normalized vector: array<int> of
+  * m codeword ids, code[sub] = argmin over the sub-th codebook of the
+  * squared distance to the sub-th length-`subLen` slice of the
+  * vector. ONE compact codegen node for the whole encode — the
+  * previous formulation (an `array()` of m separate graft_cells
+  * calls over `slice()`s, posexploded) allocated m slices per row and
+  * pushed 32 expression trees into one codegen stage, which measured
+  * 15 s for a 20k x 256 corpus; this loop is the same arithmetic
+  * fused.
+  *
+  * BIT-EXACT parity with that formulation (load-bearing — the seeded
+  * oracle replays the encode in DuckDB): distance accumulates
+  * coordinate-wise in index order from a 0.0 seed, null elements
+  * contribute nothing, a vector shorter than (sub+1)*subLen pairs up
+  * to its length, and ties keep the smaller codeword id (strict <).
+  * Codebooks ride inside the expression object (addReferenceObj, the
+  * [[NearestCells]] device) as books[sub][code][i].
+  */
+case class PqEncode(child: Expression, books: Array[Array[Array[Double]]],
+    subLen: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  import org.apache.spark.sql.types._
+
+  require(subLen >= 1, s"subLen must be positive, got $subLen")
+  require(books.nonEmpty && books.forall(_.nonEmpty),
+    "PqEncode needs at least one codebook with at least one codeword")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val m = books.length
+    val out = new Array[Any](m)
+    var sub = 0
+    while (sub < m) {
+      val book = books(sub)
+      val base = sub * subLen
+      var bestD = Double.MaxValue
+      var bestC = -1
+      var cw = 0
+      while (cw < book.length) {
+        val cent = book(cw)
+        val dim = math.min(cent.length, math.max(0, n - base))
+        var acc = 0.0
+        var i = 0
+        while (i < dim) {
+          if (!v.isNullAt(base + i)) {
+            val diff = cent(i) - v.getDouble(base + i); acc += diff * diff
+          }
+          i += 1
+        }
+        if (acc < bestD) { bestD = acc; bestC = cw }
+        cw += 1
+      }
+      out(sub) = bestC
+      sub += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("books", books, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val sub = ctx.freshName("sub")
+      val book = ctx.freshName("book")
+      val base = ctx.freshName("base")
+      val bestD = ctx.freshName("bestD")
+      val bestC = ctx.freshName("bestC")
+      val cw = ctx.freshName("cw")
+      val cent = ctx.freshName("cent")
+      val dim = ctx.freshName("dim")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+        int $n = $c.numElements();
+        Object[] $out = new Object[$booksRef.length];
+        for (int $sub = 0; $sub < $booksRef.length; $sub++) {
+          double[][] $book = $booksRef[$sub];
+          int $base = $sub * $subLen;
+          double $bestD = Double.MAX_VALUE;
+          int $bestC = -1;
+          for (int $cw = 0; $cw < $book.length; $cw++) {
+            double[] $cent = $book[$cw];
+            int $dim = java.lang.Math.min($cent.length,
+              java.lang.Math.max(0, $n - $base));
+            double $acc = 0.0;
+            for (int $i = 0; $i < $dim; $i++) {
+              if (!$c.isNullAt($base + $i)) {
+                double ${i}_diff = $cent[$i] - $c.getDouble($base + $i);
+                $acc += ${i}_diff * ${i}_diff;
+              }
+            }
+            if ($acc < $bestD) { $bestD = $acc; $bestC = $cw; }
+          }
+          $out[$sub] = (Object) $bestC;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+object PqEncode {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.types._
+
+  /** Builder for `graft_pq_encode(vec, <literal books>, <literal
+    * subLen>)`: collapses the literal 3-d codebook tensor into the
+    * expression object at build time (the [[NearestCells.build]]
+    * device — a m x ks x subLen literal subtree would dominate
+    * Catalyst analysis).
+    */
+  def build(children: Seq[Expression]): Expression = {
+    val books = children(1) match {
+      case Literal(ad: ArrayData,
+          ArrayType(ArrayType(ArrayType(DoubleType, _), _), _)) =>
+        ad.toArray[ArrayData](ArrayType(ArrayType(DoubleType)))
+          .map(_.toArray[ArrayData](ArrayType(DoubleType))
+            .map(_.toDoubleArray()))
+      case other => throw new IllegalArgumentException(
+        s"graft_pq_encode books must be a literal array^3<double>, got $other")
+    }
+    val subLen = children(2) match {
+      case Literal(i: Int, IntegerType) => i
+      case other => throw new IllegalArgumentException(
+        s"graft_pq_encode subLen must be an int literal, got $other")
+    }
+    PqEncode(children(0), books, subLen)
+  }
+}
+
 /** Banded sign-random-projection (SRP) signature of a double-array
   * vector: one long per band, bit r of band b = sign(v . planes[b*rpb
   * + r]). SRP is the LSH family for COSINE similarity (collision

@@ -44,6 +44,25 @@ object Ann {
       rows(0).getInt(0)
     })
 
+  /** The memoized, PERSISTED normalized-vector view of a corpus — one
+    * resident copy per (session, corpus), shared by pca / SRP / every
+    * top-k serving path (same DfCache key). Serving paths must read
+    * nv from this materialized cache, never from a bare projection:
+    * Catalyst's projection collapse INLINES an un-persisted nv into
+    * every downstream reference, and the l2norm is an interpreted
+    * HOF — the IVF-PQ encode references nv 33 times (cell + 32
+    * codes), which re-ran the normalization 33x per row and cost the
+    * sf1 ladder rung 62 s before the decade measurement caught it.
+    */
+  private def nvCache(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    graft.DfCache.memo(
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), l2normExpr(col("embedding")).as("nv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      s"pca-nv:$dir")
+  }
+
   /** Codegen dot product (graft.functions.DotProduct): the similarity
     * kernel of every embedding operator. The HOF formulation
     * (zip_with + aggregate) runs its lambdas interpreted and
@@ -63,12 +82,14 @@ object Ann {
     * sphere cosine becomes a plain dot product and cos >= t becomes
     * ||a-b||² <= 2-2t, so euclidean KMeans cells are cosine-consistent
     * — cluster AFTER this, never on raw vectors.
+    *
+    * Native codegen expression (graft.functions.L2Normalize) — the
+    * aggregate+transform HOF formulation ran interpreted at ~1 ms/row
+    * on dim-256 vectors; same fold, bit-identical output (the
+    * oracles' nvPrelude replays it). Requires GraftFunctions.register
+    * (all callers do it).
     */
-  def l2normExpr(c: Column): Column = {
-    val n = sqrt(aggregate(c, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
-    transform(c, x => x.cast("double") / n)
-  }
+  def l2normExpr(c: Column): Column = call_function("graft_l2norm", c)
 
   /** The `k` nearest (squared distance, cell) structs for a vector
     * column, via the native NearestCells expression — the centroid
@@ -87,6 +108,18 @@ object Ann {
   /** The single nearest (squared distance, cell) struct. */
   def nearestCellStruct(nv: Column, cents: Seq[Seq[Double]]): Column =
     element_at(cellScoresK(nv, cents, 1), 1)
+
+  /** All m PQ codeword ids of a normalized vector in ONE native
+    * expression pass (graft.functions.PqEncode — codebooks ride
+    * inside the expression object). The previous shape, an array() of
+    * m separate graft_cells calls over slice()s, allocated m slices
+    * per row and bloated the codegen stage 32-fold at dim 256;
+    * arithmetic and tie-breaks are bit-identical (the seeded oracles
+    * replay the encode). Callers must have run GraftFunctions.register.
+    */
+  private def pqEncodeExpr(nv: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    call_function("graft_pq_encode", nv,
+      typedLit(books), lit(books.head.head.length))
 
   /** Fit KMeans cells on the normalized vectors; returns centroids.
     * At test SF this trains on the full table; at 100 TB train on
@@ -303,8 +336,7 @@ object Ann {
   def embeddingIvfPairs(s: SparkSession, dir: String, threshold: Double = 0.45,
       cells: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), l2normExpr(col("embedding")).as("nv"))
+    val emb = nvCache(s, dir)
     // sizing count on the RAW table: parquet answers it from footer
     // metadata, where emb.count() would re-run the l2norm projection
     val nCells =
@@ -469,11 +501,7 @@ object Ann {
       bands: Int = 24, rowsPerBand: Int = 14, seed: Long = 42L,
       planeMode: String = "splitmix", maxBucket: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val emb = graft.DfCache.memo(
-      Tables.embeddings(s, dir)
-        .select(col("vec_id"), l2normExpr(col("embedding")).as("nv"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      s"pca-nv:$dir") // same df as pcaTopComponent's memo — shared cache
+    val emb = nvCache(s, dir)
     val dim = corpusDim(s, dir)
     val planes = planeMode match {
       case "splitmix" => srpPlanes(dim, bands * rowsPerBand, seed)
@@ -843,18 +871,14 @@ object Ann {
       books: Seq[Seq[Seq[Double]]], k: Int, m: Int, rr: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
-    val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), l2normExpr(col("embedding")).as("nv"))
+    val emb = nvCache(s, dir)
     val dim = books.map(_.head.length).sum
     val subLen = dim / m
 
-    // 1. encode: array of m codeword ids, exploded for the ADC join
-    val codeCols = (0 until m).map { sub =>
-      element_at(nearestCellsExpr(
-        slice(col("nv"), sub * subLen + 1, subLen), books(sub), 1), 1)
-    }
-    val codes = emb.select(col("vec_id"), posexplode(array(codeCols: _*))
-      .as(Seq("sub", "code")))
+    // 1. encode: ONE native PqEncode pass -> m codeword ids per
+    // vector, exploded for the ADC join
+    val codes = emb.select(col("vec_id"),
+      posexplode(pqEncodeExpr(col("nv"), books)).as(Seq("sub", "code")))
 
     // 2. LUT: (query, sub, code) -> partial dot with that codeword
     val bookDf = broadcast(books.zipWithIndex.flatMap { case (cb, sub) =>
@@ -915,11 +939,7 @@ object Ann {
   def pcaTopComponent(s: SparkSession, dir: String, iters: Int = 8)
       : (Seq[Double], DataFrame) = {
     graft.functions.GraftFunctions.register(s)
-    val emb = graft.DfCache.memo(
-      Tables.embeddings(s, dir)
-        .select(col("vec_id"), l2normExpr(col("embedding")).as("nv"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      s"pca-nv:$dir")
+    val emb = nvCache(s, dir)
     val dim = emb.select(size(col("nv"))).head.getInt(0)
     var v: Seq[Double] = Seq.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
     for (_ <- 0 until iters) {
@@ -1145,8 +1165,7 @@ object Ann {
   def ivfTopK(s: SparkSession, dir: String, k: Int = 10,
       cells: Int = 8, nprobe: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), l2normExpr(col("embedding")).as("nv"))
+    val emb = nvCache(s, dir)
     ivfProbe(s, dir, emb, fitCellsCached(dir, cells, emb), k, nprobe)
   }
 
@@ -1213,8 +1232,7 @@ object Ann {
   def ivfTopKSeeded(s: SparkSession, dir: String, k: Int = 10,
       cells: Int = 8, nprobe: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), l2normExpr(col("embedding")).as("nv"))
+    val emb = nvCache(s, dir)
     ivfProbe(s, dir, emb, seedCentroids(s, dir, cells), k, nprobe)
   }
 
@@ -1270,15 +1288,19 @@ object Ann {
     val dim = books.map(_.head.length).sum
     val subLen = dim / m
 
-    // one codegen pass per corpus vector: coarse cell + m PQ codes
-    val codeCols = (0 until m).map { sub =>
-      element_at(nearestCellsExpr(
-        slice(col("nv"), sub * subLen + 1, subLen), books(sub), 1), 1)
-    }
+    // one codegen pass per corpus vector: coarse cell + all m PQ
+    // codes (one native PqEncode node). The cell expression MUST be
+    // projected in its own select BELOW the explode: in a select
+    // that mixes a generator with other expressions, Spark plans the
+    // non-generator expressions ABOVE the Generate, re-evaluating
+    // the full cells x dim nearest-cell scan once per EXPLODED row
+    // (m x per vector — measured 14.4 s vs 0.55 s at sf1/dim 256).
     val assigned = emb
       .select(col("vec_id"),
         element_at(nearestCellsExpr(col("nv"), cents, 1), 1).as("cell"),
-        posexplode(array(codeCols: _*)).as(Seq("sub", "code")))
+        pqEncodeExpr(col("nv"), books).as("codes"))
+      .select(col("vec_id"), col("cell"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
 
     val queries = queryVectors(s, dir)
       .select(col("query_id"), l2normExpr(col("qv")).as("qnv"))
@@ -1327,8 +1349,7 @@ object Ann {
   def ivfPqTopK(s: SparkSession, dir: String, k: Int = 10, cells: Int = 8,
       nprobe: Int = 4, m: Int = 8, ks: Int = 32, rr: Int = 100): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), l2normExpr(col("embedding")).as("nv"))
+    val emb = nvCache(s, dir)
     ivfPqAdc(s, dir, emb, fitCellsCached(dir, cells, emb),
       fitPqCodebooks(s, dir, m, ks), k, nprobe, rr)
   }
@@ -1342,8 +1363,7 @@ object Ann {
       cells: Int = 8, nprobe: Int = 4, m: Int = 8, ks: Int = 32,
       rr: Int = 100): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), l2normExpr(col("embedding")).as("nv"))
+    val emb = nvCache(s, dir)
     val seeds = seedCentroids(s, dir, ks)
     val subLen = seeds.head.length / m
     val books = (0 until m).map { sub =>
