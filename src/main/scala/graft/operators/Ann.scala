@@ -526,11 +526,42 @@ object Ann {
           (col("x.cnt") <= maxBucket || col("y.rn") === col("x.rn") + 1))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("nbands"))
+    // vector fetch for the exact verify: shuffle-HASH joins, never
+    // sort-merge — the candidate set with a 2 KB vector attached must
+    // not be SORTED (the sf10 ladder measured the SMJ spilling the
+    // 36M-candidate x 2KB intermediate past 59 GB of disk; a hash
+    // join streams it). At small SF AQE broadcasts these sides anyway.
     cand
-      .join(emb.select(col("vec_id").as("id_a"), col("nv").as("va")), Seq("id_a"))
-      .join(emb.select(col("vec_id").as("id_b"), col("nv").as("vb")), Seq("id_b"))
+      .join(emb.select(col("vec_id").as("id_a"), col("nv").as("va"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("nv").as("vb"))
+        .hint("shuffle_hash"), Seq("id_b"))
       .filter(dot(col("va"), col("vb")) >= threshold)
       .select("id_a", "id_b")
+  }
+
+  /** [[embeddingSrpPairs]] with the banding DERIVED from the corpus —
+    * the self-tuning production shape. Fixed banding has a hidden
+    * quadratic: random pairs collide in a band with probability
+    * 2^-r, so false candidates grow as n^2 * b * 2^-r — at r=14/b=24
+    * the 200k-row ladder corpus produced 36M candidates (~180 per
+    * row) and the verify fetch became the bottleneck. Deriving
+    * (r, b) from [[srpParams]] with the random-pair band budget
+    * scaled as ~64/n keeps expected false candidates ~32 per row AT
+    * ANY n (r grows with log n, b grows to hold the recall contract:
+    * (11,16) at 2k rows, (13,26) at 20k, (18,69) at 200k), so
+    * candidate volume — and with it shuffle and verify cost — stays
+    * linear in the corpus. Recall contract: pairs at cosine >= simAt
+    * surface with probability >= recall (the planted-clone regime;
+    * AnnSpec pins it measured).
+    */
+  def embeddingSrpPairsAuto(s: SparkSession, dir: String,
+      threshold: Double = 0.45, simAt: Double = 0.87,
+      recall: Double = 0.9): DataFrame = {
+    val n = Tables.embeddings(s, dir).count()
+    val (r, b) = srpParams(simAt, recall,
+      fpBandBudget = math.min(0.01, 64.0 / math.max(1L, n).toDouble))
+    embeddingSrpPairs(s, dir, threshold, bands = b, rowsPerBand = r)
   }
 
   /** Memoized dim-256 GenData twin of a shipped corpus dir — the

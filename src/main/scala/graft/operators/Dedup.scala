@@ -624,7 +624,10 @@ object Dedup {
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
         ORDER BY id_a, id_b"""),
       benchFn = Some((s, dir) =>
-        Ann.embeddingSrpPairs(s, Ann.dim256BenchDir(s, dir)))),
+        // self-tuning banding (srpParams, n-aware FP budget): fixed
+        // r=14/b=24 went quadratic in false candidates at the 200k
+        // ladder rung — see Ann.embeddingSrpPairsAuto
+        Ann.embeddingSrpPairsAuto(s, Ann.dim256BenchDir(s, dir)))),
 
     // ------------------------------------------------------------------
     // INCREMENTAL dedup — the shape every production ingest actually

@@ -60,12 +60,12 @@ object EmbScale {
         (c, math.min(t1, t2))
       }
       val (srpPairs, srpSec) =
-        best2(() => graft.operators.Ann.embeddingSrpPairs(spark, dir))
+        best2(() => graft.operators.Ann.embeddingSrpPairsAuto(spark, dir))
       val ivfPart =
         if (n <= maxIvf) {
           val (ivfPairs, ivfSec) =
             best2(() => graft.operators.Ann.embeddingIvfPairs(spark, dir))
-          val hit = graft.operators.Ann.embeddingSrpPairs(spark, dir)
+          val hit = graft.operators.Ann.embeddingSrpPairsAuto(spark, dir)
             .join(graft.operators.Ann.embeddingIvfPairs(spark, dir),
               Seq("id_a", "id_b"), "left_semi").count()
           val recall = if (ivfPairs == 0) 1.0 else hit.toDouble / ivfPairs

@@ -308,6 +308,35 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("auto-banded SRP (corpus-derived r, b): subset of exact, recall holds") {
+    // the self-tuning production shape (n-aware FP budget — the fix
+    // for fixed banding's n^2*b*2^-r false-candidate growth, which
+    // the 200k sf10 ladder rung measured at 36M candidates): same
+    // planted-clone corpus as the banding spec above
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_spec_srpparams"
+    val p = new org.apache.hadoop.fs.Path(out)
+    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+      graft.tools.GenData.generate(spark, 0.1, out, seed = 7L, embDim = 256,
+        tables = Some(Set("embeddings")))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactAll = pairs(Ann.embeddingIvfPairs(spark, out, threshold = 0.45))
+    val auto = pairs(Ann.embeddingSrpPairsAuto(spark, out))
+    assert(auto.subsetOf(exactAll),
+      s"auto SRP emitted unverified pairs: ${(auto -- exactAll).take(3)}")
+    // recall is asserted AT THE CONTRACT POINT (pairs with cosine >=
+    // simAt=0.87): the derived banding promises nothing below it —
+    // a [0.45, 0.87) pair may legitimately miss, where the old
+    // hand-picked r=14/b=24 happened to over-provision low cosines
+    val exactAt = pairs(Ann.embeddingIvfPairs(spark, out, threshold = 0.87))
+    val recall = auto.intersect(exactAt).size.toDouble / exactAt.size
+    info(f"auto-banded SRP recall vs exact@0.87 = $recall%.3f " +
+      f"(${auto.intersect(exactAt).size}/${exactAt.size}; " +
+      f"${auto.size} total emitted of ${exactAll.size} exact@0.45)")
+    assert(recall >= 0.8, f"auto SRP contract recall too low: $recall%.2f")
+    assert(pairs(Ann.embeddingSrpPairsAuto(spark, out)) == auto)
+  }
+
   test("SRP hot-bucket cap: clone cluster emits a chain, closure intact") {
     // 100 identical vectors share EVERY band signature — the one skew
     // LSH banding manufactures itself. Uncapped that is 4950 pairs per
