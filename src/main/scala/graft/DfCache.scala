@@ -23,6 +23,16 @@ import org.apache.spark.sql.DataFrame
 object DfCache {
   private val cache = new ConcurrentHashMap[String, DataFrame]()
 
+  /** Monotonic count of memo HITS (an entry already present at get).
+    * Bench reads the delta around each query to attribute warm-memo
+    * reuse: a query whose first run scores hits built by a SIBLING
+    * query is not paying its own index cost, which contaminated the
+    * r10 ladder's per-query ratios (dedup_clusters measured 0.017 s
+    * warm at sf0.1 vs 30.8 s cold at sf10 — a bogus 1814x headline).
+    */
+  private val hitCounter = new java.util.concurrent.atomic.AtomicLong()
+  def hitCount: Long = hitCounter.get()
+
   /** Memoize `build` (which should return an already-persisted DF)
     * under `key` for the session owning `any`'s SparkSession.
     */
@@ -33,7 +43,7 @@ object DfCache {
     val appId = org.apache.spark.sql.SparkSession.active.sparkContext.applicationId
     val k = s"$appId:$key"
     val hit = cache.get(k)
-    if (hit != null) hit
+    if (hit != null) { hitCounter.incrementAndGet(); hit }
     else {
       val built = df
       val prev = cache.putIfAbsent(k, built)

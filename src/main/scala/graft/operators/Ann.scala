@@ -502,6 +502,35 @@ object Ann {
       planeMode: String = "splitmix", maxBucket: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val emb = nvCache(s, dir)
+    val cand = embeddingSrpCandidates(s, dir, bands, rowsPerBand, seed,
+      planeMode, maxBucket)
+    // vector fetch for the exact verify: shuffle-HASH joins, never
+    // sort-merge — the candidate set with a 2 KB vector attached must
+    // not be SORTED (the sf10 ladder measured the SMJ spilling the
+    // 36M-candidate x 2KB intermediate past 59 GB of disk; a hash
+    // join streams it). At small SF AQE broadcasts these sides anyway.
+    cand
+      .join(emb.select(col("vec_id").as("id_a"), col("nv").as("va"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("nv").as("vb"))
+        .hint("shuffle_hash"), Seq("id_b"))
+      .filter(dot(col("va"), col("vb")) >= threshold)
+      .select("id_a", "id_b")
+  }
+
+  /** The CANDIDATE stage of [[embeddingSrpPairs]] — everything up to
+    * (but not including) the exact-dot verification: banded signature
+    * projection, (band, signature) self-join, hot-bucket cap, and
+    * cross-band dedup. Exposed separately so candidate VOLUME — the
+    * quantity that went quadratic under fixed banding and broke the
+    * r10 sf10 rung — is directly measurable (AnnSpec pins it ~linear
+    * in n under the auto-derived banding).
+    */
+  private[graft] def embeddingSrpCandidates(s: SparkSession, dir: String,
+      bands: Int, rowsPerBand: Int, seed: Long = 42L,
+      planeMode: String = "splitmix", maxBucket: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = nvCache(s, dir)
     val dim = corpusDim(s, dir)
     val planes = planeMode match {
       case "splitmix" => srpPlanes(dim, bands * rowsPerBand, seed)
@@ -520,24 +549,12 @@ object Ann {
     val bkt = sigs
       .withColumn("rn", row_number().over(wb.orderBy("vec_id")))
       .withColumn("cnt", count(lit(1)).over(wb))
-    val cand = bkt.as("x").join(bkt.as("y"),
+    bkt.as("x").join(bkt.as("y"),
         col("x.band") === col("y.band") && col("x.s") === col("y.s") &&
           col("x.vec_id") < col("y.vec_id") &&
           (col("x.cnt") <= maxBucket || col("y.rn") === col("x.rn") + 1))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("nbands"))
-    // vector fetch for the exact verify: shuffle-HASH joins, never
-    // sort-merge — the candidate set with a 2 KB vector attached must
-    // not be SORTED (the sf10 ladder measured the SMJ spilling the
-    // 36M-candidate x 2KB intermediate past 59 GB of disk; a hash
-    // join streams it). At small SF AQE broadcasts these sides anyway.
-    cand
-      .join(emb.select(col("vec_id").as("id_a"), col("nv").as("va"))
-        .hint("shuffle_hash"), Seq("id_a"))
-      .join(emb.select(col("vec_id").as("id_b"), col("nv").as("vb"))
-        .hint("shuffle_hash"), Seq("id_b"))
-      .filter(dot(col("va"), col("vb")) >= threshold)
-      .select("id_a", "id_b")
   }
 
   /** [[embeddingSrpPairs]] with the banding DERIVED from the corpus —
@@ -555,12 +572,21 @@ object Ann {
     * surface with probability >= recall (the planted-clone regime;
     * AnnSpec pins it measured).
     */
+  /** The (rowsPerBand, bands) [[embeddingSrpPairsAuto]] derives for a
+    * corpus of `n` rows: [[srpParams]] at the recall contract with the
+    * random-pair band budget scaled ~64/n. ONE definition, used by the
+    * operator and pinned by AnnSpec's two-corpus-size contract case.
+    */
+  def autoSrpBanding(n: Long, simAt: Double = 0.87,
+      recall: Double = 0.9): (Int, Int) =
+    srpParams(simAt, recall,
+      fpBandBudget = math.min(0.01, 64.0 / math.max(1L, n).toDouble))
+
   def embeddingSrpPairsAuto(s: SparkSession, dir: String,
       threshold: Double = 0.45, simAt: Double = 0.87,
       recall: Double = 0.9): DataFrame = {
     val n = Tables.embeddings(s, dir).count()
-    val (r, b) = srpParams(simAt, recall,
-      fpBandBudget = math.min(0.01, 64.0 / math.max(1L, n).toDouble))
+    val (r, b) = autoSrpBanding(n, simAt, recall)
     embeddingSrpPairs(s, dir, threshold, bands = b, rowsPerBand = r)
   }
 

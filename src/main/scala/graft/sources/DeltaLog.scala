@@ -248,9 +248,19 @@ object DeltaLog {
     * one instant and row-filter against another (TimestampNTZ has no
     * zone and needs no conversion).
     */
+  private val dateOnlyWithOffset =
+    "^(\\d{4}-\\d{2}-\\d{2})(Z|[+-]\\d{2}(?::?\\d{2})?)$".r
   private def boundToUtc(v: String, sessionTz: String): String = {
     val t0 = v.replace(' ', 'T')
-    val t = if (t0.length == 10) t0 + "T00:00:00" else t0
+    // A date-only bound CAN carry an offset ("2024-01-01Z" casts fine
+    // in Spark/DuckDB as UTC midnight) — splice in the midnight time
+    // so the OffsetDateTime branch below handles it; without this,
+    // both parse branches throw and the exception escaped (r10 ADVICE).
+    val t = t0 match {
+      case dateOnlyWithOffset(d, off) => s"${d}T00:00:00$off"
+      case _ if t0.length == 10 => t0 + "T00:00:00"
+      case _ => t0
+    }
     // A bound carrying an explicit offset ('Z' / '+hh:mm') names an
     // INSTANT. The row-filter layer casts it with Spark semantics
     // (offset honored), so the prune layer must honor it too —
@@ -409,10 +419,18 @@ object DeltaLog {
           import spark.implicits._
           val survivors = cpDf
             .where(org.apache.spark.sql.functions.col("add").isNotNull)
+            // size/modificationTime coalesce to 0 (Replay.applyLine's
+            // defaults): a foreign checkpoint may write them nullable,
+            // and a null would throw at the non-nullable Long decode
+            // below instead of falling back to the driver replay
             .select(org.apache.spark.sql.functions.col("add.path"),
               org.apache.spark.sql.functions.col("add.partitionValues"),
-              org.apache.spark.sql.functions.col("add.size"),
-              org.apache.spark.sql.functions.col("add.modificationTime"),
+              org.apache.spark.sql.functions.coalesce(
+                org.apache.spark.sql.functions.col("add.size"),
+                org.apache.spark.sql.functions.lit(0L)).as("size"),
+              org.apache.spark.sql.functions.coalesce(
+                org.apache.spark.sql.functions.col("add.modificationTime"),
+                org.apache.spark.sql.functions.lit(0L)).as("modificationTime"),
               org.apache.spark.sql.functions.col("add.stats"))
             .as[(String, Map[String, String], Long, Long, Option[String])]
             .filter { t =>
@@ -521,7 +539,18 @@ object DeltaLog {
             publishNewByRename(conf, f, dest, bytes)
           case e: java.nio.file.FileSystemException
               if isNoHardlinkSupport(e) =>
-            publishNewByRename(conf, f, dest, bytes)
+            // The reason string is ambiguous: "not permitted" is what
+            // no-hardlink filesystems return, but ALSO what a genuine
+            // EPERM (protected_hardlinks sysctl, immutable attr)
+            // returns. Disambiguate by PROBING the directory once —
+            // link a fresh probe file we own. If the probe links, the
+            // mount supports hardlinks and this failure was a real
+            // permission fault that must SURFACE (degrading would
+            // reopen the rename ABA window); if it doesn't, the
+            // capability is absent and the fallback is safe. The
+            // verdict is cached per directory.
+            if (dirSupportsHardlink(destNio.getParent)) throw e
+            else publishNewByRename(conf, f, dest, bytes)
           // Any OTHER FileSystemException (EIO, disk-full, transient
           // contention) must SURFACE: silently degrading to the
           // overwriting-rename path would reopen exactly the ABA
@@ -542,6 +571,34 @@ object DeltaLog {
     * and EXDEV ("cross-device link") likewise name capability, not
     * state. Reason-string matching is the only signal NIO exposes.
     */
+  /** Probe-once-per-directory: can link(2) create a hard link here at
+    * all? Links a fresh probe file this process owns — the operation
+    * publishNew itself performs — so a success means the mount has the
+    * capability and any "not permitted" on a real commit is a genuine
+    * fault, not a missing feature. Cached: capability is a stable
+    * property of the mount, and one probe per log dir per JVM is
+    * cheaper than misclassifying a single commit.
+    */
+  private val hardlinkProbe =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def dirSupportsHardlink(dir: java.nio.file.Path): Boolean =
+    hardlinkProbe.computeIfAbsent(dir.toString, _ => {
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val src = dir.resolve(s".graft_lnprobe_$tag.src")
+      val dst = dir.resolve(s".graft_lnprobe_$tag.lnk")
+      try {
+        java.nio.file.Files.write(src, Array.emptyByteArray)
+        java.nio.file.Files.createLink(dst, src)
+        java.lang.Boolean.TRUE
+      } catch { case _: Exception => java.lang.Boolean.FALSE }
+      finally {
+        try java.nio.file.Files.deleteIfExists(dst)
+        catch { case _: Exception => () }
+        try { java.nio.file.Files.deleteIfExists(src); () }
+        catch { case _: Exception => () }
+      }
+    })
+
   private def isNoHardlinkSupport(e: java.nio.file.FileSystemException): Boolean = {
     val r = Option(e.getReason).getOrElse(e.getMessage match {
       case null => ""
@@ -902,10 +959,20 @@ object DeltaLog {
     // read), else the version current at commit entry — so only
     // commits that land DURING the publish race are checked
     val startParent = readVersion.getOrElse(currentVersion(spark, root))
+    // A BLIND append (no declared read snapshot) commutes with every
+    // concurrent commit under Delta's WriteSerializable rules — it
+    // references no existing file, so a racing overwrite/rewrite
+    // cannot invalidate anything it assumed. Aborting it was stricter
+    // than the protocol (r10 ADVICE): it just retries at the new
+    // parent. Overwrites still conflict-check even when blind — their
+    // remove set DOES assume a snapshot (recomputed per attempt, but
+    // an intermediate remover must surface, see commitOverwrite).
+    val checkConflicts = readVersion.isDefined || overwrite
     var attempt = 0
     while (true) {
       val parent = currentVersion(spark, root)
-      if (parent > startParent) conflictCheck(f, root, startParent, parent, opName)
+      if (checkConflicts && parent > startParent)
+        conflictCheck(f, root, startParent, parent, opName)
       val v = parent + 1
       val removed: Seq[String] =
         if (overwrite && parent >= 0)

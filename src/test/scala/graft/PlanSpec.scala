@@ -122,4 +122,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"admissible cell-pair list should broadcast:\n$p")
   }
+
+  test("every GLOBAL window in the registry sits above a domain-bounded input") {
+    // An unpartitioned Window is a single-partition sort of its whole
+    // input — fine over a post-aggregation frame whose cardinality is
+    // domain-bounded (deciles, an hour calendar, top-20 pairs), fatal
+    // over an n-row table at 100 TB. The r10 audit verified by hand
+    // that every such window in the tree is post-agg; this guard makes
+    // that property structural: a refactor that drops the aggregation
+    // under any registry query's global window fails here, not in
+    // production. Bounded = an Aggregate or a GlobalLimit somewhere
+    // below the window in the OPTIMIZED logical plan (a Window above
+    // another checked Window chains to the same bounded base).
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, Deduplicate, GlobalLimit, LogicalPlan, Window => LWindow}
+    def bounded(p: LogicalPlan): Boolean = p.collectFirst {
+      case _: Aggregate => true
+      case _: GlobalLimit => true
+      case _: Deduplicate => true
+    }.nonEmpty
+    var seen = 0
+    val offenders = SparkEntry.registry.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        val lp = q.fn(spark, sf).queryExecution.optimizedPlan
+        lp.collect {
+          case w: LWindow if w.partitionSpec.isEmpty =>
+            seen += 1
+            if (bounded(w.child)) None
+            else Some(s"$name: global window over un-aggregated input " +
+              s"(orderBy ${w.orderSpec.map(_.sql).mkString(", ")})")
+        }.flatten
+    }
+    info(s"$seen global windows audited across the registry")
+    assert(seen > 0,
+      "sweep found NO global windows — the collect pattern has drifted " +
+        "from Catalyst's Window node (ch_with_fill et al. have them)")
+    assert(offenders.isEmpty,
+      s"global windows over unbounded inputs:\n${offenders.mkString("\n")}")
+  }
 }

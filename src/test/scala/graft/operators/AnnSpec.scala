@@ -337,6 +337,90 @@ class AnnSpec extends SparkSpec {
     assert(pairs(Ann.embeddingSrpPairsAuto(spark, out)) == auto)
   }
 
+  test("auto-banding contract across corpus size: recall holds, candidates stay ~linear") {
+    // THE failure the r10 sf10 rung measured, pinned as a contract:
+    // fixed banding's false candidates grow n²·b·2^-r (36M candidates
+    // at 200k rows; the 2KB-vector verify join spilled >59 GB to
+    // disk-full). autoSrpBanding scales the random-pair band budget
+    // ~64/n, so candidates per ROW must stay bounded as the corpus
+    // grows a decade — while the 0.87-recall contract keeps holding.
+    // Ground truth at sizes where n² exact verification is already
+    // unaffordable: the PLANTED clone pairs, recomputed from GenData's
+    // own hash law (a dup row's vector is its base row's pure
+    // construction + eps-noise at cos >= ~0.87; bases that are
+    // themselves dups are excluded — their vector is their own base's,
+    // not their pure construction).
+    val seed = 7L
+    def plantedPairs(n: Long): Set[(Long, Long)] = {
+      val dups = spark.range(n)
+        .filter(graft.tools.GenData.uniform(col("id"), 40, seed) < 0.005 &&
+          col("id") >= 64)
+        .withColumn("base",
+          pmod(xxhash64(col("id"), lit(41), lit(seed)), col("id")))
+      val dupIds = dups.select("id").collect().map(_.getLong(0)).toSet
+      dups.collect()
+        .map(r => (r.getAs[Long]("base"), r.getAs[Long]("id")))
+        .filterNot { case (b, _) => dupIds.contains(b) }.toSet
+    }
+    val stats = Seq(0.1, 1.0).map { sf =>
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_spec_autoband_sf$sf"
+      val p = new org.apache.hadoop.fs.Path(out)
+      if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+        graft.tools.GenData.generate(spark, sf, out, seed = seed, embDim = 256,
+          tables = Some(Set("embeddings")))
+      val n = graft.Tables.embeddings(spark, out).count()
+      val (r, b) = Ann.autoSrpBanding(n)
+      val cands = Ann.embeddingSrpCandidates(spark, out,
+        bands = b, rowsPerBand = r).count()
+      val emitted = Ann.embeddingSrpPairsAuto(spark, out).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      val all = plantedPairs(n)
+      assert(all.nonEmpty, s"no planted pairs at n=$n — corpus law drifted")
+      // the banding contract promises recall only for pairs AT/ABOVE
+      // the simAt=0.87 point; an eps=0.6 clone draw can land just
+      // below it, so restrict the ground truth to the contract regime
+      // by REALIZED cosine (a handful of ids — cheap to fetch)
+      val ids = all.flatMap(p => Seq(p._1, p._2)).toSeq
+      val vecs = graft.Tables.embeddings(spark, out)
+        .filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(x => x.getLong(0) ->
+          x.getSeq[Float](1).map(_.toDouble).toArray).toMap
+      def cosOf(a: Long, b: Long): Double = {
+        val (x, y) = (vecs(a), vecs(b))
+        var (d, nx, ny) = (0.0, 0.0, 0.0)
+        var i = 0
+        while (i < x.length) {
+          d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
+        }
+        d / math.sqrt(nx * ny)
+      }
+      val want = all.filter { case (a, b) => cosOf(a, b) >= 0.87 }
+      assert(want.nonEmpty, s"no planted pairs above the contract point at n=$n")
+      val recall = emitted.intersect(want).size.toDouble / want.size
+      info(f"n=$n banding=(r=$r,b=$b) candidates=$cands " +
+        f"(${cands.toDouble / n}%.1f/row) planted=${all.size} " +
+        f"(${want.size} at/above cos 0.87) recall=$recall%.3f")
+      assert(recall >= 0.8,
+        f"auto-banded recall vs planted clones too low at n=$n: $recall%.2f")
+      (n, cands.toDouble / n)
+    }
+    val Seq((n1, perRow1), (n2, perRow2)) = stats
+    assert(n2 >= n1 * 5, s"sizes too close to measure growth: $n1 vs $n2")
+    // "linear in n" stated precisely: candidates per ROW bounded by a
+    // CONSTANT at any corpus size — the budget formula targets ~32
+    // false candidates/row (fpBandBudget * n/2), which discreteness
+    // undershoots at small n (9/row here) and saturates toward at
+    // scale (34/row at 20k). 48 = the 32 design point + within-band
+    // duplicate and true-pair slack. Under the old FIXED r=14/b=24
+    // banding, per-row volume grows with n (14.6/row at 20k, 146/row
+    // at the 200k rung that died) and crosses this cap a decade in.
+    for ((n, perRow) <- stats)
+      assert(perRow <= 48.0,
+        f"candidate volume above the linear-design cap at n=$n: " +
+          f"$perRow%.1f/row (budget targets ~32)")
+  }
+
   test("SRP hot-bucket cap: clone cluster emits a chain, closure intact") {
     // 100 identical vectors share EVERY band signature — the one skew
     // LSH banding manufactures itself. Uncapped that is 4950 pairs per

@@ -200,6 +200,13 @@ class DeltaLogSpec extends SparkSpec {
     // timestamp-typed skipping: a window outside any file's range is empty
     val tsRanges = Seq(DeltaLog.ColRange("o_orderdate", Some("2030-01-01"), None))
     assert(DeltaLog.pruneFiles(snap, tsRanges).isEmpty)
+    // a DATE-ONLY bound carrying an explicit offset ("2030-01-01Z" =
+    // UTC midnight) must parse, not silently disable pruning by
+    // throwing into fileAdmits' keep-on-error net (r10 ADVICE: the
+    // instant-honoring rewrite dropped the old stripSuffix("Z") path)
+    val tsZ = Seq(DeltaLog.ColRange("o_orderdate", Some("2030-01-01Z"), None))
+    assert(DeltaLog.pruneFiles(snap, tsZ).isEmpty,
+      "date-only+offset bound must still prune")
   }
 
   test("checkpoint of a partitioned table carries partitionValues and tombstones") {
@@ -487,6 +494,31 @@ class DeltaLogSpec extends SparkSpec {
     assert(v2 === 2L)
     assert(DeltaLog.readLatest(spark, root).count() ===
       o.filter(col("o_orderkey") % 3 =!= 0).count())
+  }
+
+  test("blind append retries past a mid-race overwrite instead of aborting") {
+    val root = freshRoot("delta_blind_race")
+    val o = Tables.orders(spark, sf).limit(200)
+    DeltaLog.commitAppend(o, root) // v0
+    // occupy v1 with a rival OVERWRITE (remove actions included): the
+    // blind append enters at parent=v0, loses the publish race for v1,
+    // and on retry sees a remover landed mid-race. Under Delta's
+    // WriteSerializable rules a blind append COMMUTES with it — it
+    // referenced no existing file — so it must retry and land, not
+    // abort (r10 ADVICE: only a declared readVersion makes removes a
+    // conflict for appends).
+    val removedPaths = DeltaLog.snapshotAsOf(spark, root, 0).files
+    val foreign = new java.io.File(s"$root/_delta_log/${"%020d".format(1)}.json")
+    val w = new java.io.FileWriter(foreign)
+    try {
+      w.write("""{"commitInfo":{"operation":"OVERWRITE","engineInfo":"rival"}}""" + "\n")
+      removedPaths.foreach(p => w.write(
+        s"""{"remove":{"path":"$p","deletionTimestamp":0}}""" + "\n"))
+    } finally w.close()
+    val v = DeltaLog.commitAppend(o, root)
+    assert(v === 2L, "blind append must land past the rival overwrite")
+    // the rival removed v0's files, so the table is exactly the append
+    assert(DeltaLog.readLatest(spark, root).count() === o.count())
   }
 
   test("CoW rewrite: read-set conflict aborts, disjoint rewrites both commit") {
