@@ -105,6 +105,16 @@ object PlanAudit {
       (s, d) => SparkEntry.registry("ann_ivfpq_topk").benchFn
         .getOrElse(sys.error("ann_ivfpq_topk must register a bench shape"))
         .apply(s, d)),
+    // ---- round-11 additions ----
+    ("q02_min_cost_supplier",
+      "TPC-H Q2's correlated-MIN trap, decorrelated: the supply-edge aggregation (min unit price per (part, supplier)) is the ONLY big shuffle — keyed on the group-by pair with a partial min below it; the part slice and the Europe supplier dim both enter via BroadcastExchange; the per-part MIN side is a second aggregate over the already-joined edges whose equality join-back is again a broadcast (part-count rows). At 100 TB: one lineitem-scale shuffle total, the correlated subquery never re-evaluates per candidate row.",
+      reg("q02_min_cost_supplier")),
+    ("q11_important_parts",
+      "TPC-H Q11's global-scalar HAVING: the per-part value aggregate and the (total, npart) scalar both reduce the SAME broadcast-filtered base; the scalar arrives back as a 1-row BroadcastNestedLoopJoin (the right plan for a single-row side), so the threshold is evaluated once, not per group; both aggregates are partial/final pairs. At 100 TB: two reductions of one scan + a 1-row broadcast — no re-scan, no per-group subquery.",
+      reg("q11_important_parts")),
+    ("q20_dominant_supplier",
+      "TPC-H Q20's nested-IN, decorrelated into two stacked aggregates over ONE filtered scan: per-(part, supplier) quantity and per-part total (an exact decimal sum over the same base — summing the per-supplier doubles would be order-dependent float addition); the >50%-share filter joins them on the part key, and the supplier table is reduced by a LeftSemi on the surviving supplier ids. At 100 TB: the red-part 1997 slice is scanned once; everything downstream is proportional to the supply-edge count, not lineitem.",
+      reg("q20_dominant_supplier")),
     ("graph_pagerank (superstep)",
       "The per-iteration unit cost of distributed PageRank: the ranks side enters the contribution join via BroadcastExchange (node-count rows), so the edge index is NEVER shuffled per superstep — the only per-step shuffle Exchange is the dst-keyed contribution aggregation with a partial sum before it. (The left-leg edge-index build with its own Exchanges appears in this audit plan only because the plan is un-persisted; the operator builds eDeg once, loop-invariant, and persists it.) The full operator runs this plan once per superstep behind an eager per-step checkpoint.",
       (s, d) => graft.operators.Graph.pageRankSuperstepPlan(s, d)))

@@ -31,7 +31,200 @@ object Tpch {
 
   private def ts(s: String) = lit(s).cast("timestamp")
 
+  /** The lineitem-derived SUPPLY relationship standing in for the
+    * absent partsupp table (q02/q11/q16/q20): each (l_partkey,
+    * l_suppkey) pair that ever traded is a supply edge; unit cost =
+    * min observed l_extendedprice / l_quantity (one IEEE division of
+    * parquet-identical doubles — bit-equal in both engines). */
+  private def supplyCost(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.lineitem(s, dir)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+
   val all: Map[String, Q] = Map(
+    // ------------------------------------------------------------------
+    // Q2: minimum-cost supplier per part within a region. The plan
+    // challenge is the correlated per-part MIN subquery: decorrelated
+    // into ONE per-part aggregate over the region-restricted supply
+    // edges, joined back on (part, cost) — evaluated once per part,
+    // never once per candidate row. Dims (part slice, Europe
+    // suppliers) broadcast; the only big shuffle is the supply-edge
+    // aggregation on (partkey, suppkey).
+    "q02_min_cost_supplier" -> Q(
+      (s, dir) => {
+        val euro = Tables.nation(s, dir)
+          .join(Tables.region(s, dir).filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("nk"), col("n_name"))
+        val suppliers = Tables.supplier(s, dir)
+          .join(broadcast(euro), col("s_nationkey") === col("nk"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+        val parts = Tables.part(s, dir)
+          .filter(col("p_type") === "STANDARD" && col("p_size") <= 10)
+          .select("p_partkey", "p_name")
+        val edges = supplyCost(s, dir)
+          .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(suppliers), col("l_suppkey") === col("s_suppkey"))
+        val minPer = edges.groupBy(col("p_partkey").as("pk"))
+          .agg(min(col("unit_cost")).as("pmin"))
+        edges.join(minPer,
+            col("p_partkey") === col("pk") && col("unit_cost") === col("pmin"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_name"), col("unit_cost").as("min_cost"))
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+            col("p_partkey"))
+          .limit(100)
+      },
+      Some("""
+        WITH cost AS MATERIALIZED (
+          SELECT l_partkey, l_suppkey,
+                 min(l_extendedprice / l_quantity) AS unit_cost
+          FROM lineitem GROUP BY 1, 2)
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               unit_cost AS min_cost
+        FROM cost, part, supplier, nation, region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND p_type = 'STANDARD' AND p_size <= 10
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+          AND unit_cost = (
+            SELECT min(c2.unit_cost)
+            FROM cost c2, supplier s2, nation n2, region r2
+            WHERE c2.l_partkey = p_partkey AND s2.s_suppkey = c2.l_suppkey
+              AND s2.s_nationkey = n2.n_nationkey
+              AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""")),
+
+    // ------------------------------------------------------------------
+    // Q11: important parts by traded value from a supplier group —
+    // per-part aggregate HAVING against a GLOBAL scalar. Both sides
+    // are exact decimal product-sums surfaced as doubles; the
+    // threshold (2x the mean per-part value) is scale-free, unlike
+    // TPC-H's literal fraction, so the row set stays nonempty at
+    // every SF. The scalar (total, npart) is one extra reduction
+    // broadcast back — never re-evaluated per group.
+    "q11_important_parts" -> Q(
+      (s, dir) => {
+        val nations = Seq("NATION_3", "NATION_7", "NATION_11")
+        val supp = Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)
+              .filter(col("n_name").isin(nations: _*))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey")
+        val base = Tables.lineitem(s, dir)
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        val perPart = base.groupBy("l_partkey")
+          .agg(psum(d(col("l_extendedprice")) * d(col("l_quantity")))
+            .as("value"))
+        val total = base.agg(
+          psum(d(col("l_extendedprice")) * d(col("l_quantity"))).as("tot"),
+          countDistinct(col("l_partkey")).as("npart"))
+        perPart.crossJoin(broadcast(total))
+          .filter(col("value") > lit(2.0) * col("tot") / col("npart"))
+          .select(col("l_partkey"), col("value"))
+          .orderBy(col("value").desc, col("l_partkey"))
+      },
+      Some(s"""
+        WITH base AS MATERIALIZED (
+          SELECT l_partkey, l_extendedprice, l_quantity
+          FROM lineitem, supplier, nation
+          WHERE s_suppkey = l_suppkey AND s_nationkey = n_nationkey
+            AND n_name IN ('NATION_3', 'NATION_7', 'NATION_11'))
+        SELECT l_partkey,
+               ${S.psum(s"${S.d("l_extendedprice")} * ${S.d("l_quantity")}")}
+                 AS value
+        FROM base
+        GROUP BY l_partkey
+        HAVING value > 2.0 * (
+          SELECT ${S.psum(s"${S.d("l_extendedprice")} * ${S.d("l_quantity")}")}
+                 / count(DISTINCT l_partkey)
+          FROM base)
+        ORDER BY value DESC, l_partkey""")),
+
+    // ------------------------------------------------------------------
+    // Q16: supplier-relationship count per (brand, type, size) —
+    // count DISTINCT suppliers over the supply edges, minus an
+    // excluded supplier set (negative balance stands in for
+    // complaints). The NOT IN is a broadcast anti join; the distinct
+    // count shuffles once on the grouping key. Output is
+    // domain-bounded (brand x type x size), no limit needed.
+    "q16_supplier_relationship" -> Q(
+      (s, dir) => {
+        val excluded = Tables.supplier(s, dir)
+          .filter(col("s_acctbal") < 0).select("s_suppkey")
+        val parts = Tables.part(s, dir)
+          .filter(col("p_brand") =!= "Brand#1" &&
+            col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+          .select("p_partkey", "p_brand", "p_type", "p_size")
+        Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+          .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(excluded),
+            col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      Some("""
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey AND p_brand <> 'Brand#1'
+          AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
+
+    // ------------------------------------------------------------------
+    // Q20: dominant suppliers of a part family — the nested-IN
+    // challenge (suppliers whose 1997 shipped quantity of some 'red'
+    // part exceeds half that part's total), decorrelated into two
+    // stacked aggregates over ONE filtered scan: per-(part, supplier)
+    // quantity, then per-part total FROM THE SAME BASE (an exact
+    // decimal sum — summing the per-supplier doubles instead would be
+    // order-dependent float addition and break the oracle), then the
+    // >50% share filter and a distinct on the supplier.
+    "q20_dominant_supplier" -> Q(
+      (s, dir) => {
+        val red = Tables.part(s, dir)
+          .filter(col("p_name").startsWith("red ")).select("p_partkey")
+        val base = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= ts("1997-01-01") &&
+            col("l_shipdate") < ts("1998-01-01"))
+          .join(broadcast(red), col("l_partkey") === col("p_partkey"))
+          .select("l_partkey", "l_suppkey", "l_quantity")
+        val perSupp = base.groupBy("l_partkey", "l_suppkey")
+          .agg(dsum(col("l_quantity")).as("qty"))
+        val perPart = base.groupBy(col("l_partkey").as("pk"))
+          .agg(dsum(col("l_quantity")).as("tot"))
+        val dominant = perSupp
+          .join(perPart, col("l_partkey") === col("pk"))
+          .filter(col("qty") > lit(0.5) * col("tot"))
+          .select("l_suppkey").distinct()
+        Tables.supplier(s, dir)
+          .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select("s_name", "s_acctbal")
+          .orderBy("s_name")
+      },
+      Some(s"""
+        SELECT s_name, s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+          WITH base AS MATERIALIZED (
+            SELECT l_partkey, l_suppkey, l_quantity
+            FROM lineitem, part
+            WHERE p_partkey = l_partkey AND p_name LIKE 'red %'
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01')
+          SELECT q.l_suppkey
+          FROM (SELECT l_partkey, l_suppkey, ${S.dsum("l_quantity")} AS qty
+                FROM base GROUP BY 1, 2) q,
+               (SELECT l_partkey AS pk, ${S.dsum("l_quantity")} AS tot
+                FROM base GROUP BY 1) t
+          WHERE q.l_partkey = t.pk AND q.qty > 0.5 * t.tot)
+        ORDER BY s_name""")),
+
     // ------------------------------------------------------------------
     // Q4: order priority checking — EXISTS(late lineitem). Lateness
     // here is l_shipdate > o_orderdate + 60 days (the schema has no

@@ -59,7 +59,40 @@ class TpchSpec extends SparkSpec {
         "q08_market_share", "q12_late_lines", "q13_custdist",
         "q14_promo_revenue", "q15_top_supplier", "q17_small_qty_revenue",
         "q18_large_orders", "q19_brand_or", "q21_waiting_supplier",
-        "q22_idle_customers"))
+        "q22_idle_customers", "q02_min_cost_supplier", "q11_important_parts",
+        "q16_supplier_relationship", "q20_dominant_supplier"))
       assert(SparkEntry.registry(q).fn(spark, sf).count() > 0, s"$q empty")
+  }
+
+  test("q02 per-part MIN decorrelates: no product join, dims broadcast") {
+    val p = plan("q02_min_cost_supplier")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q02 planned a product join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q02 part/supplier dims should broadcast:\n$p")
+  }
+
+  test("q11 global-scalar HAVING arrives by broadcast, evaluated once") {
+    val p = plan("q11_important_parts")
+    // the (total, npart) scalar is a 1-row side: broadcast NL join is
+    // the right plan for it; the per-part aggregate must still be
+    // partial+final hash aggregation
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"q11 scalar should arrive by broadcast:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"q11 missing partial aggregation stages:\n$p")
+  }
+
+  test("q16 excluded suppliers are a broadcast anti join") {
+    val p = plan("q16_supplier_relationship")
+    assert(p.contains("LeftAnti"), s"q16 lost the NOT IN anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q16 planned a product:\n$p")
+  }
+
+  test("q20 share filter joins two aggregates of ONE scan, then semi-joins") {
+    val p = plan("q20_dominant_supplier")
+    assert(p.contains("LeftSemi"), s"q20 lost the IN semi join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q20 planned a product join:\n$p")
   }
 }
