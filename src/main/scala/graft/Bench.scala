@@ -66,7 +66,9 @@ object Bench {
     // the output says which queries benefited either way.
     val cold = sys.env.get("SPARK_GRAFT_COLD").contains("1")
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
-      if (cold) DfCache.clear()
+      // blocking: the rebuild follows immediately — an async unpersist
+      // would leave old and new index copies co-resident (OOMed sf10)
+      if (cold) DfCache.clear(blocking = true)
       val t0 = System.nanoTime()
       try {
         // Strip the terminal presentation sort (oracle-contract
@@ -104,6 +106,12 @@ object Bench {
       val samples =
         if (twice.size == 2 && twice.max / twice.min > 1.5) twice ++ run(fn)
         else twice
+      // stderr progress: names the in-flight query if the JVM dies
+      // mid-suite (a heap OOM at sf10 was unattributable without it)
+      System.err.println(s"[bench] $name " +
+        samples.map(t => f"$t%.2f").mkString("/") +
+        (if (samples.isEmpty) " FAILED" else "") +
+        (if (firstHits > 0) s" memo_hits=$firstHits" else ""))
       (name, samples.minOption, firstHits)
     }
     val envEnd = envFingerprint(cpus.toInt)

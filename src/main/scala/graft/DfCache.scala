@@ -52,8 +52,15 @@ object DfCache {
     }
   }
 
-  def clear(): Unit = {
-    cache.values.forEach(df => try df.unpersist(blocking = false) catch { case _: Throwable => () })
+  /** Drop and unpersist everything. `blocking = true` waits for the
+    * old blocks to actually leave the block manager — required when
+    * the caller immediately rebuilds the same indexes (Bench COLD
+    * mode): an async unpersist leaves both copies transiently
+    * resident, and at sf10 that double-residency OOMed an 8 GB heap
+    * mid-broadcast-unroll (r11 ladder, first attempt).
+    */
+  def clear(blocking: Boolean = false): Unit = {
+    cache.values.forEach(df => try df.unpersist(blocking) catch { case _: Throwable => () })
     cache.clear()
   }
 }

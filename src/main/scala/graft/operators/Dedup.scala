@@ -478,11 +478,16 @@ object Dedup {
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
           .distinct()
+        // shuffle-HASH hints on the verify fetch, never sort-merge:
+        // the candidate set with both shingle ARRAYS attached must not
+        // be sorted (the same mechanism that spilled the SRP verify at
+        // the 200k rung, Ann.scala — r11's clean sf10 ladder measured
+        // this join family at 18.5x/decade before the hint)
         val withSets = cands
           .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sha"),
-            col("n_sh").as("na")), Seq("id_a"))
+            col("n_sh").as("na")).hint("shuffle_hash"), Seq("id_a"))
           .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("shb"),
-            col("n_sh").as("nb")), Seq("id_b"))
+            col("n_sh").as("nb")).hint("shuffle_hash"), Seq("id_b"))
         withSets
           .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
           .withColumn("jaccard",
