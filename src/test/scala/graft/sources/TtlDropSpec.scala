@@ -74,6 +74,41 @@ class TtlDropSpec extends SparkSpec {
       "compaction lost or duplicated rows")
   }
 
+  test("hot partition value spreads across tasks at ingest; files stay sorted") {
+    // The r11 sf10 ladder's ch_final_write cliff: the old value-keyed
+    // repartition put EVERY row of a partition value in one task, so a
+    // corpus spanning one month wrote 1-wide at any scale. The range
+    // repartition must (a) still produce one dir per value, (b) write
+    // a hot value through MULTIPLE tasks, (c) keep each output file
+    // internally sorted by the sort key (row-group pruning contract).
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_hotpart"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    // AQE (rightly) coalesces the tiny test corpus back to one sized
+    // partition — at sf10 it sizes the same write to ~advisory-sized
+    // parallel files. Disable it here so the RANGE mechanics (not the
+    // AQE sizing policy) are what this spec exercises at 1000 rows.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Sink.writePartitionedSorted(Tables.events(spark, sf)
+        .select("event_id", "user_id", "ts_us"), out,
+        "ev_month" -> from_unixtime(expr("ts_us div 1000000"), "yyyy-MM"),
+        Seq("user_id"))
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val dirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("ev_month=")).toSeq
+    assert(dirs.size == 1, s"events span one month, got ${dirs.map(_.getName)}")
+    val files = dirs.head.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 1,
+      s"hot partition value wrote ${files.length} file(s) — the 1-wide cliff")
+    // per-file sortedness by user_id (parquet preserves row order)
+    for (f <- files.take(3)) {
+      val ids = spark.read.parquet(f.getPath)
+        .select("user_id").collect().map(_.getLong(0))
+      assert(ids.sameElements(ids.sorted), s"${f.getName} not user_id-sorted")
+    }
+    // and the layout reassembles exactly
+    assert(spark.read.parquet(out).count() === Tables.events(spark, sf).count())
+  }
+
   test("queries on the post-drop layout still partition-prune") {
     val out = layout("prune")
     Sink.dropExpiredPartitions(spark, out, "ev_day", _ < "2024-01-15")
