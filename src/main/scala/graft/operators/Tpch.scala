@@ -67,7 +67,10 @@ object Tpch {
           .join(broadcast(suppliers), col("l_suppkey") === col("s_suppkey"))
         val minPer = edges.groupBy(col("p_partkey").as("pk"))
           .agg(min(col("unit_cost")).as("pmin"))
-        edges.join(minPer,
+        // minPer has at most one row per part of the (already
+        // broadcast) filtered slice — broadcast the join-back too, so
+        // the only shuffle in the whole plan is the supply-edge agg
+        edges.join(broadcast(minPer),
             col("p_partkey") === col("pk") && col("unit_cost") === col("pmin"))
           .select(col("s_acctbal"), col("s_name"), col("n_name"),
             col("p_partkey"), col("p_name"), col("unit_cost").as("min_cost"))
