@@ -115,6 +115,16 @@ object PlanAudit {
     ("q20_dominant_supplier",
       "TPC-H Q20's nested-IN, decorrelated into two stacked aggregates over ONE filtered scan: per-(part, supplier) quantity and per-part total (an exact decimal sum over the same base — summing the per-supplier doubles would be order-dependent float addition); the >50%-share filter joins them on the part key, and the supplier table is reduced by a LeftSemi on the surviving supplier ids. At 100 TB: the red-part 1997 slice is scanned once; everything downstream is proportional to the supply-edge count, not lineitem.",
       reg("q20_dominant_supplier")),
+    ("ann_knn_join (bench shape)",
+      "The self-kNN-graph plan (both sides are the corpus — nothing broadcasts): cell assignment and the nprobe probe-list explode are per-row codegen expression work; candidate generation is a cell-keyed ShuffledHashJoin (never sort-merge — the candidate stream must not be sorted while carrying vectors); the cosine is evaluated in the join's projection so every post-join row is (cell, query, id, cos) — no raw vector ever re-shuffles; the per-(cell, query) top-k Window adds NO new Exchange (the join's cell hash partitioning already clusters it — only a local sort appears), so the single query-keyed Exchange above it carries <= nprobe*k skinny rows per query. At 100 TB: candidate volume is n*nprobe*n/cells ~ n^1.5 at cells~sqrt(n), and the shuffles carry ids+scores, never payloads.",
+      (s, d) => SparkEntry.registry("ann_knn_join").benchFn
+        .getOrElse(sys.error("ann_knn_join must register a bench shape"))
+        .apply(s, d)),
+    ("dedup_semantic (bench shape)",
+      "The SemDeDup verdict plan: cell assignment is per-row codegen; the within-cell pair check is a cell-keyed ShuffledHashJoin whose projection evaluates the cosine immediately (post-join rows are (vec_id, dup_of candidates) — no vector re-shuffles); the min-lower-id verdict is a partial/final hash aggregate on vec_id; the verdict join-back to the corpus is keyed on vec_id. At 100 TB: pairwise work is sum_c(n_c^2) ~ n^2/cells (n^1.5 at trained cells~sqrt(n)), never a global product, and skew is bounded by the trained cells' balance.",
+      (s, d) => SparkEntry.registry("dedup_semantic").benchFn
+        .getOrElse(sys.error("dedup_semantic must register a bench shape"))
+        .apply(s, d)),
     ("graph_pagerank (superstep)",
       "The per-iteration unit cost of distributed PageRank: the ranks side enters the contribution join via BroadcastExchange (node-count rows), so the edge index is NEVER shuffled per superstep — the only per-step shuffle Exchange is the dst-keyed contribution aggregation with a partial sum before it. (The left-leg edge-index build with its own Exchanges appears in this audit plan only because the plan is un-persisted; the operator builds eDeg once, loop-invariant, and persists it.) The full operator runs this plan once per superstep behind an eager per-step checkpoint.",
       (s, d) => graft.operators.Graph.pageRankSuperstepPlan(s, d)))

@@ -845,7 +845,29 @@ object Ann {
                    abs(c6) // 1000000, abs(c6) % 1000000)
                  ORDER BY i), ',') AS centroid,
                max(cnt) AS n_vectors
-        FROM r GROUP BY label ORDER BY label"""))
+        FROM r GROUP BY label ORDER BY label""")),
+
+    // ------------------------------------------------------------------
+    // Self-kNN JOIN: the corpus-wide neighbor graph (each vector's k
+    // nearest by cosine) — the construction step semantic dedup,
+    // clustering diagnostics and hard-negative mining start from.
+    // Unlike the ann_*_topk rows (tiny broadcast query set), BOTH
+    // sides are the full corpus, so nothing broadcasts: candidates
+    // come from a cell-keyed shuffle-hash join (see knnJoin's
+    // scaladoc for the n^1.5 cost argument and the two baked-in sf10
+    // lessons). CELL-EXACTLY oracled via the stride-seeded quantizer
+    // (knnJoinSeededOracleSql replays assignment, probe set and rank
+    // bit-for-bit); the BENCHED shape is the dim-256 twin under a
+    // KMeans-trained index sized cells ~ sqrt(n) (knnJoinD256).
+    "ann_knn_join" -> Q(
+      (s, dir) => {
+        val dim = corpusDim(s, dir)
+        require(dim == 64,
+          s"ann_knn_join's oracle pins dim=64 but the corpus is $dim-dim")
+        knnJoinSeeded(s, dir)
+      },
+      Some(knnJoinSeededOracleSql),
+      benchFn = Some((s, dir) => knnJoinD256(s, dir)))
   )
 
   /** Product-quantization codebooks: one seeded KMeans per subspace
@@ -1552,4 +1574,230 @@ object Ann {
         FROM rer)
       SELECT query_id, rank, neighbor_id FROM ranked
       WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  // ---- Self-kNN join + semantic dedup (the kNN-graph family) --------
+
+  /** IVF-bucketed k-NN JOIN: every corpus vector gets its k nearest
+    * neighbors (cosine) in one pass. Unlike the ann_*_topk serving
+    * rows, the query side IS the corpus, so nothing broadcasts: the
+    * corpus takes its primary cell, queries replicate to their nprobe
+    * nearest cells, and candidate generation is a cell-keyed
+    * SHUFFLE-HASH join — the bucketed-join shape that survives any
+    * corpus size (cells ~ sqrt(n) bounds per-cell work; total
+    * candidate volume is n * nprobe * n/cells ~ n^1.5 vs brute
+    * force's n^2).
+    *
+    * Two lessons from this repo's own sf10 failures are baked in:
+    * the cosine is computed INSIDE the join projection, so no shuffle
+    * after the join carries a raw vector (the SRP/minhash
+    * candidate-x-payload lesson), and the join is hinted shuffle_hash
+    * so the candidate stream is never sort-merged. The per-query
+    * top-k reduces in two stages: a (cell, query) window runs with NO
+    * new exchange (the join's cell hash partitioning already clusters
+    * (cell, query_id) — Spark adds only a local sort) and cuts each
+    * query to k per probed cell, so the only query-keyed shuffle
+    * carries <= nprobe * k skinny rows per query. Exact w.r.t. the
+    * index: a query's global top-k within its probed cells is
+    * contained in the union of its per-cell top-k.
+    */
+  def knnJoin(emb: DataFrame, cents: Seq[Seq[Double]], k: Int,
+      nprobe: Int): DataFrame = {
+    val corpus = emb
+      .withColumn("cell", element_at(nearestCellsExpr(col("nv"), cents, 1), 1))
+      .select(col("cell"), col("vec_id"), col("nv"))
+    val queries = emb
+      .select(col("vec_id").as("query_id"), col("nv").as("qnv"))
+      .withColumn("cell", explode(nearestCellsExpr(col("qnv"), cents, nprobe)))
+    val cand = queries.hint("shuffle_hash")
+      .join(corpus.hint("shuffle_hash"), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("cell"), col("query_id"), col("vec_id"),
+        dot(col("qnv"), col("nv")).as("cos"))
+    val wCell = Window.partitionBy("cell", "query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val wQuery = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cand.withColumn("cr", row_number().over(wCell)).filter(col("cr") <= k)
+      .withColumn("rank", row_number().over(wQuery)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** [[knnJoin]] with the stride-seeded oracle-mode quantizer
+    * (cells=8, nprobe=4, k=3; dim pinned 64 by the registry guard) —
+    * cell-exactly replayed by [[knnJoinSeededOracleSql]]. nprobe=4
+    * matches ann_ivf_topk's seeded mode: 8 random-corpus-point cells
+    * scatter dim-64 neighborhoods enough that 2 probes measured 0.46
+    * recall@3; 4 probes measure ~0.7 (AnnSpec pins the floor).
+    */
+  def knnJoinSeeded(s: SparkSession, dir: String, k: Int = 3,
+      cells: Int = 8, nprobe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    knnJoin(nvCache(s, dir), seedCentroids(s, dir, cells), k, nprobe)
+  }
+
+  /** [[knnJoin]] in production trim — the BENCHED shape: the dim-256
+    * GenData twin under a KMeans-trained index sized cells ~ sqrt(n)
+    * (train once, graph the whole corpus), nprobe=4, k=10.
+    */
+  def knnJoinD256(s: SparkSession, dir: String): DataFrame = {
+    val d256 = dim256BenchDir(s, dir)
+    val n = Tables.embeddings(s, d256).count()
+    val cells = math.max(16, math.sqrt(n.toDouble).toInt)
+    graft.functions.GraftFunctions.register(s)
+    val emb = nvCache(s, d256)
+    knnJoin(emb, fitCellsCached(d256, cells, emb), k = 10, nprobe = 4)
+  }
+
+  /** DuckDB replay of [[knnJoinSeeded]] (cells=8, nprobe=4, k=3, dim
+    * pinned 64). The coarse CTEs are [[ivfSeededOracleSql]]'s; the
+    * differences are that EVERY vector is a query (no vec_id < 5
+    * filter) and the Spark side's two-stage top-k collapses to one
+    * rank here (they agree by the containment argument in
+    * [[knnJoin]]'s scaladoc).
+    */
+  private def knnJoinSeededOracleSql: String = s"""
+      $nvPrelude,
+      st AS (SELECT count(*) // 8 AS stride FROM nvt),
+      sd AS MATERIALIZED (
+        SELECT CAST(vec_id // (SELECT stride FROM st) AS INTEGER) AS cell,
+               nv AS snv
+        FROM nvt
+        WHERE vec_id % (SELECT stride FROM st) = 0
+          AND vec_id < 8 * (SELECT stride FROM st)),
+      asg AS MATERIALIZED (
+        SELECT vec_id, nv, cell FROM (
+          SELECT x.vec_id, x.nv, s.cell,
+                 row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                   list_reduce(list_prepend(0.0,
+                     [(s.snv[i+1] - x.nv[i+1]) * (s.snv[i+1] - x.nv[i+1])
+                      for i in range(64)]), (acc, t) -> acc + t) ASC,
+                   s.cell ASC) AS rn
+          FROM nvt x CROSS JOIN sd s)
+        WHERE rn = 1),
+      qp AS (
+        SELECT query_id, qnv, cell FROM (
+          SELECT q.vec_id AS query_id, q.nv AS qnv, s.cell,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_reduce(list_prepend(0.0,
+                     [(s.snv[i+1] - q.nv[i+1]) * (s.snv[i+1] - q.nv[i+1])
+                      for i in range(64)]), (acc, t) -> acc + t) ASC,
+                   s.cell ASC) AS rn
+          FROM nvt q CROSS JOIN sd s)
+        WHERE rn <= 4),
+      cand AS (
+        SELECT p.query_id, a.vec_id,
+               list_reduce(list_prepend(0.0,
+                 [p.qnv[i+1] * a.nv[i+1] for i in range(64)]),
+                 (acc, t) -> acc + t) AS cos
+        FROM qp p JOIN asg a USING (cell)
+        WHERE p.query_id <> a.vec_id),
+      ranked AS (
+        SELECT query_id, vec_id AS neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+        FROM cand)
+      SELECT query_id, rank, neighbor_id FROM ranked
+      WHERE rank <= 3 ORDER BY query_id, rank"""
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the normalized embeddings, call a
+    * document a semantic duplicate if a LOWER-vec_id member of its
+    * cell sits within cosine >= threshold, keep the lowest id of each
+    * duplicate group. The deterministic keeper choice (min id, the
+    * dedup_rep_select convention) makes the whole verdict replayable.
+    * Output: one row per vector — (vec_id, cell, dup_of = smallest
+    * qualifying lower id or NULL, is_dup).
+    *
+    * Scale shape: the pairwise check is CONFINED to cells (the
+    * SemDeDup observation that near-duplicates co-cluster), so the
+    * cell-keyed shuffle-hash self-join costs sum_c(n_c^2) ~ n^2/cells
+    * ~ n^1.5 at cells ~ sqrt(n) — never a global product; the verdict
+    * join-back is keyed on vec_id. Like [[knnJoin]], the cosine is
+    * evaluated inside the join projection, so nothing after the join
+    * shuffles a raw vector. Recall is by construction that of the
+    * clustering (pairs split across cells are missed — the documented
+    * SemDeDup trade; the shipped-corpus coverage is pinned in
+    * DedupSpec against the exact dedup_embedding pair set).
+    */
+  def semanticDedup(emb: DataFrame, cents: Seq[Seq[Double]],
+      threshold: Double): DataFrame = {
+    val assigned = emb
+      .withColumn("cell", element_at(nearestCellsExpr(col("nv"), cents, 1), 1))
+      .select(col("cell"), col("vec_id"), col("nv"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("nv").as("nvb"))
+    val dupOf = assigned.hint("shuffle_hash")
+      .join(b.hint("shuffle_hash"), Seq("cell"))
+      .filter(col("id_b") < col("vec_id") &&
+        dot(col("nv"), col("nvb")) >= threshold)
+      .groupBy("vec_id").agg(min(col("id_b")).as("dup_of"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of"),
+        col("dup_of").isNotNull.as("is_dup"))
+      .orderBy("vec_id")
+  }
+
+  /** [[semanticDedup]] with the stride-seeded oracle-mode quantizer
+    * (cells=8, threshold 0.45 — the corpus's planted near-dup cosine,
+    * dedup_embedding's gate; dim pinned 64 by the registry guard).
+    */
+  def semanticDedupSeeded(s: SparkSession, dir: String,
+      threshold: Double = 0.45, cells: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    semanticDedup(nvCache(s, dir), seedCentroids(s, dir, cells), threshold)
+  }
+
+  /** [[semanticDedup]] in production trim — the BENCHED shape: the
+    * dim-256 twin, KMeans-trained cells ~ sqrt(n), threshold 0.8
+    * (planted clones sit at cos >= ~0.87; random dim-256 cosines
+    * concentrate within ~6/sqrt(dim) of 0, so 0.8 separates cleanly).
+    */
+  def semanticDedupD256(s: SparkSession, dir: String): DataFrame = {
+    val d256 = dim256BenchDir(s, dir)
+    val n = Tables.embeddings(s, d256).count()
+    val cells = math.max(16, math.sqrt(n.toDouble).toInt)
+    graft.functions.GraftFunctions.register(s)
+    val emb = nvCache(s, d256)
+    semanticDedup(emb, fitCellsCached(d256, cells, emb), threshold = 0.8)
+  }
+
+  /** DuckDB replay of [[semanticDedupSeeded]] (cells=8, threshold
+    * 0.45, dim pinned 64): seeds/assignment are
+    * [[ivfSeededOracleSql]]'s CTEs, the pair predicate is the shared
+    * normalized-dot fold (bit-identical in both engines, and the
+    * corpus's minimum threshold margin makes membership insensitive
+    * to the last ulp anyway), the verdict a LEFT JOIN to min(lower
+    * id) — so the flag set is exact.
+    */
+  private[operators] def semanticDedupOracleSql: String = s"""
+      $nvPrelude,
+      st AS (SELECT count(*) // 8 AS stride FROM nvt),
+      sd AS MATERIALIZED (
+        SELECT CAST(vec_id // (SELECT stride FROM st) AS INTEGER) AS cell,
+               nv AS snv
+        FROM nvt
+        WHERE vec_id % (SELECT stride FROM st) = 0
+          AND vec_id < 8 * (SELECT stride FROM st)),
+      asg AS MATERIALIZED (
+        SELECT vec_id, nv, cell FROM (
+          SELECT x.vec_id, x.nv, s.cell,
+                 row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                   list_reduce(list_prepend(0.0,
+                     [(s.snv[i+1] - x.nv[i+1]) * (s.snv[i+1] - x.nv[i+1])
+                      for i in range(64)]), (acc, t) -> acc + t) ASC,
+                   s.cell ASC) AS rn
+          FROM nvt x CROSS JOIN sd s)
+        WHERE rn = 1),
+      dup AS (
+        SELECT a.vec_id, min(b.vec_id) AS dup_of
+        FROM asg a JOIN asg b ON a.cell = b.cell AND b.vec_id < a.vec_id
+        WHERE list_reduce(list_prepend(0.0,
+                [a.nv[i+1] * b.nv[i+1] for i in range(64)]),
+                (acc, t) -> acc + t) >= 0.45
+        GROUP BY a.vec_id)
+      SELECT g.vec_id, g.cell, d.dup_of, d.dup_of IS NOT NULL AS is_dup
+      FROM asg g LEFT JOIN dup d USING (vec_id)
+      ORDER BY vec_id"""
 }

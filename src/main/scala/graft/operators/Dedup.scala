@@ -635,6 +635,31 @@ object Dedup {
         Ann.embeddingSrpPairsAuto(s, Ann.dim256BenchDir(s, dir)))),
 
     // ------------------------------------------------------------------
+    // SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): one verdict
+    // row per document — duplicate iff a lower-vec_id member of its
+    // embedding cluster sits within cosine >= threshold, keeper = the
+    // group's min id. Where the other embedding rows emit PAIRS, this
+    // is the decision operator a curation pipeline actually applies
+    // (filter on is_dup). Pairwise work is confined to cells, so the
+    // cell-keyed shuffle-hash self-join costs ~n^2/cells (n^1.5 at
+    // the trained bench sizing cells ~ sqrt(n)) — never a global
+    // product. CELL-EXACTLY oracled via the stride-seeded quantizer
+    // (Ann.semanticDedupOracleSql replays assignment, the normalized-
+    // dot pair predicate and the min-id verdict); the BENCH runs the
+    // dim-256 twin under KMeans-trained cells (Ann.semanticDedupD256).
+    // Cross-cell recall is pinned in DedupSpec against the exact
+    // dedup_embedding pair set.
+    "dedup_semantic" -> Q(
+      (s, dir) => {
+        val dim = Ann.corpusDim(s, dir)
+        require(dim == 64,
+          s"dedup_semantic's oracle pins dim=64 but the corpus is $dim-dim")
+        Ann.semanticDedupSeeded(s, dir)
+      },
+      Some(Ann.semanticDedupOracleSql),
+      benchFn = Some((s, dir) => Ann.semanticDedupD256(s, dir))),
+
+    // ------------------------------------------------------------------
     // INCREMENTAL dedup — the shape every production ingest actually
     // runs: a small new batch (sources src18/src19 stand in for
     // today's crawl) probed against the HISTORY's inverted shingle

@@ -464,4 +464,66 @@ class AnnSpec extends SparkSpec {
     assert((0 until 100).map(find).distinct.size == 1,
       "clone cluster not transitively connected under the cap")
   }
+
+  test("self-kNN join (seeded): shape, determinism, recall vs exact kNN") {
+    val got = collectTopk(SparkEntry.registry("ann_knn_join").fn(spark, sf))
+    val n = graft.Tables.embeddings(spark, sf).count()
+    // every vector is a query; with 8 cells of ~62 vectors each, 2
+    // probed cells always hold >= 3 non-self candidates
+    assert(got.size == n, s"${got.size} of $n queries have neighbors")
+    for ((q, ns) <- got) {
+      assert(ns.length == 3, s"query $q returned ${ns.length}")
+      assert(!ns.contains(q) && ns.distinct.length == ns.length, s"q=$q")
+    }
+    // determinism (the property the DuckDB replay oracle depends on)
+    assert(collectTopk(SparkEntry.registry("ann_knn_join").fn(spark, sf)) == got,
+      "seeded kNN join not deterministic")
+    // exact top-3 ground truth: brute force over all n^2 pairs (n=500)
+    graft.functions.GraftFunctions.register(spark)
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val q = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    val exact = collectTopk(
+      q.crossJoin(e).filter(col("query_id") =!= col("vec_id"))
+        .withColumn("cos", Ann.cosineExpr(col("qv"), col("embedding")))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id")))
+    val recalls = exact.keys.toSeq.map { qid =>
+      got(qid).toSet.intersect(exact(qid).toSet).size / 3.0
+    }
+    val mean = recalls.sum / recalls.length
+    info(f"self-kNN join recall@3 = $mean%.2f (cells=8, nprobe=4, n=$n)")
+    // the seeded 8-cell/4-probe index is the REPLAYABLE mode; it must
+    // stay a usable graph, not a degenerate one (the trained benchFn
+    // mode at cells~sqrt(n) is the production recall point, below)
+    assert(mean >= 0.65, f"seeded kNN-join recall below floor: $mean%.2f (pinned 0.72)")
+
+    // production trim: the dim-256 twin under the trained index
+    // (knnJoinD256 = the BENCHED shape), recall@10 vs the exact kNN
+    // graph over the same 2000-row twin
+    val d256 = Ann.dim256BenchDir(spark, sf)
+    val got256 = collectTopk(Ann.knnJoinD256(spark, sf))
+    val e256 = graft.Tables.embeddings(spark, d256)
+      .select(col("vec_id"), col("embedding"))
+    val q256 = e256.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact256 = collectTopk(
+      q256.crossJoin(e256).filter(col("query_id") =!= col("vec_id"))
+        .withColumn("cos", Ann.cosineExpr(col("qv"), col("embedding")))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id")))
+    val r256 = exact256.keys.toSeq.map { qid =>
+      got256.getOrElse(qid, Nil).toSet.intersect(exact256(qid).toSet).size / 10.0
+    }
+    val mean256 = r256.sum / r256.length
+    info(f"trained dim-256 kNN-join recall@10 = $mean256%.2f (cells~sqrt(n), nprobe=4)")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("ANN_RECALL_KNN.json"),
+      (f"""{"metric":"knn_join_recall","seeded_dim64_at_3":$mean%.3f,"seeded_cells":8,"seeded_nprobe":4,""" +
+        f""""trained_dim256_at_10":$mean256%.3f,"trained_cells":"sqrt(n)","trained_nprobe":4,"queries":${exact256.size}}%n""")
+        .getBytes("UTF-8"))
+    // floor = measured-minus-margin, the family convention
+    assert(mean256 >= 0.75, f"trained kNN-join recall below floor: $mean256%.2f (pinned 0.82)")
+  }
 }
