@@ -125,6 +125,23 @@ object PlanAudit {
       (s, d) => SparkEntry.registry("dedup_semantic").benchFn
         .getOrElse(sys.error("dedup_semantic must register a bench shape"))
         .apply(s, d)),
+    ("src_iceberg_pos_delete (MOR read)",
+      "The merge-on-read shape: the post-delete read is the plain multi-file FileScan (pushdown/pruning intact — log and manifests resolve to paths before planning) with ONE BroadcastHashJoin LeftAnti applying the position-delete vectors keyed on (_metadata file, row_index); the vectors are the broadcast side by construction (size ∝ deleted rows, never table size). No data file is rewritten at delete time — the write cost moved to a small vector append, the read cost to this one broadcast anti-join. At 100 TB: delete commit ∝ matched rows; read amplification is a metadata-sized broadcast.",
+      (s, d) => {
+        import graft.sources.IcebergLite
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_audit_mor"
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        IcebergLite.commitAppend(
+          graft.Tables.orders(s, d).select("o_orderkey", "o_orderstatus",
+            "o_totalprice"), root)
+        IcebergLite.commitPositionDeletes(s, root,
+          org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+        IcebergLite.readLatest(s, root)
+      }),
+    ("ch_lttb",
+      "The LTTB downsampling plan: ONE sort Exchange (the per-series order) feeding the streaming selection fold (MapGroups/FlatMapGroupsInR-free — a typed flatMapSortedGroups, so the shuffle sort provides the order and no series is ever sorted in heap); the bucket-sum subplan reduces to groups x 18 rows collected as driver metadata (the IVF-centroid class) and the group-stats side enters via BroadcastExchange. At 100 TB: cost is one scan + one sort shuffle however long the series are; per-task state is O(1) plus the final bucket.",
+      reg("ch_lttb")),
     ("graph_pagerank (superstep)",
       "The per-iteration unit cost of distributed PageRank: the ranks side enters the contribution join via BroadcastExchange (node-count rows), so the edge index is NEVER shuffled per superstep — the only per-step shuffle Exchange is the dst-keyed contribution aggregation with a partial sum before it. (The left-leg edge-index build with its own Exchanges appears in this audit plan only because the plan is un-persisted; the operator builds eDeg once, loop-invariant, and persists it.) The full operator runs this plan once per superstep behind an eager per-step checkpoint.",
       (s, d) => graft.operators.Graph.pageRankSuperstepPlan(s, d)))

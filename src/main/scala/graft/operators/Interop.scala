@@ -209,6 +209,45 @@ object Interop {
     // metadata.json -> manifest-list avro -> manifest avro -> parquet;
     // a pass proves the chain resolves to exactly each snapshot's
     // file set and the Iceberg schema JSON round-trips.
+    // ------------------------------------------------------------------
+    // Iceberg v2 MERGE-ON-READ position deletes: rows are deleted by
+    // committing a (data file, row position) delete vector under a
+    // content=1 manifest — no data file rewritten — and every read
+    // applies the vectors as a broadcast anti-join on the scan's
+    // _metadata (file, row_index) key. Output proves both halves:
+    // version 1 aggregates the PRE-delete snapshot (time travel
+    // ignores later vectors), version 2 the post-delete table; the
+    // oracle recomputes both from the raw rows. The deterministic
+    // 2dp predicate makes the deleted set engine-exact.
+    "src_iceberg_pos_delete" -> Q(
+      (s, dir) => {
+        val root = tmp(dir, "iceberg_mor")
+        rm(s, root)
+        val o = Tables.orders(s, dir).select("o_orderkey", "o_orderstatus",
+          "o_orderpriority", "o_totalprice")
+        val snap1 = IcebergLite.commitAppend(o, root)
+        IcebergLite.commitPositionDeletes(s, root,
+          col("o_orderstatus") === "F" && col("o_totalprice") > 150000.0)
+        def agg(df: org.apache.spark.sql.DataFrame, v: Int) =
+          df.groupBy("o_orderstatus")
+            .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+            .withColumn("version", lit(v))
+        agg(IcebergLite.readSnapshot(s, root, snap1), 1)
+          .unionByName(agg(IcebergLite.readLatest(s, root), 2))
+          .select("version", "o_orderstatus", "n", "total")
+          .orderBy("version", "o_orderstatus")
+      },
+      Some(s"""
+        SELECT 1 AS version, o_orderstatus, count(*) AS n,
+               ${S.dsum("o_totalprice")} AS total
+        FROM orders GROUP BY 2
+        UNION ALL
+        SELECT 2, o_orderstatus, count(*), ${S.dsum("o_totalprice")}
+        FROM orders
+        WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000.0)
+        GROUP BY 2
+        ORDER BY version, o_orderstatus""")),
+
     "src_iceberg_avro" -> Q(
       (s, dir) => {
         val root = tmp(dir, "iceberg")

@@ -3,7 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.Dec._
 import graft.{Sql => S}
-import graft.streaming.Sessionize
+import graft.streaming.{Sessionize, Upsert}
 import org.apache.spark.sql.functions._
 
 /** Group I of SURVEY.md §2 — streaming operators, registered through
@@ -31,6 +31,30 @@ object Streaming {
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n_events, ${S.dsum("value")} AS total_value
         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""")),
+
+    // ------------------------------------------------------------------
+    // Keyed CDC upsert: the continuously-maintained latest-row-per-key
+    // view (streaming analog of ch_replacing_mt; the state every
+    // CDC-fed serving table keeps). Batch and streaming run the SAME
+    // O(1)-per-key fold (graft.streaming.Upsert — latest wins by
+    // (ts_us, event_id), versions counted); the streaming twin in
+    // StreamingSpec folds micro-batch slices into GroupState and
+    // emits update-mode upserts, converging to the identical
+    // snapshot. State is one small row per live key; the only
+    // shuffle is the key exchange.
+    "stream_cdc_upsert" -> Q(
+      (s, dir) => Upsert.batch(Tables.events(s, dir)).orderBy("user_id"),
+      Some("""
+        WITH r AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS nv
+          FROM events)
+        SELECT user_id, ts_us AS last_ts_us, event_id AS last_event_id,
+               event_type AS last_event_type, value AS last_value,
+               CAST(nv AS BIGINT) AS n_versions
+        FROM r WHERE rn = 1 ORDER BY user_id""")),
 
     // ------------------------------------------------------------------
     // Dedup-by-id: the input is doubled (union all) and deduplicated

@@ -53,7 +53,8 @@ object IcebergLite {
     """{"type":"record","name":"manifest_file","fields":[
       |{"name":"manifest_path","type":"string"},
       |{"name":"manifest_length","type":"long"},
-      |{"name":"added_files_count","type":"int"}]}""".stripMargin)
+      |{"name":"added_files_count","type":"int"},
+      |{"name":"content","type":"int","default":0}]}""".stripMargin)
 
   private val manifestSchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
@@ -192,7 +193,8 @@ object IcebergLite {
     mapper.readTree(new String(readBytes(fs(spark, root),
       new Path(metaDir(root), s"v$v.metadata.json")), "UTF-8"))
 
-  private final case class ManifestRef(path: String, length: Long, added: Int)
+  private final case class ManifestRef(path: String, length: Long, added: Int,
+      content: Int = 0)
 
   private def listManifests(spark: SparkSession, root: String,
       meta: com.fasterxml.jackson.databind.JsonNode,
@@ -205,7 +207,9 @@ object IcebergLite {
       .map { r =>
         ManifestRef(r.get("manifest_path").toString,
           r.get("manifest_length").asInstanceOf[Long],
-          r.get("added_files_count").asInstanceOf[Int])
+          r.get("added_files_count").asInstanceOf[Int],
+          // pre-MOR manifest lists lack the field: data manifests
+          Option(r.get("content")).map(_.asInstanceOf[Int]).getOrElse(0))
       }
   }
 
@@ -242,7 +246,7 @@ object IcebergLite {
     * the same version must never reference each other's bytes.
     */
   private def commit(df: DataFrame, root: String, overwrite: Boolean,
-      readVersion: Option[Long] = None): Long = {
+      readVersion: Option[Long] = None, content: Int = 0): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     f.mkdirs(metaDir(root))
@@ -316,12 +320,13 @@ object IcebergLite {
       }
       val listName = s"snap-$snapId-$tag.avro"
       val entries = carried :+
-        ManifestRef(s"metadata/$manifestName", manifestLen, dataFiles.length)
+        ManifestRef(s"metadata/$manifestName", manifestLen, dataFiles.length,
+          content)
       writeAvro(f, new Path(metaDir(root), listName), manifestListSchema,
         entries.map { m =>
           val r = new GenericData.Record(manifestListSchema)
           r.put("manifest_path", m.path); r.put("manifest_length", m.length)
-          r.put("added_files_count", m.added); r
+          r.put("added_files_count", m.added); r.put("content", m.content); r
         })
 
       // schemas accumulate: reuse the id of an equal prior schema,
@@ -332,7 +337,15 @@ object IcebergLite {
       // priors took (drops StructField metadata and non-roundtripping
       // detail) — raw StructType equality re-registered an identical
       // schema on every commit whenever the df carried field metadata.
-      val canonSchema = parseSchema(schemaJson(df.schema, -1))
+      val canonSchema =
+        if (content == 1)
+          parentMeta.map { pm =>
+            val cur = pm.get("current-schema-id").asInt()
+            parseSchema(pm.get("schemas").elements().asScala.toSeq
+              .find(_.get("schema-id").asInt() == cur).get)
+          }.getOrElse(throw new IllegalStateException(
+            s"position-delete commit to $root requires an existing table"))
+        else parseSchema(schemaJson(df.schema, -1))
       val priorSchemas: Seq[(Int, StructType, com.fasterxml.jackson.databind.JsonNode)] =
         parentMeta.map(_.get("schemas").elements().asScala.toSeq.map { s =>
           (s.get("schema-id").asInt(), parseSchema(s), s)
@@ -365,7 +378,8 @@ object IcebergLite {
       sn.put("timestamp-ms", System.currentTimeMillis())
       sn.put("manifest-list", s"metadata/$listName")
       sn.put("schema-id", schemaId)
-      sn.put("operation", if (overwrite) "overwrite" else "append")
+      sn.put("operation",
+        if (overwrite) "overwrite" else if (content == 1) "delete" else "append")
 
       // COMMIT POINT: put-if-absent on the metadata file
       if (DeltaLog.publishNew(spark,
@@ -416,7 +430,8 @@ object IcebergLite {
       meta: com.fasterxml.jackson.databind.JsonNode,
       snapshotId: Long): Seq[(String, Long)] = {
     val f = fs(spark, root)
-    listManifests(spark, root, meta, snapshotId).flatMap { m =>
+    listManifests(spark, root, meta, snapshotId)
+      .filter(_.content == 0).flatMap { m =>
       readAvro(f, new Path(root, m.path))
         .filter(_.get("status").asInstanceOf[Int] != 2) // DELETED
         .map { e =>
@@ -435,6 +450,90 @@ object IcebergLite {
     snapshotFilesOf(spark, root,
       readMeta(spark, root, currentMetaVersion(spark, root)), snapshotId)
       .map(_._1)
+
+
+  // ---- v2 merge-on-read: position deletes ----------------------------
+
+  /** Root-relative position-delete files of a snapshot (content=1
+    * manifests). Each is a parquet of (file_path, pos) rows —
+    * Iceberg's position-delete file shape.
+    */
+  private def snapshotDeleteFilesOf(spark: SparkSession, root: String,
+      meta: com.fasterxml.jackson.databind.JsonNode,
+      snapshotId: Long): Seq[String] = {
+    val f = fs(spark, root)
+    listManifests(spark, root, meta, snapshotId)
+      .filter(_.content == 1).flatMap { m =>
+        readAvro(f, new Path(root, m.path))
+          .filter(_.get("status").asInstanceOf[Int] != 2)
+          .map(_.get("data_file").asInstanceOf[GenericRecord]
+            .get("file_path").toString)
+      }
+  }
+
+  /** The root-relative key of a scanned data file ("data/s-tag/part-
+    * ....parquet") extracted from the absolute _metadata.file_path —
+    * what position-delete vectors key on.
+    */
+  private def relFileKey(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.regexp_extract(
+      c, "(data/s-[^/]+/[^/]+)$", 1)
+
+  /** MERGE-ON-READ row deletion (Iceberg v2 position deletes): mark
+    * the CURRENT snapshot's rows matching `cond` as deleted by
+    * writing a position-delete file — (data file, row position)
+    * pairs, derived from the parquet scan's _metadata columns — and
+    * committing it under a content=1 manifest. No data file is
+    * rewritten (copy-on-write would rewrite every touched file);
+    * readers apply the vector as an anti-join. Returns the new
+    * snapshot id.
+    *
+    * Scale shape: the delete write costs one predicate scan plus a
+    * file proportional to MATCHED rows; the per-read apply cost is a
+    * broadcast anti-join of the (small) delete vectors against the
+    * scan — the read-amplification-for-write-cheapness trade v2 MOR
+    * is. Compaction (rewriting files to fold vectors in) is the
+    * existing sink_compact shape, composable later.
+    */
+  def commitPositionDeletes(spark: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.col
+    val meta = readMeta(spark, root, currentMetaVersion(spark, root))
+    val snapId = meta.get("current-snapshot-id").asLong()
+    val dels = readSnapshotRaw(spark, root, snapId)
+      .withColumn("__fp", relFileKey(col("_metadata.file_path")))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .filter(cond)
+      .select(col("__fp").as("file_path"), col("__pos").as("pos"))
+    commit(dels, root, overwrite = false, readVersion = None, content = 1)
+  }
+
+  /** The snapshot's data files as a plain scan (no delete vectors
+    * applied) — the base both the MOR read and the delete derivation
+    * share. Callers may select _metadata columns from it.
+    */
+  private def readSnapshotRaw(spark: SparkSession, root: String,
+      snapshotId: Long): DataFrame = {
+    val meta = readMeta(spark, root, currentMetaVersion(spark, root))
+    val snap = meta.get("snapshots").elements().asScala.toSeq
+      .find(_.get("snapshot-id").asLong() == snapshotId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $snapshotId not in $root's snapshot log"))
+    val schemaId =
+      if (snap.has("schema-id")) snap.get("schema-id").asInt()
+      else meta.get("current-schema-id").asInt()
+    val schemaNode = meta.get("schemas").elements().asScala.toSeq
+      .find(_.get("schema-id").asInt() == schemaId)
+      .getOrElse(throw new IllegalStateException(
+        s"schema-id $schemaId of snapshot $snapshotId missing from " +
+          s"the schemas array — metadata is corrupt"))
+    val schema = parseSchema(schemaNode)
+    val files = snapshotFiles(spark, root, snapshotId).map(p => s"$root/$p")
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files: _*)
+  }
 
   /** Read the table as of `snapshotId` (time travel), using the SCHEMA
     * THAT SNAPSHOT WAS WRITTEN UNDER (its schema-id into the schemas
@@ -460,9 +559,25 @@ object IcebergLite {
     val schema = parseSchema(schemaNode)
     val files = snapshotFiles(spark, root, snapshotId).map(p => s"$root/$p")
     if (files.isEmpty)
-      spark.createDataFrame(
+      return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(files: _*)
+    val base = spark.read.schema(schema).parquet(files: _*)
+    val delFiles = snapshotDeleteFilesOf(spark, root, meta, snapshotId)
+    if (delFiles.isEmpty) base
+    else {
+      // v2 merge-on-read: drop rows whose (file, position) appears in
+      // a delete vector — broadcast anti-join (vectors are the small
+      // side by construction)
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val dels = spark.read.parquet(delFiles.map(p => s"$root/$p"): _*)
+      val keyed = base
+        .withColumn("__fp", relFileKey(col("_metadata.file_path")))
+        .withColumn("__pos", col("_metadata.row_index"))
+      keyed.join(broadcast(dels),
+          keyed("__fp") === dels("file_path") && keyed("__pos") === dels("pos"),
+          "left_anti")
+        .drop("__fp", "__pos")
+    }
   }
 
   def currentSnapshotId(spark: SparkSession, root: String): Long =

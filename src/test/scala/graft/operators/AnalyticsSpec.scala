@@ -55,4 +55,73 @@ class AnalyticsSpec extends SparkSpec {
       .select("k", "payload", "name").collect().map(_.toSeq).toSet
     assert(salted == plain && plain.size == 902)
   }
+  test("ch_lttb matches a naive quadratic LTTB reference, keeps endpoints, is deterministic") {
+    // independent reference: the textbook O(n * nOut) selection over
+    // the same integer geometry (no shared code with Lttb.fold)
+    def reference(xs: Seq[(Long, Long)], nOut: Int): Seq[Int] = {
+      val n = xs.length; val nb = nOut - 2
+      def bucket(k: Int): Seq[Int] =
+        (1 until n - 1).filter(i => ((i - 1).toLong * nb) / (n - 2) == k)
+      var prev = 0
+      val sel = Seq.newBuilder[Int]
+      sel += 0
+      for (k <- 0 until nb) {
+        val cand = bucket(k)
+        val anchor: (BigInt, BigInt, BigInt) =
+          if (k == nb - 1) (BigInt(1), BigInt(xs(n - 1)._1), BigInt(xs(n - 1)._2))
+          else {
+            val nxt = bucket(k + 1)
+            (BigInt(nxt.size), nxt.map(i => BigInt(xs(i)._1)).sum,
+              nxt.map(i => BigInt(xs(i)._2)).sum)
+          }
+        val (c, sx, sy) = anchor
+        val (px, py) = (BigInt(xs(prev)._1), BigInt(xs(prev)._2))
+        val best = cand.maxBy { i =>
+          val a = ((px * c - sx) * (BigInt(xs(i)._2) - py)
+            - (px - BigInt(xs(i)._1)) * (sy - py * c)).abs
+          (a, BigInt(-i)) // max area, tie -> smallest index
+        }
+        sel += best; prev = best
+      }
+      sel += (n - 1)
+      sel.result()
+    }
+    // a 12-point zig-zag series, one synthetic group, nOut=5
+    val pts = Seq(
+      (0L, 10.00), (60L, 55.25), (120L, 12.50), (180L, 8.75),
+      (240L, 99.00), (300L, 42.00), (360L, 41.75), (420L, 3.10),
+      (480L, 77.77), (540L, 12.00), (600L, 13.25), (660L, 50.00))
+    val df = pts.zipWithIndex.map { case ((t, v), id) =>
+      ("zig", id.toLong, t * 1000000L, v)
+    }.toDF("event_type", "event_id", "ts_us", "value")
+    val got = Lttb.downsample(df, nOut = 5).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val xs = pts.map { case (t, v) =>
+      (t * 1000000L, BigDecimal(v).setScale(4).*(100).toLongExact) }
+    val want = reference(xs, 5).zipWithIndex.map { case (i, seq) =>
+      (seq, pts(i)._1 * 1000000L, pts(i)._2) }
+    assert(got == want, s"got=$got\nwant=$want")
+    // registry shape on the real corpus: 20 points per event_type,
+    // endpoints kept, every point a real series row, deterministic
+    val out = SparkEntry.registry("ch_lttb").fn(spark, sf).collect()
+    val groups = out.groupBy(_.getString(0))
+    val ev = Tables.events(spark, sf)
+      .select("event_type", "ts_us", "value").collect()
+      .groupBy(_.getString(0))
+    for ((g, rows) <- groups) {
+      assert(rows.length == 20, s"$g: ${rows.length} points")
+      val seqs = rows.map(_.getInt(1)).sorted.toSeq
+      assert(seqs == (0 until 20), s"$g: seqs $seqs")
+      val series = ev(g).map(r => (r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.forall(r => series.contains((r.getLong(2), r.getDouble(3)))),
+        s"$g: selected a point not in the series")
+      val ts = ev(g).map(_.getLong(1))
+      val byseq = rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      assert(byseq.head == ts.min && byseq.last == ts.max,
+        s"$g: endpoints not kept")
+      assert(byseq == byseq.sorted, s"$g: selection not time-ordered")
+    }
+    val again = SparkEntry.registry("ch_lttb").fn(spark, sf).collect()
+    assert(again.map(_.toString).toSeq == out.map(_.toString).toSeq)
+  }
 }

@@ -205,4 +205,53 @@ class IcebergLiteSpec extends SparkSpec {
     assert(IcebergLite.readLatest(spark, root).count() ===
       o.filter(col("o_orderkey") % 3 =!= 0).count())
   }
+  test("position deletes: MOR semantics — stacking vectors, time travel, append, overwrite reset") {
+    val root = freshRoot("iceberg_posdel")
+    val o = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .filter(col("o_orderkey") < 900)
+    val all = o.collect().map(_.getLong(0)).toSet
+    val snap1 = IcebergLite.commitAppend(o.repartition(4), root)
+
+    // vector 1: delete the F rows — count drops exactly, keys absent
+    val fKeys = o.filter(col("o_orderstatus") === "F")
+      .collect().map(_.getLong(0)).toSet
+    IcebergLite.commitPositionDeletes(spark, root,
+      col("o_orderstatus") === "F")
+    val after1 = IcebergLite.readLatest(spark, root)
+      .collect().map(_.getLong(0)).toSet
+    assert(after1 == all -- fKeys, "vector 1 did not delete exactly the F rows")
+    // time travel: the pre-delete snapshot still reads everything
+    assert(IcebergLite.readSnapshot(spark, root, snap1)
+      .collect().map(_.getLong(0)).toSet == all,
+      "delete vector leaked into the earlier snapshot")
+
+    // vector 2 stacks on vector 1 (computed against the CURRENT view,
+    // so positions land in the same base files)
+    val oKeys = o.filter(col("o_orderstatus") === "O")
+      .collect().map(_.getLong(0)).toSet
+    IcebergLite.commitPositionDeletes(spark, root,
+      col("o_orderstatus") === "O")
+    assert(IcebergLite.readLatest(spark, root)
+      .collect().map(_.getLong(0)).toSet == all -- fKeys -- oKeys,
+      "vectors did not stack")
+
+    // append after deletes: old vectors keep applying to old files,
+    // appended rows are untouched (their files carry no vector)
+    val extra = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .filter(col("o_orderkey") >= 900 && col("o_orderkey") < 1200)
+    val extraKeys = extra.collect().map(_.getLong(0)).toSet
+    assert(extraKeys.nonEmpty)
+    IcebergLite.commitAppend(extra, root)
+    assert(IcebergLite.readLatest(spark, root)
+      .collect().map(_.getLong(0)).toSet == (all -- fKeys -- oKeys) ++ extraKeys,
+      "append after deletes lost rows or resurrected deleted ones")
+
+    // overwrite resets: replaced table carries no stale vectors
+    IcebergLite.commitOverwrite(o.filter(col("o_orderstatus") === "F"), root)
+    assert(IcebergLite.readLatest(spark, root)
+      .collect().map(_.getLong(0)).toSet == fKeys,
+      "overwrite did not clear the delete vectors")
+  }
 }

@@ -480,6 +480,28 @@ class StreamingSpec extends SparkSpec {
       s"stream emitted only ${sRows.size} of ${bRows.size} sessions")
   }
 
+  test("streaming CDC upsert (update mode) converges to the batch snapshot") {
+    val streamed = runToCompletion(
+      Upsert.stream(
+        streamedEvents
+          .select("user_id", "event_id", "ts_us", "event_type", "value", "ts")
+          .as[Upsert.Ev]),
+      "stream_cdc_upsert_t", "update")
+    // the update-mode memory sink retains EVERY emitted upsert; a
+    // key's final state is its highest-version row (n_versions grows
+    // strictly per emission for a key)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("n_versions").desc)
+    val finalState = streamed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val batch = SparkEntry.registry("stream_cdc_upsert").fn(spark, sf)
+    assert(canon(finalState) == canon(batch),
+      "streamed upsert snapshot diverges from the batch fold")
+    // genuinely incremental: keys spanning micro-batches emitted more
+    // than one upsert along the way
+    assert(streamed.count() > batch.count(), "no incremental upserts observed")
+  }
+
   test("stream-stream interval join equals the batch join") {
     val v = streamedEvents.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"),
