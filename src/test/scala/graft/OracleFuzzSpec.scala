@@ -31,7 +31,13 @@ class OracleFuzzSpec extends SparkSpec {
   private val targets = Seq(
     "ch_quantiles", "ch_mad", "q_not_in_trap", "q_asof_tolerance",
     "ch_quantile_disc", "ch_ewma", "ch_deltasum", "ch_sequencecount",
-    "f_rounding", "txt_winnowing")
+    "f_rounding", "txt_winnowing",
+    // round-11 additions: the tie-heavy events mutation (50 clustered
+    // seconds, a 10-value domain) floods ch_lttb's triangle areas
+    // with exact integer ties (the index tie-rule must match
+    // bit-for-bit) and stresses stream_cdc_upsert's (ts, event_id)
+    // version order
+    "ch_lttb", "stream_cdc_upsert")
 
   private lazy val duckdbOk =
     scala.util.Try(Seq("python3", "-c", "import duckdb, pandas").! == 0)
@@ -64,7 +70,7 @@ class OracleFuzzSpec extends SparkSpec {
   private def h(c: org.apache.spark.sql.Column, salt: Int, seed: Long) =
     pmod(xxhash64(c, lit(salt), lit(seed)), lit(1000000000L))
 
-  /** One seed: generate, adversarialize, run the 10 fns, compare. */
+  /** One seed: generate, adversarialize, run the target fns, compare. */
   private def runSeed(seed: Long): Boolean = {
     val dir = s"$tmpRoot/graft_fuzz_${seed}_data"
     val out = s"$tmpRoot/graft_fuzz_${seed}_out"
