@@ -39,6 +39,48 @@ object Interop {
     // + new adds). The query reads all three versions through log
     // replay; a pass proves appends never rewrite old files and
     // overwrite's removes drop exactly the previously-active set.
+    // ------------------------------------------------------------------
+    // Delta DELETION VECTORS (v2 merge-on-read, DeltaLog's lite form):
+    // rows deleted by committing a (file, row-position) vector under
+    // _dv/ and re-adding each affected file with a deletionVector
+    // descriptor — remove+re-add of the SAME path, a metadata-only
+    // commit, no data file rewritten (sink_delete_mutation is the
+    // copy-on-write twin that rewrites files). Readers apply vectors
+    // as a broadcast anti-join on the scan's (file, row_index)
+    // metadata key. Output proves both halves: version 1 aggregates
+    // the pre-delete snapshot via time travel, version 2 the
+    // MOR-applied current table; the oracle recomputes both from raw
+    // rows, so wrong positions = wrong rows = hash mismatch.
+    "src_delta_dv" -> Q(
+      (s, dir) => {
+        val root = tmp(dir, "delta_dv")
+        rm(s, root)
+        val li = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+            "l_extendedprice")
+        DeltaLog.commitAppend(li.repartition(4), root)
+        DeltaLog.commitDeleteWhere(s, root,
+          col("l_returnflag") === "R" && col("l_quantity") >= 45.0)
+        def agg(df: DataFrame, v: Int) =
+          df.groupBy("l_returnflag")
+            .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+            .withColumn("version", lit(v))
+        agg(DeltaLog.readVersion(s, root, 0), 1)
+          .unionByName(agg(DeltaLog.readLatest(s, root), 2))
+          .select("version", "l_returnflag", "n", "total")
+          .orderBy("version", "l_returnflag")
+      },
+      Some(s"""
+        SELECT 1 AS version, l_returnflag, count(*) AS n,
+               ${S.dsum("l_extendedprice")} AS total
+        FROM lineitem GROUP BY 2
+        UNION ALL
+        SELECT 2, l_returnflag, count(*), ${S.dsum("l_extendedprice")}
+        FROM lineitem
+        WHERE NOT (l_returnflag = 'R' AND l_quantity >= 45.0)
+        GROUP BY 2
+        ORDER BY version, l_returnflag""")),
+
     "src_delta_log" -> Q(
       (s, dir) => {
         val root = tmp(dir, "deltalog")

@@ -57,7 +57,11 @@ object DeltaLog {
       partitionValues: Map[String, String],
       size: Long,
       modificationTime: Long,
-      stats: Option[String])
+      stats: Option[String],
+      // v2 merge-on-read deletion vector: (log-relative position-file
+      // path, cardinality) — the lite form of the spec's
+      // add.deletionVector descriptor
+      dv: Option[(String, Long)] = None)
 
   /** Replayed table state as of one version. `files` are
     * table-root-relative data file paths (the active `add` set);
@@ -133,7 +137,12 @@ object DeltaLog {
           if (a.has("size")) a.get("size").asLong() else 0L,
           if (a.has("modificationTime")) a.get("modificationTime").asLong() else 0L,
           if (a.has("stats") && !a.get("stats").isNull)
-            Some(a.get("stats").asText()) else None))
+            Some(a.get("stats").asText()) else None,
+          if (a.has("deletionVector") && !a.get("deletionVector").isNull) {
+            val d = a.get("deletionVector")
+            Some((d.get("pathOrInlineDv").asText(),
+              if (d.has("cardinality")) d.get("cardinality").asLong() else 0L))
+          } else None))
       }
       if (node.has("remove") && !node.get("remove").isNull) {
         val r = node.get("remove")
@@ -195,7 +204,39 @@ object DeltaLog {
         .schema(snap.schema)
         .option("basePath", root) // partition cols come from dir names
         .parquet(paths: _*)
-      df.select(snap.schema.fieldNames.map(df.col).toIndexedSeq: _*)
+      applyDeletionVectors(spark, root, snap.adds, df,
+        df.select(snap.schema.fieldNames.map(df.col).toIndexedSeq: _*),
+        snap.schema.fieldNames.toIndexedSeq)
+    }
+  }
+
+  /** Apply the snapshot's deletion vectors (if any) to a scan of its
+    * data files — the v2 merge-on-read step. Vectors are
+    * (file basename, row position) parquet rows; Spark part-file
+    * names embed a job UUID, so the basename is a unique in-table
+    * key and survives the basePath-relative layout. The apply is a
+    * broadcast LeftAnti on (_metadata.file_path basename, row_index):
+    * vectors are the small side by construction (∝ deleted rows).
+    * `plain` is the already-projected no-DV result (returned
+    * untouched on the fast path so DV-free tables keep their exact
+    * previous plan).
+    */
+  private def applyDeletionVectors(spark: SparkSession, root: String,
+      adds: Seq[AddFile], raw: DataFrame, plain: DataFrame,
+      outCols: IndexedSeq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, element_at, split}
+    val dvPaths = adds.flatMap(_.dv).map(_._1).distinct
+    if (dvPaths.isEmpty) plain
+    else {
+      val dels = spark.read.parquet(dvPaths.map(p => s"$root/$p"): _*)
+      val keyed = raw
+        .withColumn("__file",
+          element_at(split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("__pos", col("_metadata.row_index"))
+      keyed.join(broadcast(dels),
+          keyed("__file") === dels("file_name") && keyed("__pos") === dels("pos"),
+          "left_anti")
+        .select(outCols.map(keyed.apply): _*)
     }
   }
 
@@ -431,8 +472,19 @@ object DeltaLog {
               org.apache.spark.sql.functions.coalesce(
                 org.apache.spark.sql.functions.col("add.modificationTime"),
                 org.apache.spark.sql.functions.lit(0L)).as("modificationTime"),
-              org.apache.spark.sql.functions.col("add.stats"))
-            .as[(String, Map[String, String], Long, Long, Option[String])]
+              org.apache.spark.sql.functions.col("add.stats"),
+              // dv columns absent from pre-DV checkpoints: select
+              // literal nulls so the decode shape is stable
+              (if (addField.exists(_.fieldNames.contains("deletionVector")))
+                org.apache.spark.sql.functions.col("add.deletionVector.pathOrInlineDv")
+              else org.apache.spark.sql.functions.lit(null)
+                .cast(org.apache.spark.sql.types.StringType)).as("dvPath"),
+              (if (addField.exists(_.fieldNames.contains("deletionVector")))
+                org.apache.spark.sql.functions.col("add.deletionVector.cardinality")
+              else org.apache.spark.sql.functions.lit(null)
+                .cast(org.apache.spark.sql.types.LongType)).as("dvCard"))
+            .as[(String, Map[String, String], Long, Long, Option[String],
+              Option[String], Option[Long])]
             .filter { t =>
               !overridden.contains(t._1) &&
                 fileAdmits(AddFile(t._1,
@@ -441,7 +493,7 @@ object DeltaLog {
             }
             .collect()
             .map(t => AddFile(t._1, Option(t._2).getOrElse(Map.empty),
-              t._3, t._4, t._5))
+              t._3, t._4, t._5, t._6.map(dp => (dp, t._7.getOrElse(0L)))))
           val keptNewer = r.active.values
             .filter(fileAdmits(_, ranges, types, partCols, sessionTz))
           Some(Snapshot(asOf, schema, partCols,
@@ -481,7 +533,11 @@ object DeltaLog {
       else {
         val df = spark.read.schema(snap.schema).option("basePath", root)
           .parquet(kept.map(a => s"$root/${a.path}"): _*)
-        df.select(snap.schema.fieldNames.map(df.col).toIndexedSeq: _*)
+        // deletion vectors of the KEPT files only: a pruned-away
+        // file's vector has nothing to delete from this scan
+        applyDeletionVectors(spark, root, kept, df,
+          df.select(snap.schema.fieldNames.map(df.col).toIndexedSeq: _*),
+          snap.schema.fieldNames.toIndexedSeq)
       }
     ranges.filter(rg => types.contains(rg.column)).foldLeft(base) { (df, rg) =>
       val dt = types(rg.column)
@@ -782,7 +838,7 @@ object DeltaLog {
   }
 
   private def addLine(rel: String, size: Long, ts: Long,
-      stats: Option[String]): String = {
+      stats: Option[String], dv: Option[(String, Long)] = None): String = {
     val n = mapper.createObjectNode()
     val a = n.putObject("add")
     a.put("path", rel)
@@ -795,6 +851,12 @@ object DeltaLog {
     a.put("modificationTime", ts)
     a.put("dataChange", true)
     stats.foreach(s => a.put("stats", s))
+    dv.foreach { case (dvPath, card) =>
+      val d = a.putObject("deletionVector")
+      d.put("storageType", "p") // lite: path-addressed position parquet
+      d.put("pathOrInlineDv", dvPath)
+      d.put("cardinality", card)
+    }
     mapper.writeValueAsString(n)
   }
 
@@ -1101,11 +1163,107 @@ object DeltaLog {
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("stats", StringType)))),
+      StructField("stats", StringType),
+      StructField("deletionVector", StructType(Seq(
+        StructField("pathOrInlineDv", StringType),
+        StructField("cardinality", LongType))))))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
       StructField("dataChange", BooleanType))))))
+
+  /** MERGE-ON-READ row deletion — Delta's deletion-vector shape, in
+    * the lite form this log speaks: rows of the CURRENT snapshot
+    * matching `cond` are marked deleted by writing ONE position
+    * parquet (file basename, pos) under `_dv/` and re-committing each
+    * affected data file's add with a `deletionVector` descriptor
+    * (remove + re-add of the SAME path — a metadata-only change, no
+    * data file rewritten; compare [[commitRewrite]], the
+    * copy-on-write twin that pays a full file rewrite per touched
+    * file). Readers ([[readVersion]] / [[readVersionPruned]]) apply
+    * vectors as a broadcast anti-join on the scan's
+    * (_metadata basename, row_index) key.
+    *
+    * Stacking: a later DV commit REPLACES an affected file's
+    * descriptor, so the new vector carries the union of that file's
+    * prior positions and the new ones (prior vectors of untouched
+    * files stay referenced by their unchanged adds). Validation is
+    * read-set scoped like commitRewrite: concurrent appends commute;
+    * a concurrent remover of an affected file aborts
+    * (ConcurrentModificationException). Returns the committed
+    * version (the read version when nothing matched).
+    */
+  def commitDeleteWhere(spark: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{col, element_at, split}
+    val ts = System.currentTimeMillis()
+    val f = fs(spark, root)
+    val readV = currentVersion(spark, root)
+    require(readV >= 0, s"cannot delete from $root — no commits")
+    val snap = snapshotAsOf(spark, root, readV)
+    if (snap.files.isEmpty) return readV
+    val raw = spark.read.schema(snap.schema).option("basePath", root)
+      .parquet(snap.files.map(rel => s"$root/$rel"): _*)
+    val keyed = raw
+      .withColumn("file_name",
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("pos", col("_metadata.row_index"))
+    val fresh = keyed.filter(cond).select("file_name", "pos")
+    val newFiles = fresh.select("file_name").distinct()
+      .collect().map(_.getString(0)).toSet
+    if (newFiles.isEmpty) return readV
+    val priorPaths = snap.adds.flatMap(_.dv).map(_._1).distinct
+    val dels = (if (priorPaths.isEmpty) fresh
+      else fresh.union(spark.read
+        .parquet(priorPaths.map(p => s"$root/$p"): _*)
+        .select("file_name", "pos"))).distinct()
+    // per-file cardinality of the NEW vector (bounded metadata: one
+    // row per affected file)
+    val counts = dels.groupBy("file_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // stage the vector as one file under _dv/
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val dvRel = s"_dv/dv-$tag.parquet"
+    val stage = new Path(root, s".dv-stage-$tag")
+    dels.coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(stage.toString)
+    val part = f.listStatus(stage).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("DV write produced no part"))
+    f.mkdirs(new Path(root, "_dv"))
+    require(f.rename(part, new Path(root, dvRel)), s"DV move to $dvRel failed")
+    f.delete(stage, true)
+
+    val affected = snap.adds.filter(a => newFiles(a.path.split('/').last))
+    val txnId = java.util.UUID.randomUUID().toString
+    val readSet = affected.map(_.path).toSet
+    var attempt = 0
+    while (true) {
+      val parent = currentVersion(spark, root)
+      var v = readV + 1
+      while (v <= parent) {
+        val hit = removesIn(f, root, v).intersect(readSet)
+        if (hit.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"DV delete on $root read files removed by commit $v " +
+              s"(e.g. ${hit.head}) — re-read and retry")
+        v += 1
+      }
+      val lines = scala.collection.mutable.Buffer[String]()
+      lines += commitInfoLine("DELETE", txnId)
+      affected.foreach { a =>
+        lines += removeLine(a.path, ts)
+        lines += addLine(a.path, a.size, ts, a.stats,
+          Some((dvRel, counts.getOrElse(a.path.split('/').last, 0L))))
+      }
+      if (publishNew(spark, new Path(logDir(root), commitName(parent + 1)),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8")))
+        return parent + 1
+      attempt += 1
+      require(attempt < 50,
+        s"DV commit to $root lost $attempt publish races — giving up")
+    }
+    -1L // unreachable
+  }
 
   /** Compact the state as of the CURRENT version into
     * `_delta_log/<v>.checkpoint.parquet` + `_last_checkpoint`.
@@ -1122,7 +1280,8 @@ object DeltaLog {
           snap.schema.json, snap.partitionColumns), null, null) +:
       snap.adds.map(a => Row(null, null,
         Row(a.path, a.partitionValues, a.size, a.modificationTime, true,
-          a.stats.orNull), null))) ++
+          a.stats.orNull,
+          a.dv.map { case (dp, c) => Row(dp, c) }.orNull), null))) ++
       snap.tombstones.map { case (p, dts) =>
         Row(null, null, null, Row(p, dts, true)) }
     val f = fs(spark, root)
@@ -1204,7 +1363,10 @@ object DeltaLog {
             .map(_.toMap).getOrElse(Map.empty),
           opt[Long](add, "size").getOrElse(0L),
           opt[Long](add, "modificationTime").getOrElse(0L),
-          opt[String](add, "stats")))
+          opt[String](add, "stats"),
+          opt[Row](add, "deletionVector").map(d =>
+            (d.getAs[String]("pathOrInlineDv"),
+              opt[Long](d, "cardinality").getOrElse(0L)))))
       }
       opt[Row](row, "remove").foreach { rem =>
         r.applyRemove(rem.getAs[String]("path"),

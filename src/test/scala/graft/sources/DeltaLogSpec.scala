@@ -547,4 +547,60 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.currentVersion(spark, root) === 3L)
     assert(DeltaLog.readLatest(spark, root).count() === o.count())
   }
+  test("deletion vectors: MOR stacking, time travel, checkpoint survival, pruned read") {
+    import org.apache.spark.sql.functions._
+    val root = freshRoot("delta_dv")
+    val li = graft.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+        "l_extendedprice")
+    val n = li.count()
+    DeltaLog.commitAppend(li.repartition(4), root)
+
+    // vector 1: delete the R rows
+    val nR = li.filter(col("l_returnflag") === "R").count()
+    val v1 = DeltaLog.commitDeleteWhere(spark, root,
+      col("l_returnflag") === "R")
+    assert(DeltaLog.readLatest(spark, root).count() === n - nR,
+      "vector 1 did not delete exactly the R rows")
+    assert(DeltaLog.readLatest(spark, root)
+      .filter(col("l_returnflag") === "R").count() === 0L)
+    // time travel: version 0 still reads everything
+    assert(DeltaLog.readVersion(spark, root, 0).count() === n,
+      "vector leaked into the pre-delete version")
+
+    // vector 2 stacks: the replacement descriptor must carry the
+    // union (this is the stacking rule commitDeleteWhere documents)
+    val nA45 = li.filter(col("l_returnflag") === "A" &&
+      col("l_quantity") >= 45.0).count()
+    DeltaLog.commitDeleteWhere(spark, root,
+      col("l_returnflag") === "A" && col("l_quantity") >= 45.0)
+    val expect2 = n - nR - nA45
+    assert(DeltaLog.readLatest(spark, root).count() === expect2,
+      "vectors did not stack")
+
+    // checkpoint survival: replay from the checkpoint alone must keep
+    // both vectors (the dv descriptor rides in the checkpoint's add
+    // struct)
+    DeltaLog.writeCheckpoint(spark, root)
+    assert(DeltaLog.readLatest(spark, root).count() === expect2,
+      "checkpointed read lost deletion vectors")
+    // ... and through the DISTRIBUTED pruned-checkpoint path too
+    val pruned = DeltaLog.readVersionPruned(spark, root,
+      DeltaLog.currentVersion(spark, root),
+      Seq(DeltaLog.ColRange("l_quantity", lower = Some(1))))
+    assert(pruned.count() === expect2,
+      "pruned checkpoint read lost deletion vectors")
+    assert(pruned.filter(col("l_returnflag") === "R").count() === 0L)
+
+    // a delete matching nothing is a no-op commit
+    val vNoop = DeltaLog.commitDeleteWhere(spark, root,
+      col("l_returnflag") === "Z")
+    assert(vNoop === DeltaLog.currentVersion(spark, root))
+
+    // overwrite resets: replaced table carries no stale vectors
+    DeltaLog.commitOverwrite(li.filter(col("l_returnflag") === "R"), root)
+    assert(DeltaLog.readLatest(spark, root).count() === nR,
+      "overwrite did not clear the deletion vectors")
+    assert(v1 === 1L)
+  }
 }
