@@ -1033,25 +1033,12 @@ object ClickHouse {
     // order, decay 1/2 per step over the last 8 events. Formulated as
     // 8 window lags with power-of-two decimal weights — pure window +
     // expression work (one shuffle on user_id), and EXACT across
-    // ------------------------------------------------------------------
-    // Largest-Triangle-Three-Buckets downsampling (ClickHouse's
-    // largestTriangleThreeBuckets aggregate; Steinarsson 2013): each
-    // event_type's series reduced to 20 visually-representative
-    // points. CELL-EXACT oracle despite being a sequential geometric
-    // selection: integer coordinates (group-relative micros, exact
-    // cents) and the 2*area*c statistic keep every comparison in
-    // exact integer arithmetic (BigInt / HUGEINT), replayed by 18
-    // unrolled selection CTEs (the emb_pca device). See graft
-    // .operators.Lttb for the streaming-fold scale shape.
-    "ch_lttb" -> Q(
-      (s, dir) => Lttb.downsample(Tables.events(s, dir)),
-      Some(Lttb.oracleSql())),
-
     // engines because every 2^-j weight and every 2dp value is a
     // finite decimal: numerator/denominator are exact decimal sums,
     // the EWMA is one IEEE division of identical operands. A longer
     // horizon at scale keeps the same shape (running pair of
     // prefix-scaled sums); 8 taps ~ 99.6% of the mass at decay 1/2.
+    // ------------------------------------------------------------------
     "ch_ewma" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -1087,6 +1074,21 @@ object ClickHouse {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY user_id, ts_us, event_id"""
       }),
+
+    // ------------------------------------------------------------------
+    // Largest-Triangle-Three-Buckets downsampling (ClickHouse's
+    // largestTriangleThreeBuckets aggregate; Steinarsson 2013): each
+    // event_type's series reduced to 20 visually-representative
+    // points. CELL-EXACT oracle despite being a sequential geometric
+    // selection: integer coordinates (group-relative micros, exact
+    // cents) and the 2*area*c statistic keep every comparison in
+    // exact integer arithmetic (BigInt / HUGEINT), replayed by 18
+    // unrolled selection CTEs (the emb_pca device). See graft
+    // .operators.Lttb for the streaming-fold scale shape.
+    // ------------------------------------------------------------------
+    "ch_lttb" -> Q(
+      (s, dir) => Lttb.downsample(Tables.events(s, dir)),
+      Some(Lttb.oracleSql())),
 
     // ------------------------------------------------------------------
     // groupArraySample: a deterministic fixed-size per-group sample —

@@ -18,6 +18,48 @@ object Graph {
   /** One unit of rank mass = 1e-12 (rank resolution). */
   val RankUnit: Long = 1000000000000L
 
+  /** Conservative on-wire bytes per ranks row (node: long, rank_u:
+    * long, plus row overhead) used by the broadcast gate below.
+    */
+  private val RanksRowBytes = 32L
+
+  private def parseBytes(s: String): Long = {
+    val t = s.trim
+    if (t.startsWith("-")) -1L
+    else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(t)
+  }
+
+  /** Whether an n-node ranks frame fits under Spark's broadcast
+    * threshold. PageRank's superstep join is broadcast-hinted ONLY
+    * when this holds: at billion-node graphs the ranks side exceeds
+    * the broadcast ceiling and an unconditional hint would fail every
+    * superstep outright — past the gate the join degrades to a
+    * shuffle-hash join that moves the node-count ranks side, never
+    * the persisted (already src-partitioned) edge index.
+    */
+  private[graft] def ranksBroadcastable(s: SparkSession, n: Long): Boolean = {
+    val thr = parseBytes(
+      s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    thr > 0 && n * RanksRowBytes <= thr
+  }
+
+  /** The superstep contribution join under the size gate — the one
+    * plan decision that changes between a test-scale and a
+    * billion-node graph. Broadcast regime: ranks ships to every
+    * executor, the edge index never moves. Shuffle regime: the
+    * shuffle_hash hint (build = ranks) exchanges ONLY the node-count
+    * ranks rows; eDeg's persisted src-partitioning satisfies the
+    * join's distribution requirement with no new exchange, and no
+    * per-superstep sort is paid (vs sort-merge).
+    */
+  private[graft] def contributionJoin(eDeg: DataFrame, ranks: DataFrame,
+      broadcastRanks: Boolean): DataFrame = {
+    val r = if (broadcastRanks) broadcast(ranks) else ranks.hint("shuffle_hash")
+    eDeg.join(r, col("src") === col("node"))
+      .select(col("dst"), expr("rank_u div deg").as("c"))
+      .groupBy("dst").agg(sum(col("c")).as("mass_in"))
+  }
+
   /** PageRank over an edge list, damping d = dNum/dDen (default
     * 17/20 = 0.85). Output is (node, rank_u, rank): `rank_u` the
     * exact integer unit count, `rank` its value via one closing
@@ -57,6 +99,13 @@ object Graph {
           Seq("node"), "left_anti").persist(lvl)
       else null
     val n = nodes.count()
+    // SIZE-GATE the per-superstep broadcasts once, on the measured
+    // node count: below the threshold ranks/contribs ship as
+    // broadcasts (edge index never moves); above it both joins run
+    // shuffle-hash over node-count rows — eDeg and nodes are
+    // persisted already hash-partitioned on their join keys, so the
+    // only data moved per superstep is still O(nodes), never O(edges)
+    val bcast = ranksBroadcastable(edges.sparkSession, n)
     // (1-d)/n in units, truncated — the teleport mass per node
     val baseU = ((dDen - dNum) * RankUnit) / (dDen * n)
     var ranks = nodes.withColumn("rank_u", lit(RankUnit / n))
@@ -69,18 +118,14 @@ object Graph {
             ranks.join(dangling, Seq("node"))
               .agg(coalesce(sum("rank_u"), lit(0L))).head.getLong(0) / n
           else 0L
-        // ranks is node-count rows — broadcast it explicitly so the
-        // contribution join never shuffles the (much larger) edge
-        // index; the only shuffle per superstep is the dst-keyed
-        // contribution aggregation (map-side partial sum first).
-        // (Past broadcastable node counts the same loop holds with
-        // this hint removed: eDeg is persisted already partitioned,
-        // so a shuffle join moves only the node-count ranks side per
-        // step, never the edge index — ranks ≪ edges either way.)
-        val contribs = eDeg.join(broadcast(ranks), col("src") === col("node"))
-          .select(col("dst"), expr("rank_u div deg").as("c"))
-          .groupBy("dst").agg(sum(col("c")).as("mass_in"))
-        ranks = nodes.join(broadcast(contribs),
+        // ranks is node-count rows — the contribution join must never
+        // shuffle the (much larger) edge index; the only per-superstep
+        // shuffle over edges is the dst-keyed contribution aggregation
+        // (map-side partial sum first). See contributionJoin for the
+        // two regimes.
+        val contribs = contributionJoin(eDeg, ranks, bcast)
+        ranks = nodes.join(
+            if (bcast) broadcast(contribs) else contribs.hint("shuffle_hash"),
             col("node") === col("dst"), "left")
           .select(col("node"),
             (lit(baseU) + expr(
@@ -117,9 +162,8 @@ object Graph {
     val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
     val nodes = e.select(col("src").as("node")).distinct()
     val ranks = nodes.withColumn("rank_u", lit(RankUnit / 1000))
-    eDeg.join(broadcast(ranks), col("src") === col("node"))
-      .select(col("dst"), expr("rank_u div deg").as("c"))
-      .groupBy("dst").agg(sum(col("c")).as("mass_in"))
+    contributionJoin(eDeg, ranks,
+      broadcastRanks = ranksBroadcastable(s, 1000L))
   }
 
   /** Customer<->supplier trading graph: an edge per distinct

@@ -12,7 +12,8 @@ import org.apache.spark.sql.types.DecimalType
   * interior is split into nOut-2 equal index buckets and each bucket
   * contributes the point forming the largest triangle with the
   * PREVIOUSLY selected point and the NEXT bucket's average point —
-  * a left-to-right sequential selection.
+  * a left-to-right sequential selection. A series with n <= nOut
+  * points is returned unchanged (CH's rule — nothing to sample).
   *
   * Exactness (what makes a geometry fold DuckDB-replayable): all
   * coordinates are integers — x is group-relative microseconds
@@ -50,8 +51,14 @@ object Lttb {
   private def fold(g: String, rows: Iterator[P], n: Long,
       sums: Sums, nOut: Int): Iterator[Out] = {
     val nb = nOut - 2
-    require(n > nOut,
-      s"ch_lttb: series $g has $n points <= nOut=$nOut — nothing to sample")
+    // ClickHouse's largestTriangleThreeBuckets returns a series with
+    // n <= nOut points unchanged — nothing to sample. Pass it through
+    // verbatim (seq = index); the bucket-sum table excludes these
+    // series, so no sums lookup can occur below.
+    if (n <= nOut)
+      return rows.zipWithIndex.map { case (p, idx) =>
+        Out(g, idx, p.ts_us, p.value)
+      }
     val out = Seq.newBuilder[Out]
     var i = 0L
     var prevX = 0L; var prevY = 0L
@@ -134,6 +141,7 @@ object Lttb {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("event_type").orderBy(col("ts_us"), col("event_id"))
     val sumRows = pts
+      .filter(col("n") > nOut) // short series pass through unsampled
       .withColumn("i", row_number().over(w).cast("long") - 1)
       .filter(col("i") > 0 && col("i") < col("n") - 1)
       .withColumn("b", expr(s"((i - 1) * $nb) div (n - 2)"))
@@ -189,12 +197,18 @@ object Lttb {
         FROM events),
       g AS (SELECT event_type, min(ts_us) AS minx, count(*) AS n
             FROM base GROUP BY 1),
+      shorts AS ( -- n <= nOut: CH returns the series unchanged
+        SELECT b.event_type,
+               CAST(row_number() OVER (PARTITION BY b.event_type
+                 ORDER BY b.ts_us, b.event_id) - 1 AS INTEGER) AS seq,
+               b.ts_us, b.value
+        FROM base b JOIN g USING (event_type) WHERE g.n <= $nOut),
       pts AS MATERIALIZED (
         SELECT b.event_type,
                row_number() OVER (PARTITION BY b.event_type
                  ORDER BY b.ts_us, b.event_id) - 1 AS i,
                g.n, b.ts_us, b.ts_us - g.minx AS x, b.y, b.value
-        FROM base b JOIN g USING (event_type)),
+        FROM base b JOIN g USING (event_type) WHERE g.n > $nOut),
       bkt AS MATERIALIZED (
         SELECT *, CASE WHEN i = 0 THEN -1 WHEN i = n - 1 THEN $nb
                        ELSE ((i - 1) * $nb) // (n - 2) END AS b
@@ -218,7 +232,8 @@ $steps
         SELECT event_type, 0 AS seq, ts_us, value FROM s0
 $sel
         UNION ALL SELECT event_type, ${nOut - 1} AS seq, ts_us, value
-        FROM lastp)
+        FROM lastp
+        UNION ALL SELECT event_type, seq, ts_us, value FROM shorts)
       ORDER BY event_type, seq"""
   }
 }

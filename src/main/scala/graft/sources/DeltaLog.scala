@@ -853,7 +853,15 @@ object DeltaLog {
     stats.foreach(s => a.put("stats", s))
     dv.foreach { case (dvPath, card) =>
       val d = a.putObject("deletionVector")
-      d.put("storageType", "p") // lite: path-addressed position parquet
+      // DEVIATION from the Delta protocol: spec 'p' means
+      // pathOrInlineDv is an ABSOLUTE path (relative paths use the
+      // 'u' UUID encoding over a roaring bitmap). This lite log
+      // stores a TABLE-ROOT-RELATIVE path to a position parquet under
+      // 'p' so the table stays relocatable and the vector stays a
+      // plain parquet; a spec-conformant external reader would need
+      // the absolute form. Self-consistent within this log's
+      // readers/writers; documented, not interop-claimed.
+      d.put("storageType", "p")
       d.put("pathOrInlineDv", dvPath)
       d.put("cardinality", card)
     }
@@ -1212,11 +1220,21 @@ object DeltaLog {
     val newFiles = fresh.select("file_name").distinct()
       .collect().map(_.getString(0)).toSet
     if (newFiles.isEmpty) return readV
-    val priorPaths = snap.adds.flatMap(_.dv).map(_._1).distinct
+    // stack ONLY the affected files' prior positions into the new
+    // vector (untouched files keep referencing their old vector files
+    // via their unchanged adds) — a table-wide union would make every
+    // new vector re-materialize the whole delete history, growing the
+    // vector and its broadcast with TOTAL deletes instead of per-file
+    val priorPaths = snap.adds
+      .filter(a => newFiles(a.path.split('/').last))
+      .flatMap(_.dv).map(_._1).distinct
     val dels = (if (priorPaths.isEmpty) fresh
       else fresh.union(spark.read
         .parquet(priorPaths.map(p => s"$root/$p"): _*)
-        .select("file_name", "pos"))).distinct()
+        .select("file_name", "pos")
+        // a prior vector file may also carry other files' positions —
+        // only the affected files' rows belong in the replacement
+        .filter(col("file_name").isin(newFiles.toSeq: _*)))).distinct()
     // per-file cardinality of the NEW vector (bounded metadata: one
     // row per affected file)
     val counts = dels.groupBy("file_name").count().collect()

@@ -498,14 +498,34 @@ object IcebergLite {
   def commitPositionDeletes(spark: SparkSession, root: String,
       cond: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions.col
-    val meta = readMeta(spark, root, currentMetaVersion(spark, root))
+    // capture the metadata version the positions are derived AGAINST
+    // and pass it as the commit's read baseline: a concurrent
+    // overwrite landing between this scan and commit() must abort
+    // (ConcurrentModificationException) — otherwise the content=1
+    // manifest would commit (file_path, pos) rows referencing
+    // replaced data files and the requested rows would stay live
+    commitPositionDeletesAt(spark, root, cond,
+      currentMetaVersion(spark, root))
+  }
+
+  /** [[commitPositionDeletes]] with the read baseline made explicit
+    * (package-visible so the overwrite-conflict contract is testable
+    * deterministically): positions are derived against the snapshot
+    * current at metadata `readV`, and the commit aborts if an
+    * overwrite snapshot landed after `readV`.
+    */
+  private[graft] def commitPositionDeletesAt(spark: SparkSession,
+      root: String, cond: org.apache.spark.sql.Column, readV: Int): Long = {
+    import org.apache.spark.sql.functions.col
+    val meta = readMeta(spark, root, readV)
     val snapId = meta.get("current-snapshot-id").asLong()
     val dels = readSnapshotRaw(spark, root, snapId)
       .withColumn("__fp", relFileKey(col("_metadata.file_path")))
       .withColumn("__pos", col("_metadata.row_index"))
       .filter(cond)
       .select(col("__fp").as("file_path"), col("__pos").as("pos"))
-    commit(dels, root, overwrite = false, readVersion = None, content = 1)
+    commit(dels, root, overwrite = false, readVersion = Some(readV.toLong),
+      content = 1)
   }
 
   /** The snapshot's data files as a plain scan (no delete vectors

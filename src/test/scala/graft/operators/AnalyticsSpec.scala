@@ -124,4 +124,34 @@ class AnalyticsSpec extends SparkSpec {
     val again = SparkEntry.registry("ch_lttb").fn(spark, sf).collect()
     assert(again.map(_.toString).toSeq == out.map(_.toString).toSeq)
   }
+
+  test("ch_lttb passes short series (n <= nOut) through unchanged") {
+    // CH's largestTriangleThreeBuckets returns a series with fewer
+    // points than the budget verbatim; mix short (4 pts), boundary
+    // (exactly nOut pts) and long (12 pts) series in one frame
+    val mk = (g: String, pts: Seq[(Long, Double)]) =>
+      pts.zipWithIndex.map { case ((t, v), id) =>
+        (g, id.toLong, t * 1000000L, v) }
+    val tiny = Seq((0L, 1.0), (60L, 9.0), (120L, 2.0), (180L, 7.0))
+    val edge = Seq((0L, 5.0), (60L, 1.0), (120L, 8.0), (180L, 3.0),
+      (240L, 6.0))
+    val long = Seq(
+      (0L, 10.00), (60L, 55.25), (120L, 12.50), (180L, 8.75),
+      (240L, 99.00), (300L, 42.00), (360L, 41.75), (420L, 3.10),
+      (480L, 77.77), (540L, 12.00), (600L, 13.25), (660L, 50.00))
+    val df = (mk("tiny", tiny) ++ mk("edge", edge) ++ mk("long", long))
+      .toDF("event_type", "event_id", "ts_us", "value")
+    val out = Lttb.downsample(df, nOut = 5).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    // short + boundary: all points, in order, seq = index
+    for ((g, pts) <- Seq("tiny" -> tiny, "edge" -> edge)) {
+      val want = pts.zipWithIndex.map { case ((t, v), i) =>
+        (g, i, t * 1000000L, v) }
+      assert(out(g).sortBy(_._2).toSeq == want, s"$g not passed through")
+    }
+    // the long series still downsamples to exactly nOut points
+    assert(out("long").length == 5 &&
+      out("long").map(_._2).sorted.toSeq == (0 until 5))
+  }
 }

@@ -110,6 +110,67 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("pagerank broadcast is size-gated: hint below threshold, shuffle-only-ranks above") {
+    // the gate itself: a 4-node ranks frame fits any sane threshold;
+    // a billion-node one exceeds the default 10MB (32 B/row)
+    assert(Graph.ranksBroadcastable(spark, 4L))
+    assert(!Graph.ranksBroadcastable(spark, 1000000000L))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(!Graph.ranksBroadcastable(spark, 4L),
+        "threshold -1 (broadcasts disabled) must gate the hint off")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    // both superstep-join regimes, on a persisted (src-partitioned)
+    // edge index exactly as pageRank builds it
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.persist(lvl)
+    val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .persist(lvl)
+    eDeg.count(): Unit // materialize so the scan reports partitioning
+    val ranks = e.select(col("src").as("node")).distinct()
+      .withColumn("rank_u", lit(Graph.RankUnit / 4))
+    // assert on the physical node tree (collect does not descend into
+    // the cached eDeg BUILD plan, which legitimately broadcast at this
+    // scale); AQE off so the superstep plan is final at planning time
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec}
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // below the gate: ranks rides a broadcast, edge index never moves
+      val bPlan = Graph.contributionJoin(eDeg, ranks, broadcastRanks = true)
+        .queryExecution.executedPlan
+      assert(bPlan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        s"no BHJ:\n$bPlan")
+      // above the gate: NO broadcast anywhere; the join is shuffle-hash
+      // and the persisted eDeg side needs no new exchange
+      val sPlan = Graph.contributionJoin(eDeg, ranks, broadcastRanks = false)
+        .queryExecution.executedPlan
+      assert(sPlan.collect { case b: BroadcastExchangeExec => b }.isEmpty,
+        s"gated-off superstep still broadcasts:\n$sPlan")
+      assert(sPlan.collect { case j: ShuffledHashJoinExec => j }.size == 1,
+        s"no SHJ:\n$sPlan")
+      // exactly two shuffles: the ranks side into the join + the
+      // dst-keyed aggregation. A third would mean the persisted
+      // (src-partitioned) edge index was re-shuffled.
+      val nEx = sPlan.collect { case e: ShuffleExchangeExec => e }.size
+      assert(nEx == 2,
+        s"expected 2 exchanges (ranks, dst agg), got $nEx:\n$sPlan")
+      // both regimes compute the same mass flow
+      val b = Graph.contributionJoin(eDeg, ranks, broadcastRanks = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      val s2 = Graph.contributionJoin(eDeg, ranks, broadcastRanks = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(b == s2 && b.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      eDeg.unpersist(blocking = false)
+      e.unpersist(blocking = false): Unit
+    }
+  }
+
   test("shortestPaths computes exact hop distances with a depth cap") {
     // chain 10-11-12-13-14 plus a shortcut 10->13, symmetrized
     val raw = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (10L, 13L))

@@ -603,4 +603,44 @@ class DeltaLogSpec extends SparkSpec {
       "overwrite did not clear the deletion vectors")
     assert(v1 === 1L)
   }
+
+  test("a new deletion vector carries only the AFFECTED files' positions") {
+    // the stacking rule is per-file: a later delete touching file B
+    // must not re-materialize file A's delete history into its vector
+    // — otherwise every vector (and its read-side broadcast) grows
+    // with TOTAL table deletes instead of the affected files' deletes
+    import org.apache.spark.sql.functions._
+    val root = freshRoot("delta_dv_scope")
+    val o = spark.range(0, 2000).toDF("o_orderkey")
+    // two appends -> two data files with disjoint key ranges
+    DeltaLog.commitAppend(
+      o.filter(col("o_orderkey") < 1000).repartition(1), root)
+    DeltaLog.commitAppend(
+      o.filter(col("o_orderkey") >= 1000).repartition(1), root)
+    val fileA = DeltaLog.snapshotAsOf(spark, root, 0).files.head
+    def dvFiles(): Set[String] = {
+      val d = new java.io.File(s"$root/_dv")
+      if (!d.exists()) Set.empty
+      else d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    // delete 1 hits only file A
+    DeltaLog.commitDeleteWhere(spark, root,
+      col("o_orderkey") < 500)
+    val dv1 = dvFiles()
+    assert(dv1.size === 1)
+    // delete 2 hits only file B: its vector must reference file B alone
+    DeltaLog.commitDeleteWhere(spark, root,
+      col("o_orderkey") >= 1500)
+    val dv2 = (dvFiles() -- dv1).head
+    val refs = spark.read.parquet(s"$root/_dv/$dv2")
+      .select("file_name").distinct().collect().map(_.getString(0)).toSet
+    assert(refs.size === 1 && !refs.contains(fileA.split('/').last),
+      s"vector 2 carries other files' history: $refs")
+    // and both vectors still apply on read
+    val live = DeltaLog.readLatest(spark, root)
+      .collect().map(_.getLong(0)).toSet
+    val want = o.collect().map(_.getLong(0)).toSet
+      .filter(k => k >= 500 && k < 1500)
+    assert(live == want, "per-file-scoped vectors broke the read")
+  }
 }

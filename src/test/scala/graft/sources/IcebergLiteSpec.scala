@@ -254,4 +254,35 @@ class IcebergLiteSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == fKeys,
       "overwrite did not clear the delete vectors")
   }
+
+  test("position deletes built on a stale snapshot abort when an overwrite intervened") {
+    // the delete's (file_path, pos) rows reference the READ snapshot's
+    // data files; if an overwrite replaced those files before the
+    // commit, landing the content=1 manifest anyway would silently
+    // keep the requested rows live — the commit must abort instead
+    val root = freshRoot("iceberg_posdel_conflict")
+    val o = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .filter(col("o_orderkey") < 400)
+    IcebergLite.commitAppend(o, root) // v0
+    val readV = IcebergLite.currentMetaVersion(spark, root)
+    val oKeys = o.filter(col("o_orderstatus") === "O")
+      .collect().map(_.getLong(0)).toSet
+    IcebergLite.commitOverwrite(o.filter(col("o_orderstatus") === "O"), root)
+    intercept[java.util.ConcurrentModificationException] {
+      IcebergLite.commitPositionDeletesAt(spark, root,
+        col("o_orderstatus") === "F", readV)
+    }
+    // the overwrite's state is intact — nothing from the stale delete
+    // leaked in
+    assert(IcebergLite.readLatest(spark, root)
+      .collect().map(_.getLong(0)).toSet == oKeys,
+      "aborted position delete mutated the table")
+    // a FRESH delete (baseline re-read inside the call) still lands
+    val half = oKeys.filter(_ % 2 == 0)
+    IcebergLite.commitPositionDeletes(spark, root, col("o_orderkey") % 2 === 0)
+    assert(IcebergLite.readLatest(spark, root)
+      .collect().map(_.getLong(0)).toSet == oKeys -- half,
+      "fresh position delete after the overwrite did not apply")
+  }
 }
