@@ -44,9 +44,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS: override the cpu-count default —
+    // the knob the scaling-ladder band adjudication turns (per-rung
+    // partition counts scaled to input size, so per-partition bytes
+    // stay constant across a decade instead of growing 10x)
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -115,7 +120,8 @@ object Bench {
       (name, samples.minOption, firstHits)
     }
     val envEnd = envFingerprint(cpus.toInt)
-    val env = s"""{"start":$envStart,"end":$envEnd,"cpus":$cpus,"cold":$cold}"""
+    val env = s"""{"start":$envStart,"end":$envEnd,"cpus":$cpus,""" +
+      s""""shuffle_partitions":$shufParts,"cold":$cold}"""
     def dict(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val ok = results.collect { case (k, Some(v), _) => k -> v }

@@ -1360,7 +1360,8 @@ object Ann {
     */
   private def ivfPqAdc(s: SparkSession, dir: String, emb: DataFrame,
       cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]],
-      k: Int, nprobe: Int, rr: Int): DataFrame = {
+      k: Int, nprobe: Int, rr: Int,
+      queriesOpt: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     import s.implicits._
     val m = books.length
@@ -1381,7 +1382,7 @@ object Ann {
       .select(col("vec_id"), col("cell"),
         posexplode(col("codes")).as(Seq("sub", "code")))
 
-    val queries = queryVectors(s, dir)
+    val queries = queriesOpt.getOrElse(queryVectors(s, dir))
       .select(col("query_id"), l2normExpr(col("qv")).as("qnv"))
     val probes = broadcast(queries
       .withColumn("cell", explode(nearestCellsExpr(col("qnv"), cents, nprobe)))
@@ -1451,20 +1452,122 @@ object Ann {
     ivfPqAdc(s, dir, emb, seedCentroids(s, dir, cells), books, k, nprobe, rr)
   }
 
+  /** Derived IVF-PQ serving parameters plus the calibration evidence
+    * they were accepted on.
+    */
+  case class ServingParams(nprobe: Int, rr: Int, coverageNprobe: Int,
+      validatedRecall: Double)
+
+  private val servingParamsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Double),
+      ServingParams]()
+
+  /** Derive (nprobe, rerank) for a trained IVF-PQ index from a RECALL
+    * CONTRACT — the IVF analogue of [[srpParams]]. SRP's collision law
+    * is analytic, so srpParams inverts a formula; an IVF index's
+    * probe-coverage law (P[a true top-k neighbor's cell is within the
+    * q nearest cells of its query]) depends on the trained centroids
+    * and the data geometry, so this inverts the law MEASURED on the
+    * index itself:
+    *
+    *  1. exact ground-truth top-k for a held-out validation sample
+    *     (disjoint from the fixed serving probe set; nq x n dots —
+    *     one cheap corpus pass, paid once per index like training);
+    *  2. for every true neighbor, the PROBE RANK of its assigned cell
+    *     in its query's centroid ranking — one pass yields the entire
+    *     coverage curve; nprobe0 = the curve's recallTarget+margin
+    *     quantile (the margin absorbs the ADC shortlist tail);
+    *  3. a bounded VERIFY loop: measured end-to-end recall@k of the
+    *     full serving pipeline on the validation sample; while below
+    *     the target, double the rerank (shortlist tail) then widen
+    *     nprobe — at most 4 steps.
+    *
+    * This is what fixes the r11-measured decay (recall@10 0.94 / 0.82
+    * / 0.68 at 2k / 20k / 200k rows under the fixed RELATIVE nprobe =
+    * cells/4): as cells = sqrt(n) grows, centroid ranking gets noisier
+    * and neighbors spread past any fixed fraction of probed cells, so
+    * the probe count must be derived from the measured curve, not a
+    * ratio. Results are memoized per (corpus, cells, k, target) —
+    * train once, derive once, serve many.
+    */
+  def ivfServingParams(s: SparkSession, dir: String, cells: Int,
+      m: Int, ks: Int, k: Int = 10, recallTarget: Double = 0.9,
+      nValidate: Int = 64): ServingParams =
+    servingParamsCache.computeIfAbsent((dir, cells, k, recallTarget), _ => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = nvCache(s, dir)
+      val n = emb.count()
+      val cents = fitCellsCached(dir, cells, emb)
+      val books = fitPqCodebooks(s, dir, m, ks)
+      val nCells = cents.length
+      // held-out validation queries: an id window past the fixed
+      // serving probe set (vec_id < 5), clamped into the corpus
+      val nq = math.min(nValidate.toLong, math.max(1L, n / 4)).toInt
+      val off = math.max(8L, math.min(n - nq, 1024L))
+      val qs = emb.filter(col("vec_id") >= off && col("vec_id") < off + nq)
+        .select(col("vec_id").as("query_id"), col("nv").as("qnv"))
+      val wT = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val truth = broadcast(qs).crossJoin(emb)
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("cos", dot(col("qnv"), col("nv")))
+        .withColumn("rank", row_number().over(wT))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val truthN = truth.count()
+      // the measured coverage curve: each neighbor's cell rank in its
+      // query's centroid ordering (nq*k bounded rows to the driver)
+      val ranks = truth
+        .join(emb, Seq("vec_id"))
+        .join(broadcast(qs), Seq("query_id"))
+        .withColumn("ncell", element_at(nearestCellsExpr(col("nv"), cents, 1), 1))
+        .withColumn("crank", array_position(
+          nearestCellsExpr(col("qnv"), cents, nCells), col("ncell")))
+        .select("crank").collect().map(_.getLong(0)).sorted
+      val coverTarget = math.min(0.98, recallTarget + 0.05)
+      val idx = math.min(ranks.length - 1,
+        math.max(0, math.ceil(coverTarget * ranks.length).toInt - 1))
+      val nprobe0 = math.max(4, math.min(nCells, ranks(idx).toInt))
+      val truthPairs = truth.withColumnRenamed("vec_id", "neighbor_id")
+      def measured(np: Int, rr: Int): Double = {
+        val got = ivfPqAdc(s, dir, emb, cents, books, k, np, rr,
+          Some(qs.select(col("query_id"), col("qnv").as("qv"))))
+        val hits = got.select("query_id", "neighbor_id")
+          .join(truthPairs, Seq("query_id", "neighbor_id"), "left_semi")
+          .count()
+        if (truthN == 0) 1.0 else hits.toDouble / truthN
+      }
+      var np = nprobe0
+      var rr = math.max(100, 20 * k)
+      var rec = measured(np, rr)
+      var step = 0
+      while (rec < recallTarget && step < 4 && (np < nCells || rr < 8192)) {
+        if (step % 2 == 0) rr = math.min(8192, rr * 2)
+        else np = math.min(nCells, math.max(np + 1, (np * 3) / 2))
+        rec = measured(np, rr)
+        step += 1
+      }
+      truth.unpersist(blocking = false)
+      ServingParams(np, rr, nprobe0, rec)
+    })
+
   /** The dim-256 BENCH shape of [[ivfPqTopK]]: serves the GenData
     * dim-256 twin corpus ([[dim256BenchDir]]) with an index sized for
     * it — cells ~ sqrt(n) (the classic IVF sizing; the dim-64 default
-    * of 8 is a fixture of the 500-vector oracle corpus), nprobe =
-    * cells/4, and PQ at CONSTANT subspace length 8: m = dim/8, ks=64.
-    * Holding subLen — not m — fixed as dim grows is the part that
-    * matters: at m=8 a dim-256 subspace is 32-dim, where 32 codewords
-    * carry ~no signal and the ADC shortlist measured 0.50 recall; at
-    * subLen=8 the per-subspace geometry (and recall) matches the
-    * dim-64 index while codes stay a 32x compression (m bytes/vector).
-    * rr=200 rerank repairs the tail (measured recall 0.92, floor
-    * pinned by AnnSpec in ANN_RECALL_D256.json). This is the artifact
-    * the r9 verdict named: the serving family measured at production
-    * dims, not just the dedup family.
+    * of 8 is a fixture of the 500-vector oracle corpus), PQ at
+    * CONSTANT subspace length 8: m = dim/8, ks=64. Holding subLen —
+    * not m — fixed as dim grows is the part that matters: at m=8 a
+    * dim-256 subspace is 32-dim, where 32 codewords carry ~no signal
+    * and the ADC shortlist measured 0.50 recall; at subLen=8 the
+    * per-subspace geometry (and recall) matches the dim-64 index
+    * while codes stay a 32x compression (m bytes/vector).
+    *
+    * nprobe/rerank come from [[ivfServingParams]]'s recall@10 >= 0.9
+    * contract, NOT a fixed cells/4 ratio — the ratio sizing decayed
+    * to 0.68 recall at the 200k rung (EMB_SCALE_r11) because the
+    * coverage law shifts with corpus size. AnnSpec pins the contract
+    * at two corpus sizes (ANN_RECALL_D256.json).
     */
   def ivfPqTopKD256(s: SparkSession, dir: String): DataFrame = {
     val d256 = dim256BenchDir(s, dir)
@@ -1472,8 +1575,10 @@ object Ann {
     val dim = corpusDim(s, d256)
     require(dim % 8 == 0, s"ivfPqTopKD256 sizes m = dim/8 but dim=$dim")
     val cells = math.max(16, math.sqrt(n.toDouble).toInt)
-    ivfPqTopK(s, d256, cells = cells, nprobe = math.max(4, cells / 4),
-      m = dim / 8, ks = 64, rr = 200)
+    val sp = ivfServingParams(s, d256, cells, m = dim / 8, ks = 64,
+      k = 10, recallTarget = 0.9)
+    ivfPqTopK(s, d256, cells = cells, nprobe = sp.nprobe,
+      m = dim / 8, ks = 64, rr = sp.rr)
   }
 
   /** DuckDB replay of [[ivfPqTopKSeeded]] (cells=8, nprobe=4, m=8,

@@ -3,7 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.Dec._
 import graft.{Sql => S}
-import graft.sources.{DeltaLog, IcebergLite}
+import graft.sources.{DeltaLog, IcebergForeign, IcebergLite}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -288,6 +288,108 @@ object Interop {
         FROM orders
         WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 150000.0)
         GROUP BY 2
+        ORDER BY version, o_orderstatus""")),
+
+    // ------------------------------------------------------------------
+    // Iceberg v2 EQUALITY deletes: rows retracted BY KEY (a parquet of
+    // key rows under a content=2 manifest — no table scan at commit,
+    // the CDC-retraction shape) with the spec's SEQUENCE rule: a
+    // delete at sequence S drops only rows of data files committed at
+    // sequence < S, so keys RE-INSERTED after the retraction survive.
+    // The output pins all three behaviors — version 1 the pre-delete
+    // snapshot (time travel), version 2 the post-delete + re-insert
+    // table — and the oracle recomputes both from raw rows, so a
+    // sequence-rule bug (re-inserted rows wrongly dropped, or old rows
+    // wrongly kept) is a hash mismatch.
+    "src_iceberg_eq_delete" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val root = tmp(dir, "iceberg_eqdel")
+        rm(s, root)
+        val o = Tables.orders(s, dir).select("o_orderkey", "o_orderstatus",
+          "o_totalprice")
+        val snap1 = IcebergLite.commitAppend(o, root)
+        // retract every F order by key (no positions, no scan) ...
+        val fKeys = o.filter(col("o_orderstatus") === "F")
+          .select("o_orderkey")
+        IcebergLite.commitEqualityDeletes(s, root, fKeys)
+        // ... then re-insert the even-keyed half: data at a HIGHER
+        // sequence than the delete, so it must survive the read
+        IcebergLite.commitAppend(
+          o.filter(col("o_orderstatus") === "F" &&
+            col("o_orderkey") % 2 === 0), root)
+        def agg(df: DataFrame, v: Int) =
+          df.groupBy("o_orderstatus")
+            .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+            .withColumn("version", lit(v))
+        agg(IcebergLite.readSnapshot(s, root, snap1), 1)
+          .unionByName(agg(IcebergLite.readLatest(s, root), 2))
+          .select("version", "o_orderstatus", "n", "total")
+          .orderBy("version", "o_orderstatus")
+      },
+      Some(s"""
+        SELECT 1 AS version, o_orderstatus, count(*) AS n,
+               ${S.dsum("o_totalprice")} AS total
+        FROM orders GROUP BY 2
+        UNION ALL
+        SELECT 2, o_orderstatus, count(*), ${S.dsum("o_totalprice")}
+        FROM orders
+        WHERE o_orderstatus <> 'F' OR o_orderkey % 2 = 0
+        GROUP BY 2
+        ORDER BY version, o_orderstatus""")),
+
+    // ------------------------------------------------------------------
+    // FOREIGN Iceberg metadata: the whole chain (metadata JSON,
+    // manifest-list avro, manifest avro) is hand-written here the way
+    // another engine would write it — avro fields in a DIFFERENT
+    // order, extra fields (partition_spec_id, split_offsets, summary,
+    // properties), non-sequential field ids, the optional
+    // content/sequence_number columns ABSENT, no version-hint.text at
+    // all — over directly-written parquet. Snapshot 1 = file A,
+    // snapshot 2 = files A+B (the second list re-references A's
+    // foreign manifest). Reading both through IcebergLite proves the
+    // reader tolerates foreign layout variance instead of only
+    // round-tripping its own bytes (the Delta side's
+    // src_delta_foreign bar, judged missing for Iceberg in r11).
+    "src_iceberg_foreign" -> Q(
+      (s, dir) => {
+        val root = tmp(dir, "iceberg_foreign")
+        rm(s, root)
+        val fsys = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        val o = Tables.orders(s, dir).select("o_orderkey", "o_orderstatus")
+        def slice(k: Int, name: String): Long = {
+          val stage = new org.apache.hadoop.fs.Path(root, s".s$k")
+          o.filter(col("o_orderkey") % 2 === k).coalesce(1)
+            .write.parquet(stage.toString)
+          val part = fsys.listStatus(stage)
+            .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+          val len = fsys.getFileStatus(part).getLen
+          fsys.mkdirs(new org.apache.hadoop.fs.Path(root, "data"))
+          fsys.rename(part, new org.apache.hadoop.fs.Path(root, name))
+          fsys.delete(stage, true)
+          len
+        }
+        val lenA = slice(0, "data/a.parquet")
+        val lenB = slice(1, "data/b.parquet")
+        IcebergForeign.writeChain(s, root, lenA, lenB)
+        def agg(df: DataFrame, v: Int) =
+          df.groupBy("o_orderstatus")
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_orderkey")).as("key_sum"))
+            .withColumn("version", lit(v))
+        agg(IcebergLite.readSnapshot(s, root, 101L), 1)
+          .unionByName(agg(IcebergLite.readSnapshot(s, root, 202L), 2))
+          .select("version", "o_orderstatus", "n", "key_sum")
+          .orderBy("version", "o_orderstatus")
+      },
+      Some("""
+        SELECT 1 AS version, o_orderstatus, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 2
+        UNION ALL
+        SELECT 2, o_orderstatus, count(*), CAST(sum(o_orderkey) AS BIGINT)
+        FROM orders GROUP BY 2
         ORDER BY version, o_orderstatus""")),
 
     "src_iceberg_avro" -> Q(

@@ -54,7 +54,8 @@ object IcebergLite {
       |{"name":"manifest_path","type":"string"},
       |{"name":"manifest_length","type":"long"},
       |{"name":"added_files_count","type":"int"},
-      |{"name":"content","type":"int","default":0}]}""".stripMargin)
+      |{"name":"content","type":"int","default":0},
+      |{"name":"sequence_number","type":"long","default":0}]}""".stripMargin)
 
   private val manifestSchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
@@ -194,7 +195,15 @@ object IcebergLite {
       new Path(metaDir(root), s"v$v.metadata.json")), "UTF-8"))
 
   private final case class ManifestRef(path: String, length: Long, added: Int,
-      content: Int = 0)
+      content: Int = 0, seq: Long = 0L)
+
+  /** Field lookup tolerant of FOREIGN avro layouts: GenericData.Record
+    * .get(name) THROWS on a field absent from the writer schema (it
+    * does not return null), so optional-field defaults must check the
+    * record's own schema first.
+    */
+  private def optField(r: GenericRecord, name: String): Option[AnyRef] =
+    Option(r.getSchema.getField(name)).flatMap(_ => Option(r.get(name)))
 
   private def listManifests(spark: SparkSession, root: String,
       meta: com.fasterxml.jackson.databind.JsonNode,
@@ -209,7 +218,10 @@ object IcebergLite {
           r.get("manifest_length").asInstanceOf[Long],
           r.get("added_files_count").asInstanceOf[Int],
           // pre-MOR manifest lists lack the field: data manifests
-          Option(r.get("content")).map(_.asInstanceOf[Int]).getOrElse(0))
+          optField(r, "content").map(_.asInstanceOf[Int]).getOrElse(0),
+          // pre-equality-delete lists lack sequence_number: 0 (oldest)
+          optField(r, "sequence_number").map(_.asInstanceOf[Long])
+            .getOrElse(0L))
       }
   }
 
@@ -315,18 +327,24 @@ object IcebergLite {
             val delLen = writeAvro(f, new Path(metaDir(root), delName),
               manifestSchema,
               live.map { case (p, sz) => manifestRecord(2, p, sz) })
-            Seq(ManifestRef(s"metadata/$delName", delLen, 0))
+            Seq(ManifestRef(s"metadata/$delName", delLen, 0, seq = v + 1L))
           }
       }
       val listName = s"snap-$snapId-$tag.avro"
+      // data sequence number: carried manifests keep the sequence they
+      // were COMMITTED at (the spec's inherited sequence); the new
+      // manifest gets this snapshot's — the ordering equality deletes
+      // apply by (a delete at sequence S drops only rows of data
+      // manifests with sequence < S)
       val entries = carried :+
         ManifestRef(s"metadata/$manifestName", manifestLen, dataFiles.length,
-          content)
+          content, seq = v + 1L)
       writeAvro(f, new Path(metaDir(root), listName), manifestListSchema,
         entries.map { m =>
           val r = new GenericData.Record(manifestListSchema)
           r.put("manifest_path", m.path); r.put("manifest_length", m.length)
-          r.put("added_files_count", m.added); r.put("content", m.content); r
+          r.put("added_files_count", m.added); r.put("content", m.content)
+          r.put("sequence_number", m.seq); r
         })
 
       // schemas accumulate: reuse the id of an equal prior schema,
@@ -338,13 +356,15 @@ object IcebergLite {
       // detail) — raw StructType equality re-registered an identical
       // schema on every commit whenever the df carried field metadata.
       val canonSchema =
-        if (content == 1)
+        if (content >= 1) // delete commits keep the TABLE schema: the
+          // delete file's own schema (file_path/pos, or the equality
+          // key projection) is not a table schema change
           parentMeta.map { pm =>
             val cur = pm.get("current-schema-id").asInt()
             parseSchema(pm.get("schemas").elements().asScala.toSeq
               .find(_.get("schema-id").asInt() == cur).get)
           }.getOrElse(throw new IllegalStateException(
-            s"position-delete commit to $root requires an existing table"))
+            s"delete commit to $root requires an existing table"))
         else parseSchema(schemaJson(df.schema, -1))
       val priorSchemas: Seq[(Int, StructType, com.fasterxml.jackson.databind.JsonNode)] =
         parentMeta.map(_.get("schemas").elements().asScala.toSeq.map { s =>
@@ -379,7 +399,7 @@ object IcebergLite {
       sn.put("manifest-list", s"metadata/$listName")
       sn.put("schema-id", schemaId)
       sn.put("operation",
-        if (overwrite) "overwrite" else if (content == 1) "delete" else "append")
+        if (overwrite) "overwrite" else if (content >= 1) "delete" else "append")
 
       // COMMIT POINT: put-if-absent on the metadata file
       if (DeltaLog.publishNew(spark,
@@ -440,6 +460,22 @@ object IcebergLite {
             d.get("file_size_in_bytes").asInstanceOf[Long])
         }
     }
+  }
+
+  /** (path, data sequence number) of a snapshot's live files — the
+    * per-file ordering equality deletes apply by.
+    */
+  private def snapshotFileSeqsOf(spark: SparkSession, root: String,
+      meta: com.fasterxml.jackson.databind.JsonNode,
+      snapshotId: Long): Seq[(String, Long)] = {
+    val f = fs(spark, root)
+    listManifests(spark, root, meta, snapshotId)
+      .filter(_.content == 0).flatMap { m =>
+        readAvro(f, new Path(root, m.path))
+          .filter(_.get("status").asInstanceOf[Int] != 2)
+          .map(e => (e.get("data_file").asInstanceOf[GenericRecord]
+            .get("file_path").toString, m.seq))
+      }
   }
 
   /** Data file paths (root-relative) of a snapshot, via its manifest
@@ -528,6 +564,53 @@ object IcebergLite {
       content = 1)
   }
 
+  // ---- v2 merge-on-read: equality deletes ----------------------------
+
+  /** Root-relative (delete file, sequence) of a snapshot's EQUALITY
+    * delete files (content=2 manifests). Each file is a parquet whose
+    * COLUMNS are the equality key set (the lite encoding of the
+    * spec's equality_ids: the key set rides in the delete file's own
+    * schema) and whose rows are the key values to drop.
+    */
+  private def snapshotEqDeletesOf(spark: SparkSession, root: String,
+      meta: com.fasterxml.jackson.databind.JsonNode,
+      snapshotId: Long): Seq[(String, Long)] = {
+    val f = fs(spark, root)
+    listManifests(spark, root, meta, snapshotId)
+      .filter(_.content == 2).flatMap { m =>
+        readAvro(f, new Path(root, m.path))
+          .filter(_.get("status").asInstanceOf[Int] != 2)
+          .map(e => (e.get("data_file").asInstanceOf[GenericRecord]
+            .get("file_path").toString, m.seq))
+      }
+  }
+
+  /** MERGE-ON-READ row deletion by KEY (Iceberg v2 equality deletes):
+    * drop every row whose equality-key columns match a row of `keys`
+    * (a frame whose columns ARE the key set, e.g. the ids of records
+    * to retract) — committed as a parquet of key rows under a
+    * content=2 manifest. No table scan happens at commit time (the
+    * position-delete twin pays one predicate scan to resolve
+    * positions; this path is what CDC retractions use when the writer
+    * knows keys but not positions). Readers apply it as a null-safe
+    * anti-join restricted BY SEQUENCE: a delete at sequence S drops
+    * only rows of data files committed at sequence < S, so rows
+    * re-inserted AFTER the retraction survive — the spec's ordering
+    * rule, and the reason the manifest list carries sequence_number.
+    * Validation matches the position-delete path: an overwrite landing
+    * between the caller's read and this commit aborts (the new data
+    * files would be at a LOWER sequence than this delete and its keys
+    * would wrongly apply to them).
+    */
+  def commitEqualityDeletes(spark: SparkSession, root: String,
+      keys: DataFrame): Long = {
+    val readV = currentMetaVersion(spark, root)
+    require(readV >= 0,
+      s"equality-delete commit to $root requires an existing table")
+    commit(keys, root, overwrite = false,
+      readVersion = Some(readV.toLong), content = 2)
+  }
+
   /** The snapshot's data files as a plain scan (no delete vectors
     * applied) — the base both the MOR read and the delete derivation
     * share. Callers may select _metadata columns from it.
@@ -582,22 +665,43 @@ object IcebergLite {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val base = spark.read.schema(schema).parquet(files: _*)
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
     val delFiles = snapshotDeleteFilesOf(spark, root, meta, snapshotId)
-    if (delFiles.isEmpty) base
-    else {
-      // v2 merge-on-read: drop rows whose (file, position) appears in
-      // a delete vector — broadcast anti-join (vectors are the small
-      // side by construction)
-      import org.apache.spark.sql.functions.{broadcast, col}
+    val eqDels = snapshotEqDeletesOf(spark, root, meta, snapshotId)
+    if (delFiles.isEmpty && eqDels.isEmpty) return base
+    var keyed = base
+      .withColumn("__fp", relFileKey(col("_metadata.file_path")))
+    if (delFiles.nonEmpty) {
+      // v2 merge-on-read position deletes: drop rows whose (file,
+      // position) appears in a delete vector — broadcast anti-join
+      // (vectors are the small side by construction)
       val dels = spark.read.parquet(delFiles.map(p => s"$root/$p"): _*)
-      val keyed = base
-        .withColumn("__fp", relFileKey(col("_metadata.file_path")))
+      keyed = keyed
         .withColumn("__pos", col("_metadata.row_index"))
-      keyed.join(broadcast(dels),
+      keyed = keyed.join(broadcast(dels),
           keyed("__fp") === dels("file_path") && keyed("__pos") === dels("pos"),
           "left_anti")
-        .drop("__fp", "__pos")
+        .drop("__pos")
     }
+    if (eqDels.nonEmpty) {
+      // v2 equality deletes: each content=2 file (committed at
+      // sequence S) drops matching-key rows of data files whose
+      // sequence < S. File->sequence is bounded manifest metadata
+      // (one row per live file), joined broadcast onto the scan key.
+      import spark.implicits._
+      val fileSeq = broadcast(
+        snapshotFileSeqsOf(spark, root, meta, snapshotId)
+          .toDF("__fp", "__seq"))
+      keyed = keyed.join(fileSeq, Seq("__fp"), "left")
+      for ((path, seq) <- eqDels) {
+        val keys = spark.read.parquet(s"$root/$path")
+        val cond = keys.columns.map(c => keyed(c) <=> keys(c))
+          .reduce(_ && _) && keyed("__seq") < lit(seq)
+        keyed = keyed.join(broadcast(keys), cond, "left_anti")
+      }
+      keyed = keyed.drop("__seq")
+    }
+    keyed.drop("__fp")
   }
 
   def currentSnapshotId(spark: SparkSession, root: String): Long =

@@ -255,6 +255,59 @@ class IcebergLiteSpec extends SparkSpec {
       "overwrite did not clear the delete vectors")
   }
 
+  test("equality deletes: MOR semantics — sequence ordering, re-insert, stacking, time travel, overwrite reset") {
+    import graft.SparkSpec.spark.implicits._
+    val root = freshRoot("iceberg_eqdel")
+    val o = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .filter(col("o_orderkey") < 900)
+    val all = o.collect().map(_.getLong(0)).toSet
+    val snap1 = IcebergLite.commitAppend(o, root)
+
+    // delete 1: retract the F rows BY KEY (no table scan at commit)
+    val fKeys = o.filter(col("o_orderstatus") === "F")
+      .collect().map(_.getLong(0)).toSet
+    IcebergLite.commitEqualityDeletes(spark, root,
+      fKeys.toSeq.toDF("o_orderkey"))
+    assert(IcebergLite.readLatest(spark, root)
+      .collect().map(_.getLong(0)).toSet == all -- fKeys,
+      "equality delete did not drop exactly the F keys")
+    // time travel: the pre-delete snapshot still reads everything
+    assert(IcebergLite.readSnapshot(spark, root, snap1)
+      .collect().map(_.getLong(0)).toSet == all,
+      "equality delete leaked into the earlier snapshot")
+
+    // THE SEQUENCE RULE: re-inserting some retracted keys AFTER the
+    // delete must survive — their data files carry a HIGHER sequence
+    // than the delete, so the keys do not apply to them
+    val reborn = o.filter(col("o_orderstatus") === "F")
+      .filter(col("o_orderkey") % 2 === 0)
+    val rebornKeys = reborn.collect().map(_.getLong(0)).toSet
+    assert(rebornKeys.nonEmpty)
+    IcebergLite.commitAppend(reborn, root)
+    assert(IcebergLite.readLatest(spark, root)
+      .collect().map(_.getLong(0)).toSet == (all -- fKeys) ++ rebornKeys,
+      "re-inserted keys were wrongly dropped by an EARLIER equality delete")
+
+    // delete 2 stacks (multi-column key: status+key) and applies only
+    // below ITS sequence — the reborn rows it names DO die now
+    val victim = rebornKeys.head
+    IcebergLite.commitEqualityDeletes(spark, root,
+      Seq((victim, "F")).toDF("o_orderkey", "o_orderstatus"))
+    assert(IcebergLite.readLatest(spark, root)
+      .collect().map(_.getLong(0)).toSet ==
+        (all -- fKeys) ++ (rebornKeys - victim),
+      "stacked multi-column equality delete misapplied")
+
+    // overwrite resets: replaced table carries no stale delete files
+    // (eq-delete staleness vs a racing overwrite is guarded by the
+    // same commit() read-baseline the position-delete test pins)
+    IcebergLite.commitOverwrite(o.filter(col("o_orderstatus") === "F"), root)
+    assert(IcebergLite.readLatest(spark, root)
+      .collect().map(_.getLong(0)).toSet == fKeys,
+      "overwrite did not clear the equality deletes")
+  }
+
   test("position deletes built on a stale snapshot abort when an overwrite intervened") {
     // the delete's (file_path, pos) rows reference the READ snapshot's
     // data files; if an overwrite replaced those files before the
