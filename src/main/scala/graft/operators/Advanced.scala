@@ -475,6 +475,61 @@ object Advanced {
     ),
 
     // ------------------------------------------------------------------
+    // quantileTDigest: MERGEABLE bounded-error quantiles over an
+    // UNBOUNDED value domain (functions/TDigestSketch.scala) — the
+    // sketch class the exact family here cannot serve: ch_quantiles/
+    // ch_mad assume a bounded integer cent domain, ch_quantile_sample
+    // is exact only below k rows; an AggregatingMergeTree-style MV
+    // folding arbitrary doubles forever needs O(compression) mergeable
+    // state. The probed value is the classic disc/tax price expression
+    // — a dense product domain no cent histogram can index. Estimator
+    // values are merge-order-dependent, so the oracle is the
+    // ch_quantiles_approx RANK-CERTIFICATE device: the output re-ranks
+    // each estimate against the data and emits per-quantile booleans
+    // that the empirical rank landed within the k0 bound
+    // (3/compression, +slack); DuckDB asserts the booleans. The merge
+    // LAW (shard-merge == whole-data digest, both within bound) is
+    // IncrementalSpec's case. benchFn measures the sketch-only
+    // production plan (one partial-agg shuffle of 200-centroid
+    // states), not the certificate's verification join.
+    "ch_quantile_tdigest" -> Q(
+      (s, dir) => {
+        val qs = Seq(0.1, 0.5, 0.9, 0.99)
+        val li = Tables.lineitem(s, dir)
+          .withColumn("x", (col("l_extendedprice") * (lit(1.0) + col("l_tax"))
+            * (lit(1.0) - col("l_discount"))).cast("double"))
+        val est = li.groupBy("l_returnflag")
+          .agg(graft.functions.TDigestSketch(200, qs, col("x")).as("est"))
+        def ok(i: Int, q: Double) = {
+          val e = col("est").getItem(i)
+          val n = count(lit(1))
+          ((count_if(col("x") < e) <= (lit(q) + lit(0.02)) * n) &&
+            (count_if(col("x") <= e) >= (lit(q) - lit(0.02)) * n))
+            .as(s"q${(q * 100).toInt}_rank_ok")
+        }
+        li.join(broadcast(est), "l_returnflag")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            ok(0, 0.1), ok(1, 0.5), ok(2, 0.9), ok(3, 0.99))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+               TRUE AS q10_rank_ok, TRUE AS q50_rank_ok,
+               TRUE AS q90_rank_ok, TRUE AS q99_rank_ok
+        FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""),
+      benchFn = Some((s, dir) => {
+        val qs = Seq(0.1, 0.5, 0.9, 0.99)
+        Tables.lineitem(s, dir)
+          .withColumn("x", (col("l_extendedprice") * (lit(1.0) + col("l_tax"))
+            * (lit(1.0) - col("l_discount"))).cast("double"))
+          .groupBy("l_returnflag")
+          .agg(graft.functions.TDigestSketch(200, qs, col("x")).as("est"))
+          .select(col("l_returnflag"),
+            posexplode(col("est")).as(Seq("qi", "estimate")))
+      })),
+
+    // ------------------------------------------------------------------
     // sequenceNextNode: what does each user do right after their
     // FIRST signup, and how long after? One lead() window over the
     // full stream (computed before the signup filter, so the

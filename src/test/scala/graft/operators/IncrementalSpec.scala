@@ -22,6 +22,65 @@ class IncrementalSpec extends SparkSpec {
       s"kmv estimate off by >10%: $big vs 10000")
   }
 
+  test("t-digest merge law: shard-merge == recompute, both within the rank bound") {
+    import graft.functions.TDigestSketch
+    val comp = 200
+    // a skewed continuous domain no cent histogram can index: x^2 on
+    // a deterministic pseudo-random stream, plus a heavy point mass
+    val n = 50000
+    val xs = (0 until n).map { i =>
+      val h = ((i * 2654435761L) ^ (i >>> 3)) & 0xffffffL
+      val u = h.toDouble / 0x1000000L.toDouble
+      if (i % 10 == 0) 42.0 else u * u * 1e6
+    }
+    val exact = xs.sorted.toArray
+    // with duplicates a value occupies a RANK INTERVAL [count(<v),
+    // count(<=v)]; the estimate's rank error is its distance from the
+    // target rank to that interval (0 when the target lands inside)
+    def rankInterval(v: Double): (Int, Int) =
+      (exact.count(_ < v), exact.count(_ <= v))
+    def rankErr(v: Double, q: Double): Double = {
+      val (lo, hi) = rankInterval(v)
+      val t = q * n
+      if (t < lo) lo - t else if (t > hi) t - hi else 0.0
+    }
+    // one digest over the whole stream vs a merge of 8 shard digests
+    // (the AggregatingMergeTree MV shape: per-part states merged at
+    // read). Build both through the Aggregator's own reduce/merge.
+    val agg = new TDigestSketch.Agg(comp, Nil)
+    def digestOf(vals: Seq[Double]): Array[Byte] =
+      vals.foldLeft(agg.zero)((b, v) => agg.reduce(b, v))
+    val whole = digestOf(xs)
+    val merged = xs.grouped(math.ceil(n / 8.0).toInt).toSeq
+      .map(digestOf).reduce(agg.merge)
+    // state stays bounded by the compression budget in both shapes
+    assert(TDigestSketch.pairsOf(whole).length / 2 <= 4 * comp)
+    assert(TDigestSketch.pairsOf(merged).length / 2 <= 4 * comp)
+    val eps = 3.0 * n / comp // the documented k0 bound
+    for (q <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99);
+         (name, d) <- Seq("whole" -> whole, "merged" -> merged)) {
+      val est = TDigestSketch.quantile(
+        TDigestSketch.pairsOf(d).toIndexedSeq, q)
+      val err = rankErr(est, q)
+      assert(err <= eps,
+        f"$name q=$q: rank error $err%.0f > bound $eps%.0f (est=$est%.3f)")
+    }
+    // merge == recompute WITHIN THE BOUND (not bit-equal: merge order
+    // legitimately moves centroids; the law is that both digests
+    // answer every quantile within the same error budget — asserted
+    // above — so their estimates' rank intervals lie within 2x of it)
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val a = TDigestSketch.quantile(TDigestSketch.pairsOf(whole).toIndexedSeq, q)
+      val b = TDigestSketch.quantile(TDigestSketch.pairsOf(merged).toIndexedSeq, q)
+      val (aLo, aHi) = rankInterval(a); val (bLo, bHi) = rankInterval(b)
+      val gap = math.max(0, math.max(aLo - bHi, bLo - aHi))
+      assert(gap <= 2 * eps, f"merge law: q=$q whole=$a merged=$b gap=$gap")
+    }
+    // the point-mass median: 10% of mass at 42.0 must be representable
+    val p = TDigestSketch.quantile(TDigestSketch.pairsOf(merged).toIndexedSeq, 0.05)
+    assert(p < 1e6, "point mass vanished from the sketch")
+  }
+
   test("kmv merge is order/partitioning-invariant and ignores nulls") {
     val df = ((1L to 500L).map(java.lang.Long.valueOf) :+ null)
       .toDF("x").withColumn("h",

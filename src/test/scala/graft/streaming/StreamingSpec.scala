@@ -502,6 +502,140 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > batch.count(), "no incremental upserts observed")
   }
 
+  // ---- UNBOUNDED (Kafka-shaped) source seam --------------------------
+  // Every case above streams from FILES; real CH ETL ingests an
+  // unbounded partitioned log. These cases run the same registered
+  // operators over a MemoryStream of (kpart, koffset)-keyed records —
+  // synthetic Kafka partitions with per-partition monotone offsets,
+  // rows interleaved ACROSS partitions within each delivery (the
+  // cross-partition disorder the one-file-per-trigger source never
+  // produces) — proving the watermark/state/sink-key logic carries no
+  // file-source assumption. Zero-egress honest: no broker, the seam
+  // is the unbounded source API itself.
+
+  /** Events as a Kafka-shaped record stream: kpart = user_id mod 3,
+    * koffset monotone per partition in event-time order, delivered in
+    * the same time-quartile rounds the file staging uses (watermark
+    * advances between rounds, exactly like file pickup).
+    */
+  private lazy val keyedRounds: Seq[Seq[KEv]] = {
+    val e = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts_us", "value")
+    val qs = e.stat.approxQuantile("ts_us", Array(0.25, 0.5, 0.75), 0.0)
+    val bounds = (Long.MinValue +: qs.map(_.toLong)) :+ Long.MaxValue
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("kpart").orderBy("ts_us", "event_id")
+    val all = e.withColumn("kpart", pmod(col("user_id"), lit(3)).cast("int"))
+      .withColumn("koffset", row_number().over(w).cast("long"))
+      .collect().map(r => KEv(r.getAs[Int]("kpart"), r.getAs[Long]("koffset"),
+        r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("ts_us"),
+        r.getAs[Double]("value")))
+    (0 until 4).map { i =>
+      all.filter(k => k.ts_us > bounds(i) && k.ts_us <= bounds(i + 1))
+        // interleave partitions within the round: sort by offset FIRST
+        .sortBy(k => (k.koffset, k.kpart)).toSeq
+    }
+  }
+
+  /** Feed the rounds through a MemoryStream and drain the query after
+    * each — one watermark advance per round. Returns the sink table.
+    */
+  private def runUnbounded(mk: DataFrame => DataFrame, name: String,
+      mode: String): (DataFrame, Int) = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[KEv]
+    val df = mk(ms.toDF().withColumn("ts", timestamp_micros(col("ts_us"))))
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    var batches = 0
+    for (round <- keyedRounds) {
+      ms.addData(round)
+      q.processAllAvailable()
+      batches += 1
+    }
+    q.stop()
+    (spark.table(name), batches)
+  }
+
+  test("windowed agg over an unbounded keyed-offset source equals the batch query") {
+    val (streamed, rounds) = runUnbounded(
+      df => df
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.Dec.dsum(col("value")).as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("total_value")),
+      "unbounded_window_agg_t", "complete")
+    assert(rounds == 4)
+    val batch = SparkEntry.registry("stream_window_agg").fn(spark, sf)
+    assert(canon(streamed) == canon(batch),
+      "unbounded-source windowed agg diverges from batch")
+  }
+
+  test("CDC upsert over the unbounded source converges to the batch snapshot") {
+    val (streamed, _) = runUnbounded(
+      df => Upsert.stream(df
+        .select("user_id", "event_id", "ts_us", "event_type", "value", "ts")
+        .as[Upsert.Ev]).toDF(),
+      "unbounded_cdc_upsert_t", "update")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("n_versions").desc)
+    val finalState = streamed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val batch = SparkEntry.registry("stream_cdc_upsert").fn(spark, sf)
+    assert(canon(finalState) == canon(batch),
+      "unbounded-source upsert snapshot diverges from the batch fold")
+    // genuinely incremental across the unbounded rounds
+    assert(streamed.count() > batch.count(),
+      "no incremental upserts observed over the unbounded source")
+  }
+
+  test("epoch-replayed sink over the unbounded source stays exactly-once") {
+    import graft.sources.Sink
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_unbounded_sink"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val backend = new Sink.LocalBackend(root)
+    val cfg = Sink.SinkConfig(root, "sessions_ub", batchSize = 10000)
+    val sinkFn = Sink.batchToSink(cfg, backend)
+    val captured = scala.collection.mutable.Map
+      .empty[Long, Array[Array[org.apache.spark.sql.Row]]]
+    var sessionSchema: org.apache.spark.sql.types.StructType = null
+
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[KEv]
+    val q = Sessionize.streaming(
+        ms.toDF().withColumn("ts", timestamp_micros(col("ts_us")))
+          .withWatermark("ts", "2 hours")
+          .select("user_id", "event_id", "ts_us", "value", "ts")
+          .as[Sessionize.Ev])
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, epoch: Long) =>
+        sessionSchema = b.schema
+        captured(epoch) = b.rdd.glom().collect()
+        sinkFn(b, epoch)
+      }
+      .start()
+    for (round <- keyedRounds) { ms.addData(round); q.processAllAvailable() }
+    q.stop()
+
+    def readBack = spark.read.schema(sessionSchema).json(s"$root/sessions_ub")
+    val firstRows = canon(readBack)
+    assert(firstRows.nonEmpty, "unbounded stream wrote nothing through the sink")
+    // replay the largest epoch exactly as a restarted query would —
+    // the sink's epoch-namespaced keys must keep it exactly-once
+    val (epoch, parts) = captured.filter(_._2.exists(_.nonEmpty)).maxBy(_._1)
+    val rdd = spark.sparkContext
+      .parallelize(0 until parts.length, math.max(parts.length, 1))
+      .mapPartitionsWithIndex((i, _) => parts(i).iterator)
+    sinkFn(spark.createDataFrame(rdd, sessionSchema), epoch)
+    assert(canon(readBack) == firstRows,
+      "epoch replay over the unbounded source changed the sink contents")
+  }
+
   test("stream-stream interval join equals the batch join") {
     val v = streamedEvents.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"),
@@ -524,3 +658,11 @@ class StreamingSpec extends SparkSpec {
     assert(canon(streamed) == canon(batch))
   }
 }
+
+/** A Kafka-shaped record: (kpart, koffset) stand in for the broker's
+  * (partition, offset) — per-partition monotone, interleaved across
+  * partitions in delivery. Top-level so the Dataset encoder needs no
+  * outer instance.
+  */
+case class KEv(kpart: Int, koffset: Long, event_id: Long, user_id: Long,
+    event_type: String, ts_us: Long, value: Double)
