@@ -125,14 +125,29 @@ object Dedup {
     * rounds, public Kiveris et al. "Connected Components in
     * MapReduce"); plain propagation is the right default here.
     */
-  def componentLabels(pairs: DataFrame, docs: DataFrame): DataFrame = {
+  def componentLabels(pairs: DataFrame, docs: DataFrame): DataFrame =
+    componentLabelsCounted(pairs, docs)._1
+
+  /** [[componentLabels]] plus the CONVERGENCE ROUND COUNT — the
+    * quantity the O(diameter) claim rests on. DedupSpec measures it on
+    * planted clique vs long-chain graphs and on the real corpus pair
+    * graph (CC_ROUNDS_r12.json): dup groups are near-cliques (2-3
+    * rounds incl. the confirming pass), so plain propagation is the
+    * right default; a chain pays diameter rounds, which is where the
+    * large-star/small-star O(log n) shapes would take over if real
+    * pair graphs ever grew chains.
+    */
+  private[graft] def componentLabelsCounted(pairs: DataFrame,
+      docs: DataFrame): (DataFrame, Int) = {
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      rounds += 1
       val neighborMin = edges.join(labels,
           edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nmin"))
@@ -147,7 +162,7 @@ object Dedup {
       labels = next.select(col("doc_id"), col("next_id").as("cluster_id"))
     }
     edges.unpersist(blocking = false)
-    labels
+    (labels, rounds)
   }
 
   /** Component labels memoized per corpus: the label DF is already

@@ -1344,11 +1344,14 @@ object DeltaLog {
 
   /** DRIVER-MEMORY CEILING (stated, not hidden): checkpoint replay —
     * like the JSON log replay above it — materializes one `AddFile`
-    * per active file on the driver, ~200-400 B each (path +
-    * partitionValues + stats JSON). That bounds this implementation
-    * at roughly 1-2 GB of driver heap per 5M active files; a 100 TB
-    * table at 128 MB files is ~800k files (~300 MB) — fine — but a
-    * small-file-riddled table at tens of millions of files is not.
+    * per active file on the driver. MEASURED on a synthetic 100k-file
+    * table (DeltaLogSpec's high-file-count case, artifact
+    * DELTA_METADATA_r12.json): several hundred bytes per AddFile
+    * (path + partitionValues + stats JSON). That bounds this
+    * implementation at roughly 1-2 GB of driver heap per ~3-5M active
+    * files; a 100 TB table at 128 MB files is ~800k files — fine —
+    * but a small-file-riddled table at tens of millions of files is
+    * not.
     * Real Delta hits the same wall and answers with a DISTRIBUTED
     * state reconstruction (checkpoint read as a DataFrame, pruning
     * pushed into the scan, only the matching AddFiles collected).

@@ -24,6 +24,51 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
   }
 
+  test("componentLabels round count: O(diameter) measured on clique, chain, and the real pair graph") {
+    // the adjudication the r11 ladder owed: dedup_clusters' cost model
+    // is rounds x (join + agg), and rounds = graph diameter + 1
+    // (min-label moves one hop per round, plus the confirming pass).
+    // Clique corpora (the real dup-group shape) converge in ~2-3
+    // rounds at ANY size; a planted long chain pays its length —
+    // the regime where large-star/small-star (O(log n), Kiveris et
+    // al.) would take over IF real pair graphs grew chains.
+    def edgesOf(pairs: Seq[(Long, Long)]) =
+      pairs.toDF("id_a", "id_b")
+    def docsOf(n: Long) = spark.range(n).toDF("doc_id")
+    // 64-clique: diameter 1
+    val clique = for (i <- 0L until 64L; j <- (i + 1) until 64L) yield (i, j)
+    val (cliqueLabels, cliqueRounds) =
+      Dedup.componentLabelsCounted(edgesOf(clique), docsOf(64))
+    assert(cliqueLabels.select("cluster_id").distinct().count() === 1L)
+    assert(cliqueRounds <= 3, s"clique took $cliqueRounds rounds")
+    // 64-chain: diameter 63 -> rounds ~ diameter (the honest worst case)
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val (chainLabels, chainRounds) =
+      Dedup.componentLabelsCounted(edgesOf(chain), docsOf(64))
+    assert(chainLabels.select("cluster_id").distinct().count() === 1L)
+    assert(chainRounds >= 32 && chainRounds <= 66,
+      s"chain rounds $chainRounds not ~diameter")
+    // the REAL corpus pair graph: near-cliques, so rounds must stay
+    // in the clique regime — the evidence plain propagation is the
+    // right default and star-shapes are not needed
+    val realPairs = Dedup.jaccardPairs(
+      Dedup.docShingles(spark, sf), 0.5).select("id_a", "id_b")
+    val realDocs = graft.Tables.documents(spark, sf).select("doc_id")
+    val (_, realRounds) = Dedup.componentLabelsCounted(realPairs, realDocs)
+    assert(realRounds <= 4,
+      s"real pair graph took $realRounds rounds — chains appeared; " +
+        "evaluate large-star/small-star")
+    info(s"rounds: clique(64)=$cliqueRounds chain(64)=$chainRounds " +
+      s"real(sf0.001)=$realRounds")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("CC_ROUNDS_r12.json"),
+      (s"""{"metric":"cc_label_propagation_rounds",""" +
+        s""""clique64":$cliqueRounds,"chain64":$chainRounds,""" +
+        s""""real_pair_graph_sf0001":$realRounds,""" +
+        s""""note":"rounds = diameter + confirming pass; real dup groups are near-cliques so plain propagation converges in the clique regime at any scale; large-star/small-star (O(log n)) is the documented fallback if real corpora ever grow chain-shaped pair graphs"}\n""")
+        .getBytes("UTF-8"))
+  }
+
   test("minhash-LSH finds exactly the exact-jaccard pairs on the test data") {
     val exact = pairs("dedup_ngram_jaccard")
     val lsh = pairs("dedup_minhash_lsh")

@@ -23,20 +23,35 @@ entries = {}
 for q in sorted(sf1):
     r_fixed = p32[q] / sf1[q]
     r_scaled = p320[q] / sf1[q]
-    flattened = r_scaled <= 0.6 * r_fixed or r_scaled <= 12.0
+    # three distinguishable outcomes for a 10x data decade:
+    #  - ~10x at BOTH partition settings: the operator is data-linear
+    #    and the r11 band (11.7-14.1x, measured inside the full-suite
+    #    ladder) was measurement context, not a mechanism
+    #  - fixed >> scaled: per-partition-size growth was the mechanism
+    #  - >>10x at both: a real operator cliff needing a named fix
+    if r_fixed <= 12.0 and r_scaled <= 12.0:
+        verdict = (
+            "data-linear (~10x per 10x decade) at BOTH partition "
+            "settings - the r11 band was full-suite measurement "
+            "context, not a partition-size effect; no fix needed"
+        )
+    elif r_scaled <= 0.7 * r_fixed:
+        verdict = (
+            "partition-size growth confirmed: scaling shuffle "
+            "partitions with input flattens the decade"
+        )
+    else:
+        verdict = (
+            "band persists under scaled partitions - real cliff, "
+            "needs a named fix"
+        )
     entries[q] = {
         "sf1_sec_p32": round(sf1[q], 3),
         "sf10_sec_p32": round(p32[q], 3),
         "sf10_sec_p320": round(p320[q], 3),
         "decade_ratio_fixed_parts": round(r_fixed, 2),
         "decade_ratio_scaled_parts": round(r_scaled, 2),
-        "verdict": (
-            "partition-size growth confirmed: scaling shuffle partitions "
-            "with input flattens the decade"
-            if flattened
-            else "band persists under scaled partitions - real cliff, "
-            "needs a named fix"
-        ),
+        "verdict": verdict,
     }
 
 doc = {
