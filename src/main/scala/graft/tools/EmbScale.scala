@@ -97,11 +97,16 @@ object EmbScale {
           val sp = graft.operators.Ann.ivfServingParams(spark, dir, cells,
             m = dim / 8, ks = 64, k = 10, recallTarget = 0.9)
           val calSec = (System.nanoTime() - t0) / 1e9
+          // recall measured over 50 probe queries (500 truth rows —
+          // 1/500 granularity; the 5-query default's 1/50 was too
+          // coarse to distinguish 0.88 from 0.92), DISJOINT from the
+          // calibration window (ids [1024, 1088))
           def serve() = graft.operators.Ann.ivfPqTopK(spark, dir,
             cells = cells, nprobe = sp.nprobe, m = dim / 8, ks = 64,
-            rr = sp.rr)
+            rr = sp.rr, nQueries = 50)
           val (_, srvSec) = best2(() => serve())
-          val bf = graft.operators.Ann.bruteForceTopK(spark, dir)
+          val bf = graft.operators.Ann.bruteForceTopK(spark, dir,
+              nQueries = 50)
             .select("query_id", "neighbor_id")
           val hits = serve().select("query_id", "neighbor_id")
             .join(bf, Seq("query_id", "neighbor_id"), "left_semi").count()
@@ -134,8 +139,10 @@ object EmbScale {
       "projection LSH + exact-dot verification (the high-dim scale " +
       "path; false positives impossible, recall measured vs the exact " +
       "IVF set where n permits exact verification). serving = trained " +
-      "IVF-PQ top-k probe (warm, train-once-serve-many) with recall " +
-      "vs exact brute force at every SF. Best-of-2, " +
+      "IVF-PQ top-k probe (warm, train-once-derive-once-serve-many; " +
+      "nprobe/rerank from Ann.ivfServingParams' recall>=0.9 contract) " +
+      "with recall@10 vs exact brute force over 50 probe queries " +
+      "(disjoint from the calibration window) at every SF. Best-of-2, " +
       "local[" + cpus + "].\"," +
       results.mkString(",") + "}"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(args(0)), doc + "\n")
