@@ -95,8 +95,19 @@ object Dedup {
     val hot = raw.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap)
       .select("sh")
-    def built = raw.join(broadcast(hot), Seq("sh"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the stop-shingle set is Zipf-small in practice but UNBOUNDED in
+    // principle (<= occurrences/dfCap entries — linear in corpus size
+    // adversarially), so its exclusion broadcast is size-gated like
+    // pageRank's ranks: past the threshold the anti join shuffles on
+    // the shingle key the index join shuffles on anyway. The count is
+    // a one-time index-build job (the index is memoized per corpus).
+    def built = {
+      val s = sh.sparkSession
+      val hotSide =
+        if (SizeGate.fits(s, hot.count(), 64L)) broadcast(hot) else hot
+      raw.join(hotSide, Seq("sh"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val ex = memoKey.fold(built)(k => graft.DfCache.memo(built, s"shingle-idx:$k:$dfCap"))
     val a = ex.select(col("sh"), col("doc_id").as("id_a"), col("n_sh").as("na"))
     val b = ex.select(col("sh"), col("doc_id").as("id_b"), col("n_sh").as("nb"))
@@ -282,8 +293,17 @@ object Dedup {
     val hot = bands.groupBy("band", "bv").agg(count(lit(1)).as("df"))
       .filter(col("df") > bucketCap)
       .select("band", "bv")
-    def built = bands.join(broadcast(hot), Seq("band", "bv"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // hot-bucket exclusion gated like jaccardPairs' stop-shingle set:
+    // <= bands*n/bucketCap entries adversarially, so past the
+    // broadcast threshold the anti join shuffles on the (band, bv)
+    // key the self-join shuffles on anyway (one-time, index memoized)
+    def built = {
+      val s = sigs.sparkSession
+      val hotSide =
+        if (SizeGate.fits(s, hot.count(), 64L)) broadcast(hot) else hot
+      bands.join(hotSide, Seq("band", "bv"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val idx = memoKey.fold(built)(k =>
       graft.DfCache.memo(built, s"simhash-idx:$k:$bucketCap"))
     idx.as("x").join(idx.as("y"),

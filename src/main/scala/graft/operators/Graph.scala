@@ -23,12 +23,6 @@ object Graph {
     */
   private val RanksRowBytes = 32L
 
-  private def parseBytes(s: String): Long = {
-    val t = s.trim
-    if (t.startsWith("-")) -1L
-    else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(t)
-  }
-
   /** Whether an n-node ranks frame fits under Spark's broadcast
     * threshold. PageRank's superstep join is broadcast-hinted ONLY
     * when this holds: at billion-node graphs the ranks side exceeds
@@ -37,11 +31,8 @@ object Graph {
     * shuffle-hash join that moves the node-count ranks side, never
     * the persisted (already src-partitioned) edge index.
     */
-  private[graft] def ranksBroadcastable(s: SparkSession, n: Long): Boolean = {
-    val thr = parseBytes(
-      s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
-    thr > 0 && n * RanksRowBytes <= thr
-  }
+  private[graft] def ranksBroadcastable(s: SparkSession, n: Long): Boolean =
+    SizeGate.fits(s, n, RanksRowBytes)
 
   /** The superstep contribution join under the size gate — the one
     * plan decision that changes between a test-scale and a
@@ -192,23 +183,33 @@ object Graph {
   def shortestPaths(edges: DataFrame, sources: DataFrame, maxDepth: Int)
       : DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val s = edges.sparkSession
     val e = edges.persist(lvl)
     var visited = sources.select(col("node"), lit(0).as("dist"))
       .localCheckpoint(eager = true)
     var frontier = visited
+    // the frontier can grow to node count — size-gate its broadcast
+    // per step (same gate as pageRank's ranks side): below the
+    // threshold the expansion join broadcasts and the edge list never
+    // moves; past it, shuffle-hash moves the frontier rows only (the
+    // persisted edge list satisfies its side from cache). The count
+    // doubles as the emptiness check (frontier is checkpointed, so
+    // it's a metadata-cheap job).
+    var frontierN = frontier.count()
     try {
       var d = 0
-      while (d < maxDepth && !frontier.isEmpty) {
+      while (d < maxDepth && frontierN > 0) {
         d += 1
-        // frontier is node-count rows at worst — broadcast it so the
-        // expansion never shuffles the edge list
-        val next = broadcast(frontier).join(e, frontier("node") === e("src"))
+        val fr = if (ranksBroadcastable(s, frontierN)) broadcast(frontier)
+          else frontier.hint("shuffle_hash")
+        val next = fr.join(e, frontier("node") === e("src"))
           .select(col("dst").as("node")).distinct()
           .join(visited, Seq("node"), "left_anti")
           .withColumn("dist", lit(d))
           .localCheckpoint(eager = true)
         visited = visited.unionByName(next).localCheckpoint(eager = true)
         frontier = next
+        frontierN = next.count()
       }
       visited
     } finally e.unpersist(blocking = false): Unit
