@@ -308,6 +308,50 @@ class IcebergLiteSpec extends SparkSpec {
       "overwrite did not clear the equality deletes")
   }
 
+  test("foreign metadata chain: reordered/extra avro fields, no hint, schema-id fallback") {
+    import graft.SparkSpec.spark.implicits._
+    val root = freshRoot("iceberg_foreign_spec")
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // two directly-written parquet files (not via IcebergLite)
+    def put(name: String, rows: Seq[(Long, String)]): Long = {
+      val stage = new org.apache.hadoop.fs.Path(root, s".st_$name")
+      rows.toDF("o_orderkey", "o_orderstatus").coalesce(1)
+        .write.parquet(stage.toString)
+      val part = f.listStatus(stage).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      val len = f.getFileStatus(part).getLen
+      f.mkdirs(new org.apache.hadoop.fs.Path(root, "data"))
+      f.rename(part, new org.apache.hadoop.fs.Path(root, s"data/$name"))
+      f.delete(stage, true)
+      len
+    }
+    val la = put("a.parquet", Seq((1L, "O"), (2L, "F")))
+    val lb = put("b.parquet", Seq((3L, "P")))
+    IcebergForeign.writeChain(spark, root, la, lb)
+    // no version-hint.text was written: the reader must PROBE to v1
+    assert(!f.exists(new org.apache.hadoop.fs.Path(
+      root, "metadata/version-hint.text")))
+    assert(IcebergLite.currentMetaVersion(spark, root) === 1)
+    // snapshot 101 (no schema-id recorded -> current-schema fallback;
+    // manifest list lacks content/sequence_number -> defaults)
+    val s1 = IcebergLite.readSnapshot(spark, root, 101L)
+    assert(s1.columns.toSeq == Seq("o_orderkey", "o_orderstatus"))
+    assert(s1.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // snapshot 202 re-references A's foreign manifest + adds B
+    assert(IcebergLite.readSnapshot(spark, root, 202L)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // and IcebergLite can COMMIT ON TOP of the foreign chain: an
+    // append becomes v2 with the foreign snapshots intact
+    IcebergLite.commitAppend(Seq((4L, "O")).toDF("o_orderkey", "o_orderstatus"), root)
+    assert(IcebergLite.currentMetaVersion(spark, root) === 2)
+    assert(IcebergLite.readLatest(spark, root)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+    assert(IcebergLite.readSnapshot(spark, root, 101L)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L),
+      "our commit disturbed the foreign snapshot")
+  }
+
   test("position deletes built on a stale snapshot abort when an overwrite intervened") {
     // the delete's (file_path, pos) rows reference the READ snapshot's
     // data files; if an overwrite replaced those files before the
