@@ -81,6 +81,49 @@ object Interop {
         GROUP BY 2
         ORDER BY version, l_returnflag""")),
 
+    // ------------------------------------------------------------------
+    // Deletion-vector COMPACTION — the third leg of the MOR lifecycle
+    // (delete writes a vector, reads anti-join it, compaction folds it
+    // back into clean files): after compactDeletionVectors the current
+    // snapshot carries no dv descriptors and only vector-carrying
+    // files were rewritten. Output pins the full arc — version 1 the
+    // pre-delete snapshot, version 2 the POST-COMPACTION table (which
+    // must equal the MOR view it replaced) — plus an in-query guard
+    // that descriptors are gone; the oracle recomputes both from raw
+    // rows, so a fold that loses or resurrects rows hash-mismatches.
+    "src_delta_dv_compact" -> Q(
+      (s, dir) => {
+        val root = tmp(dir, "delta_dv_compact")
+        rm(s, root)
+        val li = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+            "l_extendedprice")
+        DeltaLog.commitAppend(li.repartition(4), root)
+        DeltaLog.commitDeleteWhere(s, root,
+          col("l_returnflag") === "R" && col("l_quantity") >= 45.0)
+        val vC = DeltaLog.compactDeletionVectors(s, root)
+        require(DeltaLog.snapshotAsOf(s, root, vC).adds.forall(_.dv.isEmpty),
+          "compaction left deletion-vector descriptors")
+        def agg(df: DataFrame, v: Int) =
+          df.groupBy("l_returnflag")
+            .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+            .withColumn("version", lit(v))
+        agg(DeltaLog.readVersion(s, root, 0), 1)
+          .unionByName(agg(DeltaLog.readLatest(s, root), 2))
+          .select("version", "l_returnflag", "n", "total")
+          .orderBy("version", "l_returnflag")
+      },
+      Some(s"""
+        SELECT 1 AS version, l_returnflag, count(*) AS n,
+               ${S.dsum("l_extendedprice")} AS total
+        FROM lineitem GROUP BY 2
+        UNION ALL
+        SELECT 2, l_returnflag, count(*), ${S.dsum("l_extendedprice")}
+        FROM lineitem
+        WHERE NOT (l_returnflag = 'R' AND l_quantity >= 45.0)
+        GROUP BY 2
+        ORDER BY version, l_returnflag""")),
+
     "src_delta_log" -> Q(
       (s, dir) => {
         val root = tmp(dir, "deltalog")

@@ -1283,6 +1283,43 @@ object DeltaLog {
     -1L // unreachable
   }
 
+  /** Fold deletion vectors back into data — the compaction that pays
+    * off merge-on-read's accumulated read amplification: rewrite
+    * EXACTLY the files carrying a deletionVector descriptor with
+    * their vectors applied (copy-on-write, scoped like sink_compact),
+    * committed as remove(old)+add(clean) via [[commitRewrite]]'s
+    * read-set-validated path. Untouched files are not rewritten; time
+    * travel to pre-compact versions still MOR-applies their vectors;
+    * after the commit the current snapshot carries no dv descriptors
+    * (until the next delete). Returns the committed version (the read
+    * version when no file carries a vector).
+    *
+    * Scale shape: cost ∝ rows in VECTOR-CARRYING files only — the
+    * operational knob is running it when per-file cardinality makes
+    * the read-side anti-join dearer than one rewrite of the file.
+    */
+  def compactDeletionVectors(spark: SparkSession, root: String): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, element_at, split}
+    val readV = currentVersion(spark, root)
+    require(readV >= 0, s"cannot compact $root — no commits")
+    val snap = snapshotAsOf(spark, root, readV)
+    val affected = snap.adds.filter(_.dv.isDefined)
+    if (affected.isEmpty) return readV
+    val raw = spark.read.schema(snap.schema).option("basePath", root)
+      .parquet(affected.map(a => s"$root/${a.path}"): _*)
+      .withColumn("__fn",
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val dvPaths = affected.flatMap(_.dv).map(_._1).distinct
+    val dels = spark.read.parquet(dvPaths.map(p => s"$root/$p"): _*)
+      .select(col("file_name").as("__fn"), col("pos").as("__pos"))
+    val dataCols = snap.schema.fieldNames.toSeq
+    val clean = raw.join(broadcast(dels), Seq("__fn", "__pos"), "left_anti")
+      .select(dataCols.map(col): _*)
+    commitRewrite(clean, root, readV, affected.map(_.path),
+      partitionBy = snap.partitionColumns)
+  }
+
   /** Compact the state as of the CURRENT version into
     * `_delta_log/<v>.checkpoint.parquet` + `_last_checkpoint`.
     * Readers then replay only commits newer than v. Returns v.

@@ -37,7 +37,12 @@ class OracleFuzzSpec extends SparkSpec {
     // with exact integer ties (the index tie-rule must match
     // bit-for-bit) and stresses stream_cdc_upsert's (ts, event_id)
     // version order
-    "ch_lttb", "stream_cdc_upsert")
+    "ch_lttb", "stream_cdc_upsert",
+    // round 12: the quarter-cent tie flood is the t-digest rank
+    // certificate's adversarial shape — massive duplicate runs make
+    // rank intervals fat and any off-by-one in the sketch's
+    // cumulative-weight walk flips a certificate boolean
+    "ch_quantile_tdigest")
 
   private lazy val duckdbOk =
     scala.util.Try(Seq("python3", "-c", "import duckdb, pandas").! == 0)

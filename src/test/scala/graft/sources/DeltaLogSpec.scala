@@ -604,6 +604,46 @@ class DeltaLogSpec extends SparkSpec {
     assert(v1 === 1L)
   }
 
+  test("DV compaction folds vectors into clean files, scoped to vector-carrying files") {
+    import org.apache.spark.sql.functions._
+    val root = freshRoot("delta_dv_compact")
+    val o = spark.range(0, 3000).toDF("k")
+    // three files with disjoint ranges; deletes will touch two
+    for (i <- 0 until 3)
+      DeltaLog.commitAppend(
+        o.filter(col("k") >= i * 1000 && col("k") < (i + 1) * 1000)
+          .repartition(1), root)
+    val preFiles = DeltaLog.snapshotAsOf(spark, root,
+      DeltaLog.currentVersion(spark, root)).files.toSet
+    val vDel = DeltaLog.commitDeleteWhere(spark, root,
+      col("k") < 300 || (col("k") >= 1000 && col("k") < 1200))
+    val expect = (0L until 3000L)
+      .filterNot(k => k < 300 || (k >= 1000 && k < 1200)).toSet
+    assert(DeltaLog.readLatest(spark, root)
+      .collect().map(_.getLong(0)).toSet == expect)
+
+    val vC = DeltaLog.compactDeletionVectors(spark, root)
+    val snap = DeltaLog.snapshotAsOf(spark, root, vC)
+    // vectors are gone from the current snapshot, rows unchanged
+    assert(snap.adds.forall(_.dv.isEmpty),
+      "compaction left dv descriptors in the current snapshot")
+    assert(DeltaLog.readLatest(spark, root)
+      .collect().map(_.getLong(0)).toSet == expect,
+      "compaction changed the visible rows")
+    // SCOPED copy-on-write: the untouched third file survives by name
+    val postFiles = snap.files.toSet
+    val kept = preFiles.intersect(postFiles)
+    assert(kept.size === 1,
+      s"expected exactly the vector-free file kept, got $kept")
+    // time travel: the pre-compact MOR version still applies vectors,
+    // and the pre-delete version still reads everything
+    assert(DeltaLog.readVersion(spark, root, vDel)
+      .collect().map(_.getLong(0)).toSet == expect)
+    assert(DeltaLog.readVersion(spark, root, vDel - 1).count() === 3000L)
+    // compacting a vector-free table is a no-op version-wise
+    assert(DeltaLog.compactDeletionVectors(spark, root) === vC)
+  }
+
   test("high-file-count metadata: measured driver cost, distributed prune holds survivors only") {
     // The loadCheckpoint scaladoc states a ~200-400 B/file driver
     // ceiling ESTIMATE; this measures it on a synthetic 100k-file
