@@ -57,6 +57,51 @@ object Streaming {
         FROM r WHERE rn = 1 ORDER BY user_id""")),
 
     // ------------------------------------------------------------------
+    // Windowed t-digest quantiles: the streaming-sketch family's
+    // quantile member (beside stream_kmv_uniq and stream_topk) — per
+    // (hour window, event_type), bounded-error p50/p90 over the value
+    // stream from O(compression) mergeable state, the shape a
+    // continuously-maintained latency/percentile dashboard keeps.
+    // Estimates are merge-order-dependent, so the oracle is the rank
+    // CERTIFICATE (ch_quantile_tdigest's device) re-ranked per window;
+    // the eps adds +2 absolute slack because tiny windows are in the
+    // sketch's exact regime where the midpoint rule can still sit one
+    // rank off a fat tie interval. StreamingSpec runs the identical
+    // aggregate over readStream + watermark and re-checks the bound.
+    "stream_tdigest" -> Q(
+      (s, dir) => {
+        val qs = Seq(0.5, 0.9)
+        val ev = Tables.events(s, dir)
+          .withColumn("ws_us", unix_micros(window(col("ts"), "1 hour")("start")))
+        val est = ev.groupBy("ws_us", "event_type")
+          .agg(graft.functions.TDigestSketch(200, qs, col("value")).as("est"))
+        def ok(i: Int, q: Double) = {
+          val e = col("est").getItem(i)
+          val n = count(lit(1))
+          val eps = lit(0.02) * n + lit(2.0)
+          ((count_if(col("value") < e) <= lit(q) * n + eps) &&
+            (count_if(col("value") <= e) >= lit(q) * n - eps))
+            .as(s"q${(q * 100).toInt}_rank_ok")
+        }
+        ev.join(broadcast(est), Seq("ws_us", "event_type"))
+          .groupBy("ws_us", "event_type")
+          .agg(count(lit(1)).as("n_rows"), ok(0, 0.5), ok(1, 0.9))
+          .orderBy("ws_us", "event_type")
+      },
+      Some("""
+        SELECT epoch_us(date_trunc('hour', ts)) AS ws_us, event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               TRUE AS q50_rank_ok, TRUE AS q90_rank_ok
+        FROM events GROUP BY 1, 2 ORDER BY ws_us, event_type"""),
+      benchFn = Some((s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(graft.functions.TDigestSketch(200, Seq(0.5, 0.9),
+            col("value")).as("est"))
+          .select(unix_micros(col("window.start")).as("ws_us"),
+            col("event_type"), posexplode(col("est")).as(Seq("qi", "estimate"))))),
+
+    // ------------------------------------------------------------------
     // Dedup-by-id: the input is doubled (union all) and deduplicated
     // on event_id — the streaming twin uses dropDuplicates within a
     // watermark.

@@ -226,6 +226,49 @@ class StreamingSpec extends SparkSpec {
       .exists(_.getName.startsWith("stage-")), "aborted stage left behind")
   }
 
+  test("streaming windowed t-digest quantiles hold the rank bound") {
+    // the sketch's streaming execution: same windowed aggregate over
+    // readStream + watermark. Estimates are merge-order-dependent
+    // (micro-batch partials merge in arrival order), so equality with
+    // the batch twin is NOT the contract — the rank bound is: every
+    // streamed estimate must rank within eps of its target against
+    // the exact per-window values.
+    val qs = Seq(0.5, 0.9)
+    val streamed = runToCompletion(
+      streamedEvents
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(graft.functions.TDigestSketch(200, qs, col("value")).as("est"),
+          count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("ws_us"),
+          col("event_type"), col("est"), col("n")),
+      "stream_tdigest_t", "complete")
+    val exact = Tables.events(spark, sf)
+      .withColumn("ws_us", unix_micros(window(col("ts"), "1 hour")("start")))
+      .select("ws_us", "event_type", "value").collect()
+      .groupBy(r => (r.getLong(0), r.getString(1)))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(2)).sorted }
+    val rows = streamed.collect()
+    assert(rows.nonEmpty)
+    var checked = 0
+    for (r <- rows) {
+      val key = (r.getLong(0), r.getString(1))
+      val vals = exact(key)
+      assert(r.getLong(3) === vals.length.toLong,
+        s"$key: streamed window count diverges")
+      for ((q, i) <- qs.zipWithIndex) {
+        val e = r.getSeq[Double](2)(i)
+        val lo = vals.count(_ < e); val hi = vals.count(_ <= e)
+        val t = q * vals.length
+        val eps = 0.02 * vals.length + 2.0
+        assert(t >= lo - eps && t <= hi + eps,
+          s"$key q=$q: est $e ranks [$lo,$hi] vs target $t")
+        checked += 1
+      }
+    }
+    assert(checked >= 2 * rows.length)
+  }
+
   test("streaming space-saving top-k equals the batch twin") {
     val streamed = runToCompletion(
       streamedEvents
