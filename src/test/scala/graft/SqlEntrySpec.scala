@@ -27,7 +27,10 @@ class SqlEntrySpec extends SparkSpec {
     "q01_pricing_summary", "q03_shipping_priority", "q05_revenue_by_nation",
     "q06_forecast_revenue", "q10_returned_items", "q14_promo_revenue",
     "q_semi_join", "q_anti_join", "q_having", "q_order_limit",
-    "q_union_dedup", "ch_limit_by", "ch_argmax", "graph_degrees")
+    "q_union_dedup", "ch_limit_by", "ch_argmax", "graph_degrees",
+    "q04_order_priority", "q12_late_lines", "q13_custdist",
+    "q_window_topn", "q_intersect", "q_except", "ch_retention",
+    "stream_window_agg", "stream_dedup")
 
   test("flagship oracle SQL runs through spark.sql and equals the DataFrame twin") {
     val results = flagship.map { name =>
