@@ -1462,9 +1462,12 @@ object Ann {
   case class ServingParams(nprobe: Int, rr: Int, coverageNprobe: Int,
       validatedRecall: Double)
 
+  // key carries the FULL sizing (m, ks, nValidate) the disk-cache key
+  // below carries — two same-session calls differing only in PQ sizing
+  // must not reuse each other's (nprobe, rerank)
   private val servingParamsCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Double),
-      ServingParams]()
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Int, Int, Int, Int, Double, Int), ServingParams]()
 
   /** Derive (nprobe, rerank) for a trained IVF-PQ index from a RECALL
     * CONTRACT — the IVF analogue of [[srpParams]]. SRP's collision law
@@ -1498,7 +1501,8 @@ object Ann {
   def ivfServingParams(s: SparkSession, dir: String, cells: Int,
       m: Int, ks: Int, k: Int = 10, recallTarget: Double = 0.9,
       nValidate: Int = 128): ServingParams =
-    servingParamsCache.computeIfAbsent((dir, cells, k, recallTarget), _ => {
+    servingParamsCache.computeIfAbsent(
+      (dir, cells, m, ks, k, recallTarget, nValidate), _ => {
       // DISK-memoized like the trained index itself (fitCellsCached):
       // calibration is "derive once, serve many" ACROSS driver
       // processes too — a fresh JVM serving the same corpus must not
@@ -1507,7 +1511,7 @@ object Ann {
       // (nprobe, rr, coverageNprobe0, validatedRecall).
       val pct = (recallTarget * 100).toInt
       val (_, arr) = diskCachedDoubles(
-        s"${corpusFingerprint(dir)}-$TrainVersion-serve$cells-m$m-ks$ks-k$k-r$pct",
+        s"${corpusFingerprint(dir)}-$TrainVersion-serve$cells-m$m-ks$ks-k$k-r$pct-nv$nValidate",
         _ == Seq(4),
         {
           val sp = deriveServingParams(s, dir, cells, m, ks, k,
@@ -1553,9 +1557,17 @@ object Ann {
           nearestCellsExpr(col("qnv"), cents, nCells), col("ncell")))
         .select("crank").collect().map(_.getLong(0)).sorted
       val coverTarget = math.min(0.98, recallTarget + 0.05)
-      val idx = math.min(ranks.length - 1,
-        math.max(0, math.ceil(coverTarget * ranks.length).toInt - 1))
-      val nprobe0 = math.max(4, math.min(nCells, ranks(idx).toInt))
+      // tiny corpus (n <= off): the validation window is empty, so
+      // there is no curve to invert — probe every cell (trivially
+      // meets any recall target at that size) instead of indexing
+      // into an empty ranks array
+      val nprobe0 =
+        if (ranks.isEmpty) nCells
+        else {
+          val idx = math.min(ranks.length - 1,
+            math.max(0, math.ceil(coverTarget * ranks.length).toInt - 1))
+          math.max(4, math.min(nCells, ranks(idx).toInt))
+        }
       val truthPairs = truth.withColumnRenamed("vec_id", "neighbor_id")
       def measured(np: Int, rr: Int): Double = {
         val got = ivfPqAdc(s, dir, emb, cents, books, k, np, rr,

@@ -142,14 +142,24 @@ object Dedup {
   /** [[componentLabels]] plus the CONVERGENCE ROUND COUNT — the
     * quantity the O(diameter) claim rests on. DedupSpec measures it on
     * planted clique vs long-chain graphs and on the real corpus pair
-    * graph (CC_ROUNDS_r12.json): dup groups are near-cliques (2-3
+    * graph (CC_ROUNDS_r13.json): dup groups are near-cliques (2-3
     * rounds incl. the confirming pass), so plain propagation is the
-    * right default; a chain pays diameter rounds, which is where the
-    * large-star/small-star O(log n) shapes would take over if real
-    * pair graphs ever grew chains.
+    * default; past `jumpAfter` un-converged rounds the loop ESCAPES to
+    * pointer-jumping (each round also shortcuts label(v) :=
+    * label(label(v)) — the doubling device of the large-star/small-star
+    * family, Kiveris et al. "Connected Components in MapReduce and
+    * Beyond"), so an adversarial chain-shaped pair graph converges in
+    * O(diameter-threshold + log diameter) rounds instead of O(diameter)
+    * full join+agg supersteps. The jump preserves the invariant that
+    * label(v) is always a node REACHABLE from v with label(v) <= v
+    * (neighbor-min: reachable by one hop; label-of-label: reachable by
+    * transitivity), so both regimes converge to the same fixpoint —
+    * cluster_id = min reachable doc_id — and results are byte-identical
+    * to pure propagation (DedupSpec pins clique, chain, and the real
+    * corpus).
     */
   private[graft] def componentLabelsCounted(pairs: DataFrame,
-      docs: DataFrame): (DataFrame, Int) = {
+      docs: DataFrame, jumpAfter: Int = 4): (DataFrame, Int) = {
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -163,12 +173,23 @@ object Dedup {
           edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nmin"))
         .withColumnRenamed("src", "doc_id")
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+      val stepped = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
             .as("next_id"),
           col("cluster_id"))
-        .localCheckpoint(true)
+      val next = (if (rounds <= jumpAfter) stepped
+        else {
+          // pointer jump: next_id := label(next_id). One extra shuffle
+          // per round buys doubling — the chain regime's O(log n).
+          val lbl = labels.select(col("doc_id").as("jid"),
+            col("cluster_id").as("jmin"))
+          stepped.join(lbl, stepped("next_id") === lbl("jid"), "left")
+            .select(stepped("doc_id"),
+              least(col("next_id"), coalesce(col("jmin"), col("next_id")))
+                .as("next_id"),
+              stepped("cluster_id"))
+        }).localCheckpoint(true)
       changed = next.filter(col("next_id") =!= col("cluster_id")).count()
       labels = next.select(col("doc_id"), col("next_id").as("cluster_id"))
     }

@@ -688,16 +688,31 @@ object IcebergLite {
       // sequence S) drops matching-key rows of data files whose
       // sequence < S. File->sequence is bounded manifest metadata
       // (one row per live file), joined broadcast onto the scan key.
+      // Same-key-schema delete files are CONSOLIDATED into one
+      // anti-join (per-key MAX sequence) — without this the plan
+      // grows one join per retraction commit until an overwrite
+      // resets the table. Semantics-preserving because
+      // "∃ delete with matching key at seq > row's seq" ⇔
+      // "max delete seq over the key > row's seq".
       import spark.implicits._
       val fileSeq = broadcast(
         snapshotFileSeqsOf(spark, root, meta, snapshotId)
           .toDF("__fp", "__seq"))
       keyed = keyed.join(fileSeq, Seq("__fp"), "left")
-      for ((path, seq) <- eqDels) {
-        val keys = spark.read.parquet(s"$root/$path")
-        val cond = keys.columns.map(c => keyed(c) <=> keys(c))
-          .reduce(_ && _) && keyed("__seq") < lit(seq)
-        keyed = keyed.join(broadcast(keys), cond, "left_anti")
+      val bySchema = eqDels.groupBy { case (p, _) =>
+        spark.read.parquet(s"$root/$p").schema.fields
+          .map(f => (f.name, f.dataType)).toSeq
+      }
+      for ((_, files) <- bySchema.toSeq.sortBy(_._2.head._1)) {
+        val union = files.map { case (p, seq) =>
+          spark.read.parquet(s"$root/$p").withColumn("__dseq", lit(seq))
+        }.reduce(_ unionByName _)
+        val keyCols = union.columns.filterNot(_ == "__dseq")
+        val dels = union.groupBy(keyCols.map(col): _*)
+          .agg(org.apache.spark.sql.functions.max(col("__dseq")).as("__dseq"))
+        val cond = keyCols.map(c => keyed(c) <=> dels(c)).reduce(_ && _) &&
+          keyed("__seq") < dels("__dseq")
+        keyed = keyed.join(broadcast(dels), cond, "left_anti")
       }
       keyed = keyed.drop("__seq")
     }

@@ -100,7 +100,8 @@ object EmbScale {
           // recall measured over 50 probe queries (500 truth rows —
           // 1/500 granularity; the 5-query default's 1/50 was too
           // coarse to distinguish 0.88 from 0.92), DISJOINT from the
-          // calibration window (ids [1024, 1088))
+          // calibration window (ids [1024, 1024 + nValidate), i.e.
+          // [1024, 1152) at the default nValidate = 128)
           def serve() = graft.operators.Ann.ivfPqTopK(spark, dir,
             cells = cells, nprobe = sp.nprobe, m = dim / 8, ks = 64,
             rr = sp.rr, nQueries = 50)
