@@ -42,6 +42,53 @@ import org.apache.spark.sql.functions.udaf
   */
 object TDigestSketch {
 
+  /** Greedy k1 compress (the paper's tail-sharpening scale function
+    * k(q) = (δ/2π)·asin(2q−1)): sort (mean, weight) pairs, flush the
+    * running cluster before an add would push its k-span past 1. The
+    * cluster covering quantile q then has rank width ≤ W/k'(q) =
+    * (2π/δ)·√(q(1−q))·W in a single pass — Θ(√(q(1−q))) of k0's
+    * uniform W/δ cap, so p99/p999 clusters are ~10x (resp. ~30x at
+    * δ=200) narrower at the SAME state size, which is the whole point
+    * of quantileTDigest over a uniform sketch for tail dashboards.
+    *
+    * ERROR BOUND (the k1 analogue of the k0 bound above): merges
+    * re-compress previously-capped clusters, which at most doubles a
+    * span (one carried input cluster, itself obeying the prior cap),
+    * and the midpoint rule reads within ~1.5 clusters — so the
+    * certificate asserts empirical rank error ≤ 8π·√(q(1−q))·n/δ
+    * (2x merge factor x ~1.3 midpoint slack over 2π√(q(1−q))n/δ),
+    * floored at a few rows for integer-rank granularity. TDigestSpec/
+    * IncrementalSpec assert it at p50/p99/p999 including after
+    * shard merges; the ch_quantile_tdigest_k1 registry entry carries
+    * it as the DuckDB-checked certificate.
+    */
+  private[graft] def compressK1(pairs: Array[Double], compression: Int): Array[Double] = {
+    val n = pairs.length / 2
+    if (n <= 1) return pairs
+    val idx = Array.range(0, n).sortBy(i => (pairs(2 * i), pairs(2 * i + 1)))
+    var total = 0.0
+    var i = 0
+    while (i < n) { total += pairs(2 * i + 1); i += 1 }
+    def k(q: Double): Double = compression / (2 * math.Pi) *
+      math.asin(2 * math.min(1.0, math.max(0.0, q)) - 1)
+    val out = Array.newBuilder[Double]
+    var emitted = 0.0 // weight already flushed
+    var cw = 0.0 // cluster weight
+    var cs = 0.0 // cluster sum(mean * weight)
+    var kStart = k(0.0)
+    for (j <- idx) {
+      val m = pairs(2 * j); val w = pairs(2 * j + 1)
+      if (cw > 0 && k((emitted + cw + w) / total) - kStart > 1.0) {
+        out += cs / cw; out += cw
+        emitted += cw; cw = 0.0; cs = 0.0
+        kStart = k(emitted / total)
+      }
+      cw += w; cs += m * w
+    }
+    if (cw > 0) { out += cs / cw; out += cw }
+    out.result()
+  }
+
   /** Greedy k0 compress: sort (mean, weight) pairs, merge cumulative
     * runs capped at totalWeight/compression. Returns a new flat
     * array.
@@ -118,8 +165,11 @@ object TDigestSketch {
     buf
   }
 
-  final class Agg(compression: Int, qs: Seq[Double])
+  final class Agg(compression: Int, qs: Seq[Double], k1: Boolean = false)
       extends Aggregator[java.lang.Double, Array[Byte], Seq[Double]] {
+
+    private def compact(pairs: Array[Double]): Array[Double] =
+      if (k1) compressK1(pairs, compression) else compress(pairs, compression)
 
     def zero: Array[Byte] = Array.emptyByteArray
 
@@ -136,7 +186,7 @@ object TDigestSketch {
       } else if (capPairs >= 4 * compression) {
         // full: fold the buffer down to <= compression clusters, keep
         // the same capacity (state size is bounded by compression)
-        val folded = compress(pairsOf(buf), compression)
+        val folded = compact(pairsOf(buf))
         val next = packed(folded, capPairs)
         reduce(next, in)
       } else {
@@ -151,11 +201,11 @@ object TDigestSketch {
       if (a.isEmpty) return b
       if (b.isEmpty) return a
       val both = pairsOf(a) ++ pairsOf(b)
-      packed(compress(both, compression), compression)
+      packed(compact(both), compression)
     }
 
     def finish(buf: Array[Byte]): Seq[Double] = {
-      val p = compress(pairsOf(buf), compression)
+      val p = compact(pairsOf(buf))
       qs.map(q => quantile(p.toIndexedSeq, q))
     }
 
@@ -164,8 +214,11 @@ object TDigestSketch {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
 
-  /** `tdigestQuantiles(compression, qs)(value)` as a Column aggregate. */
-  def apply(compression: Int, qs: Seq[Double], value: Column): Column =
-    udaf(new Agg(compression, qs),
+  /** `tdigestQuantiles(compression, qs)(value)` as a Column aggregate.
+    * `k1 = true` selects the tail-sharpened scale function.
+    */
+  def apply(compression: Int, qs: Seq[Double], value: Column,
+      k1: Boolean = false): Column =
+    udaf(new Agg(compression, qs, k1),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[java.lang.Double]())(value)
 }

@@ -530,6 +530,58 @@ object Advanced {
       })),
 
     // ------------------------------------------------------------------
+    // quantileTDigest with the k1 (tail-sharpening) scale function —
+    // CH's actual quantileTDigest scale. Same mergeable O(compression)
+    // state and plan shape as the k0 entry above; the difference is the
+    // GUARANTEE: cluster rank width tracks (2π/δ)√(q(1−q)) instead of
+    // the uniform 1/δ, so p99/p999 clusters are ~10x/~30x narrower at
+    // δ=200 — the p999-dashboard contract a uniform sketch cannot give.
+    // The oracle is the same rank-certificate device at the TAIL
+    // quantiles the k1 scale exists for: per-quantile tolerance
+    // max(8π√(q(1−q))·n/δ, 4 rows) — the documented bound
+    // (functions/TDigestSketch.compressK1), 2x merge factor included.
+    "ch_quantile_tdigest_k1" -> Q(
+      (s, dir) => {
+        val qs = Seq(0.5, 0.99, 0.999)
+        val li = Tables.lineitem(s, dir)
+          .withColumn("x", (col("l_extendedprice") * (lit(1.0) + col("l_tax"))
+            * (lit(1.0) - col("l_discount"))).cast("double"))
+        val est = li.groupBy("l_returnflag")
+          .agg(graft.functions.TDigestSketch(200, qs, col("x"), k1 = true)
+            .as("est"))
+        def ok(i: Int, q: Double, label: String) = {
+          val e = col("est").getItem(i)
+          val n = count(lit(1))
+          val tolRows = greatest(
+            lit(8 * math.Pi * math.sqrt(q * (1 - q)) / 200.0) * n, lit(4.0))
+          ((count_if(col("x") < e) <= lit(q) * n + tolRows) &&
+            (count_if(col("x") <= e) >= lit(q) * n - tolRows)).as(label)
+        }
+        li.join(broadcast(est), "l_returnflag")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            ok(0, 0.5, "q50_rank_ok"), ok(1, 0.99, "q99_rank_ok"),
+            ok(2, 0.999, "q999_rank_ok"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+               TRUE AS q50_rank_ok, TRUE AS q99_rank_ok,
+               TRUE AS q999_rank_ok
+        FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""),
+      benchFn = Some((s, dir) => {
+        val qs = Seq(0.5, 0.99, 0.999)
+        Tables.lineitem(s, dir)
+          .withColumn("x", (col("l_extendedprice") * (lit(1.0) + col("l_tax"))
+            * (lit(1.0) - col("l_discount"))).cast("double"))
+          .groupBy("l_returnflag")
+          .agg(graft.functions.TDigestSketch(200, qs, col("x"), k1 = true)
+            .as("est"))
+          .select(col("l_returnflag"),
+            posexplode(col("est")).as(Seq("qi", "estimate")))
+      })),
+
+    // ------------------------------------------------------------------
     // sequenceNextNode: what does each user do right after their
     // FIRST signup, and how long after? One lead() window over the
     // full stream (computed before the signup filter, so the

@@ -81,6 +81,50 @@ class IncrementalSpec extends SparkSpec {
     assert(p < 1e6, "point mass vanished from the sketch")
   }
 
+  test("t-digest k1 scale: tail-sharpened rank bound holds at p50/p99/p999, incl. after shard merges") {
+    import graft.functions.TDigestSketch
+    val comp = 200
+    // same skewed stream as the k0 law above
+    val n = 50000
+    val xs = (0 until n).map { i =>
+      val h = ((i * 2654435761L) ^ (i >>> 3)) & 0xffffffL
+      val u = h.toDouble / 0x1000000L.toDouble
+      if (i % 10 == 0) 42.0 else u * u * 1e6
+    }
+    val exact = xs.sorted.toArray
+    def rankErr(v: Double, q: Double): Double = {
+      val lo = exact.count(_ < v); val hi = exact.count(_ <= v)
+      val t = q * n
+      if (t < lo) lo - t else if (t > hi) t - hi else 0.0
+    }
+    val agg = new TDigestSketch.Agg(comp, Nil, k1 = true)
+    def digestOf(vals: Seq[Double]): Array[Byte] =
+      vals.foldLeft(agg.zero)((b, v) => agg.reduce(b, v))
+    val whole = digestOf(xs)
+    val merged = xs.grouped(math.ceil(n / 8.0).toInt).toSeq
+      .map(digestOf).reduce(agg.merge)
+    assert(TDigestSketch.pairsOf(whole).length / 2 <= 4 * comp)
+    assert(TDigestSketch.pairsOf(merged).length / 2 <= 4 * comp)
+    // the documented k1 bound: 8π·√(q(1−q))·n/δ rank error (2x merge
+    // factor + midpoint slack over the single-pass (2π/δ)√(q(1−q))
+    // cluster width), floored at 4 rows of integer-rank granularity
+    def bound(q: Double): Double =
+      math.max(8 * math.Pi * math.sqrt(q * (1 - q)) / comp * n, 4.0)
+    for (q <- Seq(0.5, 0.9, 0.99, 0.999);
+         (name, d) <- Seq("whole" -> whole, "merged" -> merged)) {
+      val est = TDigestSketch.quantile(
+        TDigestSketch.pairsOf(d).toIndexedSeq, q)
+      val err = rankErr(est, q)
+      assert(err <= bound(q),
+        f"$name q=$q: rank error $err%.0f > k1 bound ${bound(q)}%.0f (est=$est%.3f)")
+    }
+    // the reason k1 exists: its p99/p999 guarantee is strictly sharper
+    // than the k0 bound at the same state size
+    val k0Bound = 3.0 * n / comp
+    assert(bound(0.99) < k0Bound && bound(0.999) < k0Bound / 3,
+      "k1 tail bound is not sharper than k0's — scale function wrong")
+  }
+
   test("kmv merge is order/partitioning-invariant and ignores nulls") {
     val df = ((1L to 500L).map(java.lang.Long.valueOf) :+ null)
       .toDF("x").withColumn("h",
