@@ -334,6 +334,49 @@ object Interop {
         ORDER BY version, o_orderstatus""")),
 
     // ------------------------------------------------------------------
+    // Iceberg DISTRIBUTED manifest scan + data skipping: commits write
+    // per-file bounds into the manifest entries (stats_json — footer
+    // stats in the same JSON shape Delta's add.stats uses, so both
+    // formats prune through ONE shared predicate, DeltaLog.fileAdmits),
+    // and planning runs as one Spark job over the manifest avros — the
+    // driver receives only SURVIVORS, never the O(files) entry list
+    // the serial replay materializes (the r12 verdict's last
+    // driver-serial loop). Four disjoint o_orderkey slices committed
+    // separately; the fn REQUIRES >=3/4 of files pruned, the oracle
+    // proves the pruned read is still exact.
+    "src_iceberg_prune" -> Q(
+      (s, dir) => {
+        val root = tmp(dir, "iceberg_prune")
+        rm(s, root)
+        val o = Tables.orders(s, dir).select("o_orderkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate")
+        val n = o.count()
+        for (k <- 0 until 4)
+          IcebergLite.commitAppend(
+            o.filter(col("o_orderkey") >= lit(k * n / 4) &&
+              col("o_orderkey") < lit((k + 1) * n / 4))
+              .repartition(4),
+            root)
+        val snapId = IcebergLite.currentSnapshotId(s, root)
+        val ranges = Seq(DeltaLog.ColRange("o_orderkey", Some(100), Some(300)))
+        val all = IcebergLite.snapshotFilesDistributed(s, root, snapId)
+        val kept = IcebergLite.snapshotFilesDistributed(s, root, snapId, ranges)
+        require(kept.size * 4 <= all.size,
+          s"manifest data skipping must prune >=3/4 of the files " +
+            s"(kept ${kept.size} of ${all.size})")
+        IcebergLite.readSnapshotPruned(s, root, snapId, ranges)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""
+        SELECT o_orderstatus, count(*) AS n,
+               ${S.dsum("o_totalprice")} AS total
+        FROM orders
+        WHERE o_orderkey BETWEEN 100 AND 300
+        GROUP BY 1 ORDER BY o_orderstatus""")),
+
+    // ------------------------------------------------------------------
     // Iceberg v2 EQUALITY deletes: rows retracted BY KEY (a parquet of
     // key rows under a content=2 manifest — no table scan at commit,
     // the CDC-retraction shape) with the spec's SEQUENCE rule: a

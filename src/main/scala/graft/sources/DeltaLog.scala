@@ -763,7 +763,7 @@ object DeltaLog {
     * stats (e.g. INT96 timestamps) are simply omitted — skipping then
     * cannot prune on them, which is correct.
     */
-  private def fileStats(conf: org.apache.hadoop.conf.Configuration,
+  private[sources] def fileStats(conf: org.apache.hadoop.conf.Configuration,
       file: Path, schema: StructType): String = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -925,7 +925,7 @@ object DeltaLog {
     * is an optimization, never a correctness gate), so per-file
     * failures never abort the commit.
     */
-  private def collectStats(spark: SparkSession, root: String,
+  private[sources] def collectStats(spark: SparkSession, root: String,
       rels: Seq[String], schema: StructType): Map[String, Option[String]] = {
     def one(conf: org.apache.hadoop.conf.Configuration,
         rel: String): Option[String] =

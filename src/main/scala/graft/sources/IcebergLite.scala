@@ -57,6 +57,15 @@ object IcebergLite {
       |{"name":"content","type":"int","default":0},
       |{"name":"sequence_number","type":"long","default":0}]}""".stripMargin)
 
+  // stats_json is the LITE encoding of the spec's per-file bounds
+  // (data_file.lower_bounds/upper_bounds/value_counts maps, field-id
+  // keyed binary): the same data-skipping JSON DeltaLog.fileStats
+  // writes ({numRecords, minValues, maxValues, nullCount}), so BOTH
+  // formats prune through one shared predicate (DeltaLog.fileAdmits)
+  // and the two prune layers can never diverge. Nullable with a null
+  // default: pre-r13 manifests (and foreign ones) read as stats-less
+  // entries, which the prune layer must ADMIT (skipping is an
+  // optimization, never a correctness filter).
   private val manifestSchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int"},
@@ -64,7 +73,8 @@ object IcebergLite {
       |{"name":"file_path","type":"string"},
       |{"name":"file_format","type":"string"},
       |{"name":"record_count","type":"long"},
-      |{"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+      |{"name":"file_size_in_bytes","type":"long"},
+      |{"name":"stats_json","type":["null","string"],"default":null}]}}]}""".stripMargin)
 
   // ---- Iceberg <-> Spark schema JSON --------------------------------
 
@@ -225,14 +235,19 @@ object IcebergLite {
       }
   }
 
-  private def manifestRecord(status: Int, relPath: String, size: Long): GenericRecord = {
+  private def manifestRecord(status: Int, relPath: String, size: Long,
+      stats: Option[String] = None): GenericRecord = {
     val e = new GenericData.Record(manifestSchema)
     e.put("status", status)
     val d = new GenericData.Record(manifestSchema.getField("data_file").schema())
     d.put("file_path", relPath)
     d.put("file_format", "PARQUET")
-    d.put("record_count", -1L) // stats optional in this subset
+    d.put("record_count",
+      stats.flatMap(s => scala.util.Try(
+        mapper.readTree(s).get("numRecords").asLong()).toOption)
+        .getOrElse(-1L))
     d.put("file_size_in_bytes", size)
+    stats.foreach(s => d.put("stats_json", s))
     e.put("data_file", d)
     e
   }
@@ -269,6 +284,13 @@ object IcebergLite {
     val dataFiles = f.listStatus(new Path(root, dataDir)).toSeq
       .filter(_.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
+    // per-file skipping stats from parquet FOOTERS (shared with the
+    // Delta writer: driver below 16 files, one Spark job past it, so
+    // commit wall-clock stays O(new files / cores)); a failed read
+    // degrades that file to a stats-less entry, never aborts
+    val statsByRel: Map[String, Option[String]] = DeltaLog.collectStats(
+      spark, root, dataFiles.map(st => s"$dataDir/${st.getPath.getName}"),
+      df.schema)
 
     // the metadata version this transaction's snapshot was read at
     // (explicit from the caller, else the version current at entry) —
@@ -307,8 +329,10 @@ object IcebergLite {
       val manifestName = s"manifest-$snapId-$tag.avro"
       val manifestLen = writeAvro(f, new Path(metaDir(root), manifestName),
         manifestSchema,
-        dataFiles.map(st => manifestRecord(1,
-          s"$dataDir/${st.getPath.getName}", st.getLen)))
+        dataFiles.map { st =>
+          val rel = s"$dataDir/${st.getPath.getName}"
+          manifestRecord(1, rel, st.getLen, statsByRel.getOrElse(rel, None))
+        })
 
       val parentMeta =
         if (parentV < 0) None else Some(readMeta(spark, root, parentV))
@@ -665,6 +689,17 @@ object IcebergLite {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val base = spark.read.schema(schema).parquet(files: _*)
+    applyMor(spark, root, meta, snapshotId, base)
+  }
+
+  /** Apply a snapshot's merge-on-read delete vectors (position +
+    * equality) to `base` — shared by [[readSnapshot]] (full file set)
+    * and [[readSnapshotPruned]] (survivors of the distributed prune;
+    * a pruned-away file's vector has nothing to delete from the scan).
+    */
+  private def applyMor(spark: SparkSession, root: String,
+      meta: com.fasterxml.jackson.databind.JsonNode,
+      snapshotId: Long, base: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
     val delFiles = snapshotDeleteFilesOf(spark, root, meta, snapshotId)
     val eqDels = snapshotEqDeletesOf(spark, root, meta, snapshotId)
@@ -717,6 +752,124 @@ object IcebergLite {
       keyed = keyed.drop("__seq")
     }
     keyed.drop("__fp")
+  }
+
+  // ---- distributed manifest scan (plan at file-count scale) ----------
+
+  /** A snapshot's live (path, size) file set computed by ONE SPARK JOB
+    * over its data manifests — the distributed twin of
+    * [[snapshotFiles]] and the Iceberg analogue of
+    * DeltaLog.prunedSnapshotViaCheckpoint. Driver-side work is the
+    * manifest LIST alone (one avro record per manifest — bounded);
+    * each task avro-decodes its manifests where they live, drops
+    * tombstones (status=2), and applies the data-skipping predicate,
+    * so the driver only ever receives SURVIVORS — never the O(files)
+    * entry list the serial replay materializes. `ranges` prune through
+    * DeltaLog.fileAdmits — the SAME predicate both Delta prune paths
+    * share, evaluated against the stats_json bounds the Iceberg
+    * writer captures from parquet footers; entries without stats are
+    * admitted (skipping is never a correctness filter).
+    *
+    * IcebergLiteSpec pins distributed == driver replay (set equality,
+    * ranges = Nil) and that a selective range hands the driver a
+    * strict subset; tools/IcebergMetadata measures the ceiling on a
+    * synthetic 100k-file chain (ICEBERG_METADATA_r13.json).
+    */
+  def snapshotFilesDistributed(spark: SparkSession, root: String,
+      snapshotId: Long,
+      ranges: Seq[DeltaLog.ColRange] = Nil): Seq[(String, Long)] = {
+    val meta = readMeta(spark, root, currentMetaVersion(spark, root))
+    val manifests = listManifests(spark, root, meta, snapshotId)
+      .filter(_.content == 0).map(_.path)
+    if (manifests.isEmpty) return Nil
+    val snap = meta.get("snapshots").elements().asScala.toSeq
+      .find(_.get("snapshot-id").asLong() == snapshotId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $snapshotId not in $root's snapshot log"))
+    val schemaId =
+      if (snap.has("schema-id")) snap.get("schema-id").asInt()
+      else meta.get("current-schema-id").asInt()
+    val types: Map[String, DataType] =
+      meta.get("schemas").elements().asScala.toSeq
+        .find(_.get("schema-id").asInt() == schemaId)
+        .map(parseSchema).getOrElse(StructType(Nil))
+        .fields.map(f => f.name -> f.dataType).toMap
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    // Hadoop Configuration is not serializable: ship entries, rebuild
+    // per task (the DeltaLog.collectStats device — keeps store
+    // credentials intact on real clusters)
+    val confEntries = {
+      val c = spark.sessionState.newHadoopConf()
+      val b = Seq.newBuilder[(String, String)]
+      val it = c.iterator()
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
+    spark.sparkContext
+      .parallelize(manifests,
+        math.min(manifests.size, spark.sparkContext.defaultParallelism))
+      .flatMap { mPath =>
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => c.set(k, v) }
+        val p = new Path(root, mPath)
+        readAvro(p.getFileSystem(c), p).iterator
+          .filter(_.get("status").asInstanceOf[Int] != 2)
+          .map { e =>
+            val d = e.get("data_file").asInstanceOf[GenericRecord]
+            (d.get("file_path").toString,
+              d.get("file_size_in_bytes").asInstanceOf[Long],
+              optField(d, "stats_json").map(_.toString))
+          }
+          .filter { case (fp, sz, st) =>
+            DeltaLog.fileAdmits(
+              DeltaLog.AddFile(fp, Map.empty, sz, 0L, st),
+              ranges, types, Nil, tz)
+          }
+          .map(t => (t._1, t._2))
+      }
+      .collect().toSeq
+  }
+
+  /** Read `snapshotId` with file-grain data skipping: the distributed
+    * manifest scan keeps only files whose stats ADMIT every range,
+    * merge-on-read vectors of the kept files apply as usual, and the
+    * ranges re-apply as a residual ROW filter (file-grain pruning is
+    * necessary, not sufficient) — so the result equals
+    * readSnapshot(...).filter(ranges) while opening a subset of its
+    * files and never materializing the full file list on the driver.
+    */
+  def readSnapshotPruned(spark: SparkSession, root: String,
+      snapshotId: Long, ranges: Seq[DeltaLog.ColRange]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val meta = readMeta(spark, root, currentMetaVersion(spark, root))
+    val snap = meta.get("snapshots").elements().asScala.toSeq
+      .find(_.get("snapshot-id").asLong() == snapshotId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $snapshotId not in $root's snapshot log"))
+    val schemaId =
+      if (snap.has("schema-id")) snap.get("schema-id").asInt()
+      else meta.get("current-schema-id").asInt()
+    val schema = parseSchema(
+      meta.get("schemas").elements().asScala.toSeq
+        .find(_.get("schema-id").asInt() == schemaId)
+        .getOrElse(throw new IllegalStateException(
+          s"schema-id $schemaId of snapshot $snapshotId missing")))
+    val kept = snapshotFilesDistributed(spark, root, snapshotId, ranges)
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    val base =
+      if (kept.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else applyMor(spark, root, meta, snapshotId,
+        spark.read.schema(schema).parquet(kept.map(f => s"$root/${f._1}"): _*))
+    ranges.filter(rg => types.contains(rg.column)).foldLeft(base) { (df, rg) =>
+      val dt = types(rg.column)
+      val lo = rg.lower.map(b => col(rg.column) >= lit(b.toString).cast(dt))
+      val hi = rg.upper.map(b => col(rg.column) <= lit(b.toString).cast(dt))
+      val nn = rg.isNull.map(want =>
+        if (want) col(rg.column).isNull else col(rg.column).isNotNull)
+      (lo.toSeq ++ hi.toSeq ++ nn.toSeq).foldLeft(df)(_.filter(_))
+    }
   }
 
   def currentSnapshotId(spark: SparkSession, root: String): Long =

@@ -382,4 +382,181 @@ class IcebergLiteSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == oKeys -- half,
       "fresh position delete after the overwrite did not apply")
   }
+
+  test("distributed manifest scan == driver replay; manifest stats prune files; pruned MOR read stays exact") {
+    val root = freshRoot("iceberg_dist")
+    val o = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val n = o.count()
+    // four disjoint key slices, 2 files each -> per-file key bounds
+    // are tight enough that a selective range must prune
+    for (k <- 0 until 4)
+      IcebergLite.commitAppend(
+        o.filter(col("o_orderkey") >= lit(k * n / 4) &&
+          col("o_orderkey") < lit((k + 1) * n / 4)).repartition(2),
+        root)
+    // a MOR position delete on top, so the pruned path must apply
+    // vectors too
+    IcebergLite.commitPositionDeletes(spark, root,
+      col("o_orderkey") % 7 === 0)
+    val snapId = IcebergLite.currentSnapshotId(spark, root)
+
+    // 1) distributed == driver replay (no ranges): same live file set
+    val driverFiles = IcebergLite.snapshotFiles(spark, root, snapId).toSet
+    val distFiles = IcebergLite.snapshotFilesDistributed(spark, root, snapId)
+    assert(distFiles.map(_._1).toSet == driverFiles,
+      "distributed manifest scan diverges from the driver replay")
+    // sizes come from the manifests, not a re-list
+    assert(distFiles.forall(_._2 > 0L))
+
+    // 2) a selective range hands the driver a strict subset
+    val ranges = Seq(DeltaLog.ColRange("o_orderkey",
+      Some(n / 4), Some(n / 4 + 50)))
+    val kept = IcebergLite.snapshotFilesDistributed(spark, root, snapId, ranges)
+    assert(kept.nonEmpty && kept.size * 2 <= distFiles.size,
+      s"stats pruning kept ${kept.size} of ${distFiles.size} files")
+
+    // 3) pruned read == full read + residual filter, cell-exact,
+    // including the MOR vector application on the kept files
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val pruned = IcebergLite.readSnapshotPruned(spark, root, snapId, ranges)
+    val full = IcebergLite.readSnapshot(spark, root, snapId)
+      .filter(col("o_orderkey") >= lit(n / 4) &&
+        col("o_orderkey") <= lit(n / 4 + 50))
+    assert(canon(pruned) == canon(full),
+      "pruned read diverges from full read + residual filter")
+    // the delete actually removed rows in the probed window
+    assert(pruned.filter(col("o_orderkey") % 7 === 0).count() == 0L)
+  }
+
+  test("high-file-count metadata: measured driver replay ceiling; distributed manifest scan hands the driver survivors only") {
+    // The Iceberg twin of DeltaLogSpec's 100k-add measurement (the r12
+    // verdict's last projected scale-killer: the manifest replay was
+    // driver-serial and UNMEASURED). A synthetic 100k-file chain — 100
+    // manifest avros x 1000 entries, one manifest list, one metadata
+    // json — written HERE with the spec's layout (hand-rolled avro, so
+    // the reader is proven against spec-shaped bytes, not our writer's
+    // private object). Measurement lands in ICEBERG_METADATA_r13.json.
+    val root = freshRoot("iceberg_manyfiles")
+    val n = 100000
+    val perManifest = 1000
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$root/metadata"))
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val entrySchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"},
+        |{"name":"stats_json","type":["null","string"],"default":null}]}}]}""".stripMargin)
+    val listSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"added_files_count","type":"int"},
+        |{"name":"content","type":"int","default":0},
+        |{"name":"sequence_number","type":"long","default":0}]}""".stripMargin)
+    def writeAvro(rel: String, schema: Schema, recs: Iterator[GenericRecord]): Long = {
+      val out = f.create(new org.apache.hadoop.fs.Path(root, rel), true)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, out)
+      try recs.foreach(w.append) finally w.close()
+      f.getFileStatus(new org.apache.hadoop.fs.Path(root, rel)).getLen
+    }
+    val manifestLens = (0 until n / perManifest).map { m =>
+      val name = s"metadata/manifest-syn-$m.avro"
+      name -> writeAvro(name, entrySchema,
+        (0 until perManifest).iterator.map { j =>
+          val i = m * perManifest + j
+          val e = new GenericData.Record(entrySchema)
+          e.put("status", 1)
+          val d = new GenericData.Record(
+            entrySchema.getField("data_file").schema())
+          d.put("file_path", s"data/s-syn/part-$i.parquet")
+          d.put("file_format", "PARQUET")
+          d.put("record_count", 1L)
+          d.put("file_size_in_bytes", 1024L)
+          d.put("stats_json",
+            s"""{"numRecords":1,"minValues":{"k":$i},"maxValues":{"k":$i},"nullCount":{"k":0}}""")
+          e.put("data_file", d)
+          e
+        })
+    }
+    writeAvro("metadata/snap-1-syn.avro", listSchema,
+      manifestLens.iterator.map { case (path, len) =>
+        val r = new GenericData.Record(listSchema)
+        r.put("manifest_path", path)
+        r.put("manifest_length", len)
+        r.put("added_files_count", perManifest)
+        r.put("content", 0)
+        r.put("sequence_number", 1L)
+        r
+      })
+    val metaJson =
+      s"""{"format-version":2,"table-uuid":"00000000-0000-0000-0000-000000000001",
+         |"location":"$root","current-schema-id":0,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |{"id":1,"name":"k","required":false,"type":"long"}]}],
+         |"current-snapshot-id":1,
+         |"snapshots":[{"snapshot-id":1,"sequence-number":1,"timestamp-ms":0,
+         |"manifest-list":"metadata/snap-1-syn.avro","schema-id":0,
+         |"operation":"append"}]}""".stripMargin
+    val out0 = f.create(new org.apache.hadoop.fs.Path(
+      s"$root/metadata/v0.metadata.json"), true)
+    try out0.write(metaJson.getBytes("UTF-8")) finally out0.close()
+    val outH = f.create(new org.apache.hadoop.fs.Path(
+      s"$root/metadata/version-hint.text"), true)
+    try outH.write("0".getBytes("UTF-8")) finally outH.close()
+
+    def usedHeap(): Long = {
+      System.gc(); Thread.sleep(200); System.gc()
+      Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory
+    }
+    // driver-serial manifest replay (the measured ceiling)
+    val h0 = usedHeap()
+    val t0 = System.nanoTime()
+    val files = IcebergLite.snapshotFiles(spark, root, 1L)
+    val replaySec = (System.nanoTime() - t0) / 1e9
+    assert(files.size === n)
+    val h1 = usedHeap()
+    val bytesPerFile = math.max(0L, h1 - h0).toDouble / n
+    // the distributed scan, unpruned: same file set, computed by one
+    // Spark job (wall-clock comparable; the driver still collects n
+    // rows here — the point of this row is plan-cost parity)
+    val t1 = System.nanoTime()
+    val distAll = IcebergLite.snapshotFilesDistributed(spark, root, 1L)
+    val distSec = (System.nanoTime() - t1) / 1e9
+    assert(distAll.size === n)
+    assert(distAll.map(_._1).toSet == files.toSet)
+    // the scale path: stats-pruned distributed scan — the driver
+    // receives 10 survivors of 100k, never the full entry list
+    val t2 = System.nanoTime()
+    val kept = IcebergLite.snapshotFilesDistributed(spark, root, 1L,
+      Seq(DeltaLog.ColRange("k", Some(10), Some(19))))
+    val pruneSec = (System.nanoTime() - t2) / 1e9
+    assert(kept.size === 10, s"expected 10 survivors, got ${kept.size}")
+    assert(bytesPerFile < 5000.0,
+      f"per-entry driver footprint implausible: $bytesPerFile%.0f B/file")
+    info(f"n=$n replay=$replaySec%.1fs distAll=$distSec%.1fs " +
+      f"prune=$pruneSec%.1fs ~$bytesPerFile%.0f B/file")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("ICEBERG_METADATA_r13.json"),
+      (f"""{"metric":"iceberg_metadata_ceiling","n_files":$n,""" +
+        f""""n_manifests":${n / perManifest},""" +
+        f""""driver_replay_sec":$replaySec%.2f,""" +
+        f""""distributed_scan_sec":$distSec%.2f,""" +
+        f""""distributed_prune_sec":$pruneSec%.2f,""" +
+        f""""prune_survivors":10,""" +
+        f""""measured_bytes_per_entry":$bytesPerFile%.0f,""" +
+        f""""note":"driver-serial replay materializes one entry per live file (the measured ceiling); snapshotFilesDistributed plans as one Spark job over the manifest avros and the driver receives survivors only - the Iceberg twin of Delta's checkpoint prune, sharing DeltaLog.fileAdmits"}%n""")
+        .getBytes("UTF-8"))
+  }
 }
