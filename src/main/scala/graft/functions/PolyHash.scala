@@ -146,6 +146,9 @@ object GraftFunctions {
         new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
         (children: Seq[Expression]) => BloomContains.build(children))
     }
+    // CH-spelled SQL aliases (argMax, uniq, countIf, quantileTDigest,
+    // ...) onto the same implementations — see functions/ChAliases
+    ChAliases.register(spark)
     // optimizer rule for sessions built without GraftExtensions (the
     // driver's): experimental.extraOptimizations applies post-hoc
     if (!spark.experimental.extraOptimizations.contains(
