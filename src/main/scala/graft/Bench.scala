@@ -25,7 +25,14 @@ object Bench {
     * these proportionally, so a bad measurement is self-evident from
     * the artifact alone.
     */
-  private def envFingerprint(cpus: Int): String = {
+  private[graft] final case class EnvFingerprint(
+      load1m: Double, spin1Ms: Double, spinAllMs: Double, heapGb: Double,
+      cpus: Int) {
+    def json: String =
+      f"""{"load1m":$load1m%.2f,"spin1_ms":$spin1Ms%.0f,"spin${cpus}x_ms":$spinAllMs%.0f,"heap_gb":$heapGb%.1f}"""
+  }
+
+  private[graft] def measureFingerprint(cpus: Int): EnvFingerprint = {
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val it = 400000000L
@@ -38,8 +45,26 @@ object Bench {
     threads.foreach(_.start()); threads.foreach(_.join())
     val spinAll = (System.nanoTime() - t2) / 1e6
     val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
-    f"""{"load1m":$load%.2f,"spin1_ms":$spin1%.0f,"spin${cpus}x_ms":$spinAll%.0f,"heap_gb":$heapGb%.1f}"""
+    EnvFingerprint(load, spin1, spinAll, heapGb, cpus)
   }
+
+  /** CONTENTION GATE (r12 verdict #3, made structural): the committed
+    * r12 bench started at load1m 3.28 and flagged two phantom >=2x
+    * per-query regressions that judge solo re-measures refuted — the
+    * fingerprint caught it, but only a human reading it. The gate
+    * mechanizes the read. Bounds measured on THIS host (quiet:
+    * load1m < 1 with nothing running, spin1 ~600-680 ms, spin32x
+    * ~900-1100 ms; the contaminated r12 run's only out-of-band signal
+    * was load1m): a start load1m >= 2 means at least two external
+    * cores were busy through the last minute, and a spin inflation
+    * >= 1.8x the quiet band means the probe itself was descheduled.
+    * Either marks the artifact `"contended": true`; with
+    * SPARK_GRAFT_REQUIRE_QUIET=1 the run REFUSES up front (exit 3)
+    * instead — the ladder/evidence scripts set it, so a committed
+    * bench artifact is fingerprint-clean by construction.
+    */
+  private[graft] def contended(fp: EnvFingerprint): Boolean =
+    fp.load1m >= 2.0 || fp.spin1Ms >= 1200.0 || fp.spinAllMs >= 2000.0
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -90,7 +115,18 @@ object Bench {
     val only = args.drop(1).toSet
     val qs = SparkEntry.benchQueries.toSeq.sortBy(_._1)
       .filter(kv => only.isEmpty || only(kv._1))
-    val envStart = envFingerprint(cpus.toInt)
+    val fpStart = measureFingerprint(cpus.toInt)
+    val isContended = contended(fpStart)
+    if (isContended && sys.env.get("SPARK_GRAFT_REQUIRE_QUIET").contains("1")) {
+      System.err.println(s"[bench] REFUSED: contended host at start " +
+        s"(${fpStart.json}) and SPARK_GRAFT_REQUIRE_QUIET=1 — rerun quiet")
+      spark.stop()
+      sys.exit(3)
+    }
+    if (isContended)
+      System.err.println(s"[bench] WARNING: contended host at start " +
+        s"(${fpStart.json}) — artifact will carry \"contended\":true")
+    val envStart = fpStart.json
     // Best-of-2 per query: the first run pays one-time plan costs
     // (whole-stage-codegen Janino compilation, file listing, JIT);
     // the second run measures steady-state throughput, which is what
@@ -119,9 +155,10 @@ object Bench {
         (if (firstHits > 0) s" memo_hits=$firstHits" else ""))
       (name, samples.minOption, firstHits)
     }
-    val envEnd = envFingerprint(cpus.toInt)
+    val envEnd = measureFingerprint(cpus.toInt).json
     val env = s"""{"start":$envStart,"end":$envEnd,"cpus":$cpus,""" +
-      s""""shuffle_partitions":$shufParts,"cold":$cold}"""
+      s""""shuffle_partitions":$shufParts,"cold":$cold,""" +
+      s""""contended":$isContended}"""
     def dict(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val ok = results.collect { case (k, Some(v), _) => k -> v }

@@ -38,6 +38,35 @@ class SurveyIntegritySpec extends AnyFunSuite {
         "fill them with measured values or delete the claim")
   }
 
+  test("headline artifact NUMBERS cited in §8 match the committed artifacts") {
+    // the r12 verdict's drift finding, mechanized: SURVEY §8j cited
+    // 351 B/AddFile while the committed DELTA_METADATA_r12.json said
+    // 345 — different runs, no lie, but drift compounds. For each
+    // headline scale artifact, at least one §8 paragraph citing the
+    // file must cite the artifact's OWN value; refreshing the artifact
+    // without amending the prose now fails the build.
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = surveyPath.toAbsolutePath.getParent
+    val survey = java.nio.file.Files.readString(surveyPath)
+    val sect = survey.substring(survey.indexOf("## §8"))
+    val paras = sect.split("\n\n").toSeq
+    def check(file: String, key: String, render: Double => String): Unit = {
+      val p = root.resolve(file)
+      assert(java.nio.file.Files.exists(p), s"$file missing from the tree")
+      val v = render(mapper.readTree(p.toFile).get(key).asDouble)
+      val citing = paras.filter(_.contains(file))
+      assert(citing.nonEmpty, s"SURVEY §8 never cites $file")
+      assert(citing.exists(_.contains(v)),
+        s"no §8 paragraph citing $file carries its $key = $v — " +
+          "the prose drifted from the committed artifact")
+    }
+    check("DELTA_METADATA_r12.json", "measured_bytes_per_addfile",
+      d => f"$d%.0f")
+    check("ICEBERG_METADATA_r13.json", "measured_bytes_per_entry",
+      d => f"$d%.0f")
+    check("TDIGEST_SCALE_r12.json", "decade_ratio", _.toString)
+  }
+
   test("every artifact file cited in SURVEY §8 exists in the tree") {
     val root = surveyPath.toAbsolutePath.getParent
     val survey = java.nio.file.Files.readString(surveyPath)

@@ -700,6 +700,51 @@ class StreamingSpec extends SparkSpec {
     val batch = SparkEntry.registry("stream_join").fn(spark, sf)
     assert(canon(streamed) == canon(batch))
   }
+
+  test("RocksDB state store: upsert state rows == live keys; windowed-agg state evicted by the watermark") {
+    // the 100-TB streaming question is STATE GROWTH per watermark
+    // advance. Under the RocksDB provider (the at-scale backend —
+    // state lives off-heap per executor, not in the JVM heap), the
+    // two stateful flagship shapes must hold their bounds:
+    //  - CDC upsert: one state row per LIVE KEY at completion, never
+    //    O(events) (n_versions folds in place);
+    //  - append-mode windowed agg: the watermark EVICTS closed
+    //    windows as event time advances, so final state rows sit
+    //    well under the total window count.
+    // tools/StreamState measures the same bounds per-batch across a
+    // GenData decade (STREAM_STATE_r13.json); this pins them in CI.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def lastStateRows(df: DataFrame, mode: String): Long = {
+        val q = df.writeStream.format("noop").outputMode(mode).start()
+        q.processAllAvailable()
+        val rows = q.recentProgress.toSeq
+          .filter(_.stateOperators.nonEmpty)
+          .map(_.stateOperators(0).numRowsTotal)
+        q.stop()
+        rows.lastOption.getOrElse(-1L)
+      }
+      val ev = Tables.events(spark, sf)
+      val liveKeys = ev.select("user_id").distinct().count()
+      val totalWindows = ev
+        .select(window(col("ts"), "1 hour"), col("event_type"))
+        .distinct().count()
+      val cdcRows = lastStateRows(
+        Upsert.stream(streamedEvents
+          .select("user_id", "event_id", "ts_us", "event_type", "value", "ts")
+          .as[Upsert.Ev]).toDF(), "update")
+      assert(cdcRows == liveKeys,
+        s"upsert state rows $cdcRows != live keys $liveKeys")
+      val aggRows = lastStateRows(
+        streamedEvents.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n")), "append")
+      assert(aggRows >= 0 && aggRows < totalWindows,
+        s"watermark evicted nothing: $aggRows of $totalWindows windows live")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
 
 /** A Kafka-shaped record: (kpart, koffset) stand in for the broker's
