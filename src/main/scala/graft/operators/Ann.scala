@@ -122,9 +122,21 @@ object Ann {
       typedLit(books), lit(books.head.head.length))
 
   /** Fit KMeans cells on the normalized vectors; returns centroids.
-    * At test SF this trains on the full table; at 100 TB train on
-    * `.sample(fraction)` — cell quality degrades gracefully and the
-    * centroid array stays tiny either way.
+    *
+    * TRAINING-SET BOUND: KMeans cell quality needs O(samples per
+    * centroid), not O(corpus) — the r13 sf100 ladder measured the
+    * unbounded version walling the bench (2M x dim-256, k=1414:
+    * k-means|| init + 10 Lloyd rounds over the FULL corpus ran >35
+    * minutes; the prior scaladoc said "at 100 TB train on .sample"
+    * without implementing it). Training now caps at 256·cells rows by
+    * DETERMINISTIC hash sampling on vec_id (every executor picks the
+    * same rows; no RNG state), so train cost is O(cells²·dim·iters)
+    * regardless of corpus size. Below the cap this is exactly the old
+    * full-table path, so small-SF behavior (and every oracle) is
+    * unchanged; above it, the serving-recall CONTRACT
+    * (ivfServingParams' measured verify loop) remains the quality
+    * gate — sampling shifts centroids, the contract re-derives
+    * (nprobe, rerank) against them.
     *
     * The training input is cached for the iteration loop — uncached,
     * every Lloyd step (and every k-means|| init pass) re-reads the
@@ -133,12 +145,23 @@ object Ann {
     * balance on this data (recall@10 0.92 -> 0.76).
     */
   def fitCells(emb: DataFrame, cells: Int): Seq[Seq[Double]] = {
+    val target = 256L * cells
+    val n = emb.count()
+    val train =
+      if (n <= target) emb
+      else {
+        val every = (n + target - 1) / target // ceil(n/target)
+        emb.filter(pmod(xxhash64(col("vec_id"), lit(7)), lit(every)) === 0)
+      }
     // coalesce: Lloyd iterations on a (sampled) training set are
     // all-reduce rounds — hundreds of tiny tasks per round is pure
     // scheduler overhead. 8 partitions keeps the reduce wide enough
-    // while cutting per-iteration task count 4x.
-    val feats = emb.select(array_to_vector(col("nv")).as("features"))
-      .coalesce(8)
+    // for small indexes while cutting per-iteration task count 4x;
+    // big-cell indexes (training rows ∝ cells) widen toward the core
+    // count so the per-iteration distance matrix stays parallel.
+    val parts = math.min(32, math.max(8, cells / 64))
+    val feats = train.select(array_to_vector(col("nv")).as("features"))
+      .coalesce(parts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10)
@@ -197,7 +220,7 @@ object Ann {
     * entries instead of silently serving state trained by older code.
     * Bump the literal whenever the training path changes.
     */
-  private val TrainVersion = "v2-s42i10"
+  private val TrainVersion = "v3-s42i10-t256"
 
   private val CacheMagic = 0x47414E31 // "GAN1"
 
