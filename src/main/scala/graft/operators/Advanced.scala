@@ -898,5 +898,161 @@ object Advanced {
                  AS n_tokens
         FROM documents WHERE lang = 'en' ORDER BY doc_id"""),
     ),
+
+    // ------------------------------------------------------------------
+    // mannWhitneyUTest(x, sample_index): the tie-corrected rank-sum
+    // test (CH's implementation buffers both samples per group and
+    // sorts in memory — O(rows) state; here the pooled tie-corrected
+    // ranks come from a distinct-VALUE count table plus one global
+    // prefix sum, O(distinct values) state, rows never buffered).
+    // Integer-exactness device: with t = per-value tie-group size and
+    // ct its inclusive prefix sum, 2x the average pooled rank of the
+    // group is exactly 2*(ct - t) + t + 1 (an odd long), so
+    // 2*R1 = sum(a * rank2) and 2*U1 = 2*R1 - 2*n1(n1+1)/2 are exact
+    // integers — no fractional half-ranks ever materialize. The
+    // normal-approximation z uses the tie-corrected variance
+    // n1*n2/12 * ((n+1) - sum(t^3-t)/(n(n-1))) with the identical
+    // IEEE tree in both engines; sums are 128-bit-exact in both
+    // (Spark DECIMAL(38,0), DuckDB HUGEINT — no rescale-divide), and
+    // an integer's round-to-nearest double cast is the same IEEE
+    // operation in both engines at any magnitude.
+    "ch_mann_whitney" -> Q(
+      (s, dir) => {
+        val counts = Tables.lineitem(s, dir)
+          .filter(col("l_returnflag").isin("A", "N"))
+          .groupBy(col("l_quantity").as("v"))
+          .agg(count_if(col("l_returnflag") === "A").as("a"),
+            count_if(col("l_returnflag") === "N").as("b"))
+          .withColumn("t", col("a") + col("b"))
+        val cum = graft.plans.PrefixSum.cumsumLong(
+          counts, Seq("v"), Seq("t"), Seq("ct"))
+        val m = cum.agg(
+          sum(col("a")).as("n1"), sum(col("b")).as("n2"),
+          sum(col("a").cast(DecimalType(38, 0)) *
+            (lit(2) * (col("ct") - col("t")) + col("t") + lit(1)))
+            .cast(DecimalType(38, 0)).as("r1_x2"),
+          sum(col("t").cast(DecimalType(38, 0)) * col("t") * col("t")
+            - col("t")).cast(DecimalType(38, 0)).as("ties"))
+        val n1d = col("n1").cast("double"); val n2d = col("n2").cast("double")
+        val nd = (col("n1") + col("n2")).cast("double")
+        val ud = col("u1_x2").cast("double")
+        val tiesd = col("ties").cast("double")
+        m.withColumn("u1_x2",
+            (col("r1_x2") - col("n1").cast(DecimalType(38, 0)) *
+              (col("n1") + lit(1))).cast("long"))
+          .select(col("n1"), col("n2"), col("u1_x2"),
+            ((ud - n1d * n2d) /
+              (lit(2.0) * sqrt(n1d * n2d / lit(12.0) *
+                ((nd + lit(1.0)) - tiesd / (nd * (nd - lit(1.0)))))))
+              .as("z"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT l_quantity AS v,
+                 count(*) FILTER (WHERE l_returnflag = 'A') AS a,
+                 count(*) FILTER (WHERE l_returnflag = 'N') AS b
+          FROM lineitem WHERE l_returnflag IN ('A', 'N') GROUP BY 1),
+        c AS (
+          SELECT v, a, b, a + b AS t,
+                 CAST(sum(a + b) OVER (ORDER BY v) AS BIGINT) AS ct
+          FROM f),
+        m AS (
+          SELECT CAST(sum(a) AS BIGINT) AS n1, CAST(sum(b) AS BIGINT) AS n2,
+                 sum(CAST(a AS HUGEINT) * (2 * (ct - t) + t + 1)) AS r1_x2,
+                 sum(CAST(t AS HUGEINT) * t * t - t) AS ties
+          FROM c),
+        u AS (
+          SELECT n1, n2, ties,
+                 CAST(r1_x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT)
+                   AS u1_x2
+          FROM m)
+        SELECT n1, n2, u1_x2,
+               (CAST(u1_x2 AS DOUBLE)
+                  - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+               / (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                   * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                      - CAST(ties AS DOUBLE)
+                        / (CAST(n1 + n2 AS DOUBLE)
+                           * (CAST(n1 + n2 AS DOUBLE) - 1.0))))) AS z
+        FROM u""")),
+
+    // ------------------------------------------------------------------
+    // rankCorr(x, y): Spearman rank correlation with average ranks for
+    // ties (= Pearson on tie-averaged ranks), per group. The rank of a
+    // row is a function of its VALUE only, so ranks live on the
+    // per-(group, value) count tables — two value-domain-bounded dims
+    // (50 quantities x 11 discounts here; bounded at any corpus size).
+    // Each dim gets 2x-average-rank via a per-group running count
+    // (2*ct - c + 1, exact odd longs), the fact joins both dims
+    // BROADCAST (zero fact shuffle), and one hash aggregate collects
+    // the five Pearson moments as exact DECIMAL(38,0) sums. rho is the
+    // identical IEEE tree over those sums in both engines. The window
+    // runs over the dim tables, never the fact.
+    "ch_rank_corr" -> Q(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_returnflag").as("g"), col("l_quantity").as("x"),
+            col("l_discount").as("y"))
+        def rankDim(vcol: String, rname: String) = {
+          val w = Window.partitionBy("g").orderBy(vcol)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          li.groupBy(col("g"), col(vcol))
+            .agg(count(lit(1)).as("c"))
+            .withColumn("ct", sum(col("c")).over(w))
+            .select(col("g"), col(vcol),
+              (lit(2) * col("ct") - col("c") + lit(1)).as(rname))
+        }
+        val d38 = DecimalType(38, 0)
+        val mom = li
+          .join(broadcast(rankDim("x", "rx")), Seq("g", "x"))
+          .join(broadcast(rankDim("y", "ry")), Seq("g", "y"))
+          .groupBy("g")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("rx").cast(d38)).as("sx"),
+            sum(col("ry").cast(d38)).as("sy"),
+            sum(col("rx").cast(d38) * col("ry")).as("sxy"),
+            sum(col("rx").cast(d38) * col("rx")).as("sxx"),
+            sum(col("ry").cast(d38) * col("ry")).as("syy"))
+        val nd = col("n_rows").cast("double")
+        def dd(c: String) = col(c).cast("double")
+        mom.select(col("g"), col("n_rows"),
+            ((nd * dd("sxy") - dd("sx") * dd("sy")) /
+              (sqrt(nd * dd("sxx") - dd("sx") * dd("sx")) *
+                sqrt(nd * dd("syy") - dd("sy") * dd("sy")))).as("rho"))
+          .orderBy("g")
+      },
+      Some("""
+        WITH li AS (
+          SELECT l_returnflag AS g, l_quantity AS x, l_discount AS y
+          FROM lineitem),
+        rx AS (
+          SELECT g, x,
+                 2 * CAST(sum(count(*)) OVER
+                       (PARTITION BY g ORDER BY x) AS BIGINT)
+                   - count(*) + 1 AS rx
+          FROM li GROUP BY g, x),
+        ry AS (
+          SELECT g, y,
+                 2 * CAST(sum(count(*)) OVER
+                       (PARTITION BY g ORDER BY y) AS BIGINT)
+                   - count(*) + 1 AS ry
+          FROM li GROUP BY g, y),
+        mom AS (
+          SELECT li.g, CAST(count(*) AS BIGINT) AS n_rows,
+                 sum(CAST(rx AS HUGEINT)) AS sx,
+                 sum(CAST(ry AS HUGEINT)) AS sy,
+                 sum(CAST(rx AS HUGEINT) * ry) AS sxy,
+                 sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+                 sum(CAST(ry AS HUGEINT) * ry) AS syy
+          FROM li JOIN rx USING (g, x) JOIN ry USING (g, y)
+          GROUP BY li.g)
+        SELECT g, n_rows,
+               (CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho
+        FROM mom ORDER BY g""")),
   )
 }

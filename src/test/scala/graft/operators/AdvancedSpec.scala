@@ -259,4 +259,71 @@ class AdvancedSpec extends SparkSpec {
       s"expected a dynamic partition pruning filter in:\n$plan")
     assert(df.count() > 0)
   }
+
+  test("Mann-Whitney U matches a plain-Scala tie-averaged-rank recompute") {
+    // independent oracle: collect the (flag, quantity) pairs (6k rows
+    // at sf0.001) and recompute U and z with naive sorted ranks
+    val rows = graft.Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag").isin("A", "N"))
+      .select(col("l_returnflag"), col("l_quantity"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val pooled = rows.sortBy(_._2)
+    // 2x average rank per tie group (odd integers — exact in Long)
+    val rank2 = scala.collection.mutable.Map[Double, Long]()
+    var i = 0
+    while (i < pooled.length) {
+      var j = i
+      while (j < pooled.length && pooled(j)._2 == pooled(i)._2) j += 1
+      rank2(pooled(i)._2) = (i + 1).toLong + j.toLong // 2*avg of [i+1, j]
+      i = j
+    }
+    val n1 = rows.count(_._1 == "A").toLong
+    val n2 = rows.count(_._1 == "N").toLong
+    val r1x2 = rows.filter(_._1 == "A").map(r => rank2(r._2)).sum
+    val u1x2 = r1x2 - n1 * (n1 + 1)
+    val ties = rank2.keys.toSeq.map { v =>
+      val t = rows.count(_._2 == v).toLong; t * t * t - t
+    }.sum
+    val (n1d, n2d, nd) = (n1.toDouble, n2.toDouble, (n1 + n2).toDouble)
+    val expZ = (u1x2.toDouble - n1d * n2d) /
+      (2.0 * math.sqrt(n1d * n2d / 12.0 *
+        ((nd + 1.0) - ties.toDouble / (nd * (nd - 1.0)))))
+    val out = Advanced.all("ch_mann_whitney").fn(spark, sf).collect().head
+    assert(out.getLong(0) === n1 && out.getLong(1) === n2)
+    assert(out.getLong(2) === u1x2)
+    assert(math.abs(out.getDouble(3) - expZ) < 1e-12)
+    // U1 + U2 = n1*n2 pins the rank-sum bookkeeping
+    assert(u1x2 >= 0 && u1x2 <= 2 * n1 * n2)
+  }
+
+  test("Spearman rank correlation matches naive Pearson-on-ranks; " +
+    "fact side joins the rank dims broadcast") {
+    val df = Advanced.all("ch_rank_corr").fn(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rank dims should join broadcast:\n$plan")
+    val got = df.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_discount"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    def avgRanks(vs: Seq[Double]): Map[Double, Double] = {
+      val sorted = vs.sorted
+      sorted.zipWithIndex.groupBy(_._1)
+        .map { case (v, g) => v -> (g.map(_._2 + 1.0).sum / g.size) }
+    }
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val rx = avgRanks(rs.map(_._2).toSeq); val ry = avgRanks(rs.map(_._3).toSeq)
+      val xs = rs.map(r => rx(r._2)); val ys = rs.map(r => ry(r._3))
+      val n = rs.length.toDouble
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum; val syy = ys.map(a => a * a).sum
+      val rho = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      val (gotN, gotRho) = got(g)
+      assert(gotN === rs.length.toLong)
+      assert(math.abs(gotRho - rho) < 1e-9, s"group $g: $gotRho vs $rho")
+    }
+  }
 }

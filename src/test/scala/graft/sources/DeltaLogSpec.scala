@@ -707,8 +707,22 @@ class DeltaLogSpec extends SparkSpec {
       f"AddFile driver footprint implausible: $bytesPerFile%.0f B/file")
     info(f"n=$n replay=$replaySec%.1fs cpReplay=$cpSec%.1fs " +
       f"prune=$pruneSec%.1fs ~$bytesPerFile%.0f B/file")
+    // Refresh the COMMITTED artifact only on an explicit evidence run
+    // (SPARK_GRAFT_REFRESH_EVIDENCE=1): an ordinary `sbt test` must
+    // not silently rewrite committed evidence — timings vary run to
+    // run, and SurveyIntegritySpec pins the §8 prose to the committed
+    // numbers, so a drive-by rewrite guarantees prose drift. The
+    // plain-run measurement still lands in target/evidence/.
+    val refresh = sys.env.get("SPARK_GRAFT_REFRESH_EVIDENCE").contains("1")
+    val dest =
+      if (refresh) java.nio.file.Paths.get("DELTA_METADATA_r12.json")
+      else {
+        val d = java.nio.file.Paths.get("target", "evidence")
+        java.nio.file.Files.createDirectories(d)
+        d.resolve("DELTA_METADATA_r12.json")
+      }
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("DELTA_METADATA_r12.json"),
+      dest,
       (f"""{"metric":"delta_metadata_ceiling","n_files":$n,""" +
         f""""json_replay_sec":$replaySec%.2f,""" +
         f""""checkpoint_replay_sec":$cpSec%.2f,""" +

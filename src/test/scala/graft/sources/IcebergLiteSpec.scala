@@ -547,8 +547,19 @@ class IcebergLiteSpec extends SparkSpec {
       f"per-entry driver footprint implausible: $bytesPerFile%.0f B/file")
     info(f"n=$n replay=$replaySec%.1fs distAll=$distSec%.1fs " +
       f"prune=$pruneSec%.1fs ~$bytesPerFile%.0f B/file")
+    // Committed-artifact refresh is explicit (the DeltaLogSpec
+    // rationale: plain `sbt test` must not rewrite committed evidence
+    // that SurveyIntegritySpec pins the prose against).
+    val refresh = sys.env.get("SPARK_GRAFT_REFRESH_EVIDENCE").contains("1")
+    val dest =
+      if (refresh) java.nio.file.Paths.get("ICEBERG_METADATA_r13.json")
+      else {
+        val d = java.nio.file.Paths.get("target", "evidence")
+        java.nio.file.Files.createDirectories(d)
+        d.resolve("ICEBERG_METADATA_r13.json")
+      }
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("ICEBERG_METADATA_r13.json"),
+      dest,
       (f"""{"metric":"iceberg_metadata_ceiling","n_files":$n,""" +
         f""""n_manifests":${n / perManifest},""" +
         f""""driver_replay_sec":$replaySec%.2f,""" +
