@@ -181,6 +181,29 @@ object PlanAudit {
           graft.Tables.orders(s, d)
             .filter(col("o_orderstatus") === "F").select("o_orderkey"))
         IcebergLite.readLatest(s, root)
+      }),
+    // ---- round-13 additions ----
+    ("ch_mann_whitney",
+      "The rank-sum test WITHOUT per-group row buffers (CH sorts both samples in memory): one scan reduces lineitem to the distinct-VALUE count table (partial/final hash aggregate), the pooled tie-averaged ranks come from the range-partitioned prefix-sum pass over values (state O(distinct values), the ks_test device), and the closing U/z arithmetic is a 1-row reduction. At 100 TB: rows never buffer, never re-shuffle; everything after the first aggregate is value-domain-sized.",
+      reg("ch_mann_whitney")),
+    ("ch_rank_corr",
+      "Spearman as Pearson-on-ranks with the ranks on the DIMS: the two per-(group, value) rank tables build from grouped counts with a window that runs over the value-domain-bounded dim (never the fact), both join back via BroadcastHashJoin — the fact table is scanned once and NEVER shuffles — and one partial/final hash aggregate collects the five exact moments. At 100 TB: fact-side cost is scan + two broadcast probes + map-side partials; shuffle volume is groups x moments.",
+      reg("ch_rank_corr")),
+    ("src_iceberg_prune (distributed manifest scan)",
+      "The stats-pruned snapshot read: snapshotFilesDistributed plans the manifest replay as ONE Spark job over the manifest avros (tasks decode + drop tombstones + apply DeltaLog.fileAdmits where the manifests live; the driver receives SURVIVORS only — never the O(files) entry list), so the plan here is a plain FileScan over the admitted subset with the residual range re-applied as a row Filter above it. At 100 TB: driver metadata is bounded by survivors, scan cost by admitted files, and planning never touches the full manifest set.",
+      (s, d) => {
+        import graft.sources.{DeltaLog, IcebergLite}
+        import org.apache.spark.sql.functions._
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_audit_icebprune"
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        IcebergLite.commitAppend(
+          graft.Tables.orders(s, d).select("o_orderkey", "o_orderstatus",
+            "o_totalprice").repartitionByRange(8, col("o_orderkey")),
+          root)
+        IcebergLite.readSnapshotPruned(s, root,
+          IcebergLite.currentSnapshotId(s, root),
+          Seq(DeltaLog.ColRange("o_orderkey", Some(1L), Some(100L))))
       }))
 
   def main(args: Array[String]): Unit = {
