@@ -116,7 +116,7 @@ object PlanAudit {
       "TPC-H Q20's nested-IN, decorrelated into two stacked aggregates over ONE filtered scan: per-(part, supplier) quantity and per-part total (an exact decimal sum over the same base — summing the per-supplier doubles would be order-dependent float addition); the >50%-share filter joins them on the part key, and the supplier table is reduced by a LeftSemi on the surviving supplier ids. At 100 TB: the red-part 1997 slice is scanned once; everything downstream is proportional to the supply-edge count, not lineitem.",
       reg("q20_dominant_supplier")),
     ("ann_knn_join (bench shape)",
-      "The self-kNN-graph plan (both sides are the corpus — nothing broadcasts): cell assignment and the nprobe probe-list explode are per-row codegen expression work; candidate generation is a cell-keyed ShuffledHashJoin (never sort-merge — the candidate stream must not be sorted while carrying vectors); the cosine is evaluated in the join's projection so every post-join row is (cell, query, id, cos) — no raw vector ever re-shuffles; the per-(cell, query) top-k Window adds NO new Exchange (the join's cell hash partitioning already clusters it — only a local sort appears), so the single query-keyed Exchange above it carries <= nprobe*k skinny rows per query. At 100 TB: candidate volume is n*nprobe*n/cells ~ n^1.5 at cells~sqrt(n), and the shuffles carry ids+scores, never payloads.",
+      "The self-kNN-graph plan (both sides are the corpus — nothing broadcasts): cell assignment and the nprobe probe-list explode are per-row codegen expression work; candidate generation is a cell-keyed ShuffledHashJoin (never sort-merge); the cosine is evaluated in the join's projection so every post-join row is (query, id, cos) — no raw vector ever re-shuffles; and the per-query top-k is a bounded-heap ObjectHashAggregate (graft TopK) whose PARTIAL stage sits in the join stage itself, so the n^1.5 candidate stream is consumed in place — NO Sort and NO Exchange of candidates appears anywhere (the r13 sf100 finding: the previous window formulation's per-partition sort of ~1.1e10 candidate rows spilled past single-host disk; selection needs no sorted input). The single query-keyed Exchange carries one <= k-entry heap per (query, probed cell). At 100 TB: candidate volume is n*nprobe*n/cells ~ n^1.5 at cells~sqrt(n) of pure expression work, and nothing candidate-sized ever touches disk or network.",
       (s, d) => SparkEntry.registry("ann_knn_join").benchFn
         .getOrElse(sys.error("ann_knn_join must register a bench shape"))
         .apply(s, d)),

@@ -1763,21 +1763,35 @@ object Ann {
     * candidate volume is n * nprobe * n/cells ~ n^1.5 vs brute
     * force's n^2).
     *
-    * Two lessons from this repo's own sf10 failures are baked in:
-    * the cosine is computed INSIDE the join projection, so no shuffle
-    * after the join carries a raw vector (the SRP/minhash
-    * candidate-x-payload lesson), and the join is hinted shuffle_hash
-    * so the candidate stream is never sort-merged. The per-query
-    * top-k reduces in two stages: a (cell, query) window runs with NO
-    * new exchange (the join's cell hash partitioning already clusters
-    * (cell, query_id) — Spark adds only a local sort) and cuts each
-    * query to k per probed cell, so the only query-keyed shuffle
-    * carries <= nprobe * k skinny rows per query. Exact w.r.t. the
-    * index: a query's global top-k within its probed cells is
-    * contained in the union of its per-cell top-k.
+    * Three lessons from this repo's own sf10/sf100 failures are baked
+    * in: the cosine is computed INSIDE the join projection, so no
+    * shuffle after the join carries a raw vector (the SRP/minhash
+    * candidate-x-payload lesson); the join is hinted shuffle_hash so
+    * the candidate stream is never sort-merged; and the per-query
+    * top-k is SELECTION, not sorting — a bounded-heap aggregate
+    * ([[graft.functions.TopK]], O(k) state per query) whose partials
+    * consume the candidate stream inside the join stage, so the
+    * n^1.5 candidates are never sorted OR shuffled (the r13 sf100
+    * finding: the previous window formulation added no exchange, but
+    * its per-partition SORT of ~1.1e10 candidate rows spilled ~300 GB
+    * at 2M dim-256 vectors and died on single-host disk — selection
+    * makes the candidate path stateless-on-disk at any scale). The
+    * only query-keyed shuffle carries one <= k-entry heap per
+    * (query, probed cell). Exact w.r.t. the index: identical output
+    * to the window formulation (the registry's DuckDB oracle replays
+    * the same math cell-exactly; AnnSpec pins TopK == row_number
+    * window on a synthetic tied stream), since both take the global
+    * top-k within probed cells.
     */
   def knnJoin(emb: DataFrame, cents: Seq[Seq[Double]], k: Int,
       nprobe: Int): DataFrame = {
+    // ObjectHashAggregate's sort-based fallback (default threshold:
+    // 128 groups) would re-introduce the candidate sort this operator
+    // exists to avoid; per-partition group state is ~queries/partition
+    // heaps of k ids — megabytes at any corpus size
+    emb.sparkSession.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      (1 << 21).toString)
     val corpus = emb
       .withColumn("cell", element_at(nearestCellsExpr(col("nv"), cents, 1), 1))
       .select(col("cell"), col("vec_id"), col("nv"))
@@ -1787,15 +1801,14 @@ object Ann {
     val cand = queries.hint("shuffle_hash")
       .join(corpus.hint("shuffle_hash"), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
-      .select(col("cell"), col("query_id"), col("vec_id"),
+      .select(col("query_id"), col("vec_id"),
         dot(col("qnv"), col("nv")).as("cos"))
-    val wCell = Window.partitionBy("cell", "query_id")
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    val wQuery = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    cand.withColumn("cr", row_number().over(wCell)).filter(col("cr") <= k)
-      .withColumn("rank", row_number().over(wQuery)).filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+    cand.groupBy("query_id")
+      .agg(graft.functions.TopK(k, col("cos"), col("vec_id")).as("nbrs"))
+      .select(col("query_id"),
+        posexplode(col("nbrs")).as(Seq("pos", "neighbor_id")))
+      .select(col("query_id"), (col("pos") + 1).cast("integer").as("rank"),
+        col("neighbor_id"))
       .orderBy("query_id", "rank")
   }
 

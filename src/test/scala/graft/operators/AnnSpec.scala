@@ -511,6 +511,42 @@ class AnnSpec extends SparkSpec {
       "clone cluster not transitively connected under the cap")
   }
 
+  test("TopK selection aggregate == row_number window on a tied stream") {
+    // the r13 sf100 fix: the kNN join's per-query top-k must be
+    // SELECTION (bounded heap, no sort) yet byte-identical to the
+    // window formulation it replaced — pin it on a synthetic stream
+    // with duplicate scores (ties break to the smaller id), negative
+    // scores (the IEEE sortable-bits flip path), and groups both
+    // below and above k
+    import graft.SparkSpec.spark.implicits._
+    val rows = for {
+      g <- 0 until 37; i <- 0 until (g % 11) + 1
+    } yield (g.toLong, math.sin(g * 31 + (i / 2) * 7), (i * 13 % 17).toLong)
+    val df = rows.toSeq.toDF("g", "score", "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    val viaWindow = df
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select("g", "rank", "id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaTopK = df.groupBy("g")
+      .agg(graft.functions.TopK(3, col("score"), col("id")).as("ids"))
+      .select(col("g"), posexplode(col("ids")).as(Seq("pos", "id")))
+      .select(col("g"), (col("pos") + 1).cast("integer").as("rank"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaTopK == viaWindow)
+    // merge law: a two-shard union equals the whole-stream heap
+    val agg = new graft.functions.TopK.Agg(3)
+    val ins = Seq((1.0, 5L), (1.0, 3L), (-2.0, 1L), (7.5, 9L), (7.5, 2L))
+      .map { case (s, i) => (s, java.lang.Long.valueOf(i)) }
+    val whole = ins.foldLeft(agg.zero)(agg.reduce)
+    val (l, r) = ins.splitAt(2)
+    val sharded = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+      r.foldLeft(agg.zero)(agg.reduce))
+    assert(agg.finish(whole) == agg.finish(sharded))
+    assert(agg.finish(whole) == Seq(2L, 9L, 3L)) // 7.5/id2, 7.5/id9, 1.0/id3
+  }
+
   test("self-kNN join (seeded): shape, determinism, recall vs exact kNN") {
     val got = collectTopk(SparkEntry.registry("ann_knn_join").fn(spark, sf))
     val n = graft.Tables.embeddings(spark, sf).count()
