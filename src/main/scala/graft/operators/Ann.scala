@@ -525,29 +525,99 @@ object Ann {
       planeMode: String = "splitmix", maxBucket: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val emb = nvCache(s, dir)
+    val dim = corpusDim(s, dir)
     val cand = embeddingSrpCandidates(s, dir, bands, rowsPerBand, seed,
       planeMode, maxBucket)
-    // vector fetch for the exact verify: shuffle-HASH joins, never
-    // sort-merge — the candidate set with a 2 KB vector attached must
-    // not be SORTED (the sf10 ladder measured the SMJ spilling the
-    // 36M-candidate x 2KB intermediate past 59 GB of disk; a hash
-    // join streams it). At small SF AQE broadcasts these sides anyway.
-    cand
-      .join(emb.select(col("vec_id").as("id_a"), col("nv").as("va"))
-        .hint("shuffle_hash"), Seq("id_a"))
-      .join(emb.select(col("vec_id").as("id_b"), col("nv").as("vb"))
-        .hint("shuffle_hash"), Seq("id_b"))
-      .filter(dot(col("va"), col("vb")) >= threshold)
-      .select("id_a", "id_b")
+    // Exact verification of every candidate pair needs TWO gathers on
+    // different keys (va by id_a, vb by id_b) — whichever runs second
+    // must move either the corpus or a vector-annotated candidate
+    // stream. The r13 sf100 rung measured the annotated stream at
+    // ~cands x 2 KB (~230 GB for 2M rows x ~56 cands/row, dim-256
+    // doubles) — linear in the corpus, absorbed by a cluster's
+    // distributed shuffle disk, but a hard ceiling for any single
+    // host. So the verify picks by measured corpus size:
+    //  - corpus fits the budget (conf spark.graft.srp.verifyBroadcastBytes,
+    //    default min(6 GB, maxHeap/6)): broadcast the packed
+    //    normalized vectors once and verify with a lookup dot — the
+    //    candidate stream is filtered IN PLACE, nothing candidate-
+    //    sized is ever re-shuffled or sorted. The lookup accumulates
+    //    in double over ascending components, bit-identical to the
+    //    codegen DotProduct the join path applies.
+    //  - past the budget: shuffle-HASH fetch joins (never sort-merge:
+    //    the annotated stream must not additionally SORT-spill), the
+    //    shape a 1000-executor cluster runs.
+    // AnnSpec pins both paths pair-identical on the same corpus.
+    val n = emb.count()
+    if (n * (dim * 8L + 32L) <= srpVerifyBudget(s)) {
+      import s.implicits._
+      val packed = emb.select(col("vec_id"), col("nv"))
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+      val ids = packed.map(_._1)
+      val flat = new Array[Double](packed.length * dim)
+      var i = 0
+      while (i < packed.length) {
+        System.arraycopy(packed(i)._2, 0, flat, i * dim, dim); i += 1
+      }
+      val bIds = s.sparkContext.broadcast(ids)
+      val bFlat = s.sparkContext.broadcast(flat)
+      val (thr, d) = (threshold, dim)
+      val passes = udf { (a: Long, b: Long) =>
+        val iv = bIds.value; val f = bFlat.value
+        val ia = java.util.Arrays.binarySearch(iv, a)
+        val ib = java.util.Arrays.binarySearch(iv, b)
+        // candidates only ever carry corpus ids: a miss means the
+        // broadcast is stale for this dir — fail loudly
+        require(ia >= 0 && ib >= 0, s"vec_id $a/$b not in corpus broadcast")
+        var acc = 0.0; var j = 0; val oa = ia * d; val ob = ib * d
+        while (j < d) { acc += f(oa + j) * f(ob + j); j += 1 }
+        acc >= thr
+      }
+      cand.filter(passes(col("id_a"), col("id_b"))).select("id_a", "id_b")
+    } else {
+      cand
+        .join(emb.select(col("vec_id").as("id_a"), col("nv").as("va"))
+          .hint("shuffle_hash"), Seq("id_a"))
+        .join(emb.select(col("vec_id").as("id_b"), col("nv").as("vb"))
+          .hint("shuffle_hash"), Seq("id_b"))
+        .filter(dot(col("va"), col("vb")) >= threshold)
+        .select("id_a", "id_b")
+    }
   }
+
+  /** Corpus-bytes ceiling for [[embeddingSrpPairs]]'s broadcast-lookup
+    * verify path. Default min(6 GB, maxHeap/6) — the packed doubles
+    * live once in the driver (collect) and once per executor
+    * (broadcast; the same heap in local mode). Overridable via
+    * `spark.graft.srp.verifyBroadcastBytes` (0 forces the shuffle
+    * path — AnnSpec uses it to pin the two paths equal).
+    */
+  private def srpVerifyBudget(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.srp.verifyBroadcastBytes").map(_.toLong)
+      .getOrElse(math.min(6L << 30, Runtime.getRuntime.maxMemory / 6))
 
   /** The CANDIDATE stage of [[embeddingSrpPairs]] — everything up to
     * (but not including) the exact-dot verification: banded signature
-    * projection, (band, signature) self-join, hot-bucket cap, and
+    * projection, (band, signature) bucketing, hot-bucket cap, and
     * cross-band dedup. Exposed separately so candidate VOLUME — the
     * quantity that went quadratic under fixed banding and broke the
     * r10 sf10 rung — is directly measurable (AnnSpec pins it ~linear
     * in n under the auto-derived banding).
+    *
+    * Bucketing is ONE aggregation over the n x bands signature rows:
+    * members collect per (band, s) key and pairs are emitted inside
+    * the sorted member array (all i<j pairs for buckets within
+    * `maxBucket`, the adjacent chain above it — the same pair set,
+    * chain cap included, as a row_number-capped bucket self-join).
+    * The r13 sf100 rung measured why the self-join formulation had
+    * to go: window bookkeeping (rn, cnt) SORTED the 236M-row
+    * signature set, and the (band, s) self-join planned as a
+    * sort-merge of two such sides — three full sorts of n x bands
+    * rows and the rung's first 59 GB of spill. The aggregate form
+    * shuffles the skinny signature rows exactly once, sorts nothing
+    * wider than a partial-aggregate run, and emits pairs from an
+    * in-memory array (a degenerate all-identical corpus makes ONE
+    * bucket of n ids ~ n x 8 bytes — bounded, and its emission is
+    * the linear chain, not n^2).
     */
   private[graft] def embeddingSrpCandidates(s: SparkSession, dir: String,
       bands: Int, rowsPerBand: Int, seed: Long = 42L,
@@ -566,17 +636,19 @@ object Ann {
         posexplode(call_function("graft_srp", col("nv"),
           typedLit(planes.map(_.toSeq).toSeq), lit(rowsPerBand)))
           .as(Seq("band", "s")))
-    // bucket bookkeeping for the cap: both windows share the (band, s)
-    // partitioning the self-join shuffles on anyway
-    val wb = Window.partitionBy("band", "s")
-    val bkt = sigs
-      .withColumn("rn", row_number().over(wb.orderBy("vec_id")))
-      .withColumn("cnt", count(lit(1)).over(wb))
-    bkt.as("x").join(bkt.as("y"),
-        col("x.band") === col("y.band") && col("x.s") === col("y.s") &&
-          col("x.vec_id") < col("y.vec_id") &&
-          (col("x.cnt") <= maxBucket || col("y.rn") === col("x.rn") + 1))
-      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+    sigs.groupBy("band", "s")
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(s"""
+        CASE WHEN size(ids) <= $maxBucket THEN
+          flatten(transform(ids, (x, i) ->
+            transform(slice(ids, i + 2, size(ids)),
+              y -> named_struct('id_a', x, 'id_b', y))))
+        ELSE
+          transform(slice(ids, 1, size(ids) - 1), (x, i) ->
+            named_struct('id_a', x, 'id_b', element_at(ids, i + 2)))
+        END""")).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("nbands"))
   }
 

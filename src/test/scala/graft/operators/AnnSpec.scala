@@ -262,6 +262,15 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.8, f"SRP clone recall too low: $recall%.2f")
     // determinism: planes are a pure function of (dim, bits, seed)
     assert(pairs(Ann.embeddingSrpPairs(spark, out)) == srp)
+    // the two verify paths — budget-gated broadcast lookup vs the
+    // shuffle-hash fetch joins (the past-budget cluster shape) —
+    // must emit the SAME pair set: the lookup dot accumulates in
+    // double over ascending components exactly like the codegen
+    // DotProduct the join path applies. Budget 0 forces the joins.
+    spark.conf.set("spark.graft.srp.verifyBroadcastBytes", "0")
+    try assert(pairs(Ann.embeddingSrpPairs(spark, out)) == srp,
+      "shuffle-verify path diverged from broadcast-lookup path")
+    finally spark.conf.unset("spark.graft.srp.verifyBroadcastBytes")
   }
 
   test("SRP md5 oracle mode: subset of exact, nonempty, deterministic") {

@@ -14,9 +14,12 @@ set -ex
 cd "$(dirname "$0")/.."
 OUT=/tmp/verify_sf01_r13
 SF=/root/testdata/sf0.1
+# the rows the earlier r13 session's run died in front of (its
+# committed partial log PASSes everything alphabetically through
+# dedup_incremental): the all-pairs-oracle dedup family + the chunk
+# variant — isolated in pass 2 so they cannot starve the rest
 SLOW="dedup_minhash_lsh dedup_ngram_jaccard dedup_rep_select \
-dedup_semantic dedup_simhash dedup_clusters dedup_embedding \
-dedup_embedding_ivf txt_chunk_dedup"
+dedup_semantic dedup_simhash txt_chunk_dedup"
 SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-24g} tools/jrun.sh graft.Verify "$SF" "$OUT"
 ALL=$(python3 -c "import json; print(' '.join(sorted(json.load(open('$OUT/oracle_sql.json')))))")
 FAST=$(python3 - "$ALL" "$SLOW" <<'EOF'
