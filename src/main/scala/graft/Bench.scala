@@ -81,6 +81,18 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // Single-host disk hygiene: shuffle files and stale checkpoint
+      // blocks are deleted by the ContextCleaner only when their
+      // owning objects are GARBAGE-COLLECTED — and a 16-48 GB bench
+      // heap under moderate allocation may not GC for the whole run,
+      // so every superstep's / every query's dead shuffle output
+      // accumulates on disk (the r13 sf100 rung measured ~26 GB of
+      // accumulation across 11 queries, and graph_pagerank alone
+      // held ~54 GB of dead superstep shuffles at 2 iterations
+      // before this). The cleaner's periodic-GC timer (default
+      // 30 min — longer than a whole rung) makes cleanup timely; a
+      // multi-node cluster wants the default back, it has the disk.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -95,7 +95,7 @@ object PlanAudit {
       reg("src_delta_skipping")),
     // ---- round-9 additions ----
     ("dedup_embedding_srp (bench shape)",
-      "The high-dim embedding near-dup scale plan: the SRP projection (graft_srp, planes inside the expression object) is pure per-row codegen work; the candidate self-join keys its Exchange on (band, signature) so the shuffle carries bands x n tiny rows, never vector payloads; the hot-bucket-cap windows (row_number + count over (band, s)) share that same partitioning — no extra Exchange; candidates dedupe across bands in a partial/final aggregate BEFORE the two vector-fetch joins; and the exact-dot verification filter sits above joins whose build sides are the memoized normalized-vector cache. At 100 TB: no n^2 anywhere, no metric-pruning geometry assumption, bucket skew bounded by the cap.",
+      "The high-dim embedding near-dup scale plan: the SRP projection (graft_srp, planes inside the expression object) is pure per-row codegen work; bucketing is ONE ObjectHashAggregate keyed (band, signature) — the only Exchange of the candidate stage carries bands x n tiny signature rows, never vector payloads, and NO WindowExec or self-join sort appears anywhere (the r13 sf100 fix: the prior window+SMJ formulation sorted the n x bands set three times, ~59 GB of spill); pairs emit inside the sorted per-bucket member array (all-pairs within the cap, adjacent chain above it) and dedupe across bands in a partial/final aggregate; under the verify budget the exact-dot check is a broadcast-lookup FILTER directly over the candidate aggregate — no vector-fetch join at all — while past the budget the fetch joins are shuffle-hash with the memoized normalized-vector cache as build sides. At 100 TB: no n^2 anywhere, no metric-pruning geometry assumption, bucket skew bounded by the cap, nothing candidate-sized sorted or vector-annotated before a shuffle.",
       (s, d) => SparkEntry.registry("dedup_embedding_srp").benchFn
         .getOrElse(sys.error("dedup_embedding_srp must register a bench shape"))
         .apply(s, d)),

@@ -619,16 +619,43 @@ object Advanced {
     // buckets of order value with count/lo/hi — the adaptive twin of
     // ch_histogram's fixed-width buckets. Ties broken by orderkey so
     // the bucket boundaries are deterministic in both engines.
+    // Computed WITHOUT the per-group ntile sort: each tile is a fixed
+    // RANK INTERVAL [s, e] (ntile's uneven split is pure arithmetic
+    // on n), its count is the interval width, and lo/hi are the
+    // values AT ranks s and e — rank selection over the distributed
+    // cumulative distribution (graft.plans.RankSelect; the window
+    // form ran on 5 tasks and the r13 sf100 rung measured the
+    // ceiling). The orderkey tiebreak never changes a selected VALUE,
+    // only which row carries a boundary rank. Oracle unchanged:
+    // DuckDB replays the ntile formulation, same (n, lo, hi) by the
+    // interval identity.
     "ch_equidepth" -> Q(
       (s, dir) => {
-        val w = Window.partitionBy("o_orderpriority")
-          .orderBy("o_totalprice", "o_orderkey")
-        Tables.orders(s, dir)
-          .withColumn("tile", ntile(4).over(w))
+        val cd = graft.plans.RankSelect.groupedCumDist(
+          Tables.orders(s, dir)
+            .select(col("o_orderpriority"), col("o_totalprice")),
+          "o_orderpriority", "o_totalprice")
+        // 4 tile bounds per group from the #groups-row n frame:
+        // s=(t-1)*q+min(t-1,rem)+1, size=q+[t<=rem], e=s+size-1
+        val bounds = cd.select(col("o_orderpriority"), col("n")).distinct()
+          .select(col("o_orderpriority").as("bp"), explode(expr("""
+            filter(transform(sequence(1, 4), t -> named_struct(
+              'tile', CAST(t AS INT),
+              's', (t - 1) * (n div 4) + least(t - 1, n % 4) + 1,
+              'e', (t - 1) * (n div 4) + least(t - 1, n % 4)
+                   + (n div 4) + IF(t <= n % 4, 1, 0),
+              'sz', (n div 4) + IF(t <= n % 4, 1, 0))),
+              b -> b.sz >= 1)""")).as("b"))
+          .select(col("bp"), col("b.tile").as("tile"),
+            col("b.s").as("s"), col("b.e").as("e"), col("b.sz").as("sz"))
+        val hitS = col("s") > col("prev") && col("s") <= col("cum")
+        val hitE = col("e") > col("prev") && col("e") <= col("cum")
+        cd.join(broadcast(bounds),
+            col("o_orderpriority") === col("bp") && (hitS || hitE))
           .groupBy("o_orderpriority", "tile")
-          .agg(count(lit(1)).as("n"),
-            min(col("o_totalprice")).as("lo"),
-            max(col("o_totalprice")).as("hi"))
+          .agg(max(col("sz")).as("n"),
+            max(when(hitS, col("o_totalprice"))).as("lo"),
+            max(when(hitE, col("o_totalprice"))).as("hi"))
           .orderBy("o_orderpriority", "tile")
       },
       Some("""

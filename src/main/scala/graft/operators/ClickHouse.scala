@@ -502,20 +502,28 @@ object ClickHouse {
     // — instead of trusting two engines' builtin index conventions to
     // agree. One window pass + one aggregate; picks are conditional
     // maxes, so per-group state is O(1).
+    // Exact discrete per-group quantiles WITHOUT the per-group row
+    // sort: the value at rank ceil(n*p) under (price, key) order is
+    // the price whose cumulative-count interval contains the rank —
+    // the key tiebreak only disambiguates WHICH row carries it, never
+    // the VALUE — so selection runs over the distributed cumulative
+    // distribution (graft.plans.RankSelect: range-partitioned prefix
+    // sum, never a 5-task window; the r13 sf100 rung measured the
+    // window form's parallelism ceiling). Oracle unchanged: DuckDB
+    // replays the row_number formulation, same values by the rank-
+    // interval identity.
     "ch_quantile_disc" -> Q(
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("o_orderpriority")
-          .orderBy(col("o_totalprice"), col("o_orderkey"))
-        val wn = Window.partitionBy("o_orderpriority")
-        def pick(p: Double) =
-          max(when(col("rn") === ceil(col("n") * p),
+        val cd = graft.plans.RankSelect.groupedCumDist(
+          Tables.orders(s, dir)
+            .select(col("o_orderpriority"), col("o_totalprice")),
+          "o_orderpriority", "o_totalprice")
+        def pick(p: Double) = {
+          val r = ceil(col("n") * p)
+          max(when(col("prev") < r && r <= col("cum"),
             d(col("o_totalprice")))).cast("double")
-        Tables.orders(s, dir)
-          .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
-          .withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(wn))
-          .groupBy("o_orderpriority")
+        }
+        cd.groupBy("o_orderpriority")
           .agg(pick(0.25).as("p25"), pick(0.5).as("p50"),
             pick(0.9).as("p90"), max(col("n")).as("n"))
           .orderBy("o_orderpriority")

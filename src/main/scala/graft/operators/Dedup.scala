@@ -167,6 +167,11 @@ object Dedup {
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
     var changed = 1L
     var rounds = 0
+    // round i's checkpoint blocks are dead once round i+1's exist;
+    // free them explicitly — a big heap may never GC, and the
+    // ContextCleaner only acts on collected objects (the pagerank
+    // r13 sf100 lesson, applied to every checkpoint loop)
+    var prevCkpt: DataFrame = null
     while (changed > 0) {
       rounds += 1
       val neighborMin = edges.join(labels,
@@ -191,6 +196,9 @@ object Dedup {
               stepped("cluster_id"))
         }).localCheckpoint(true)
       changed = next.filter(col("next_id") =!= col("cluster_id")).count()
+      if (prevCkpt != null)
+        org.apache.spark.sql.GraftBenchShim.unpersistLocalCheckpoint(prevCkpt)
+      prevCkpt = next
       labels = next.select(col("doc_id"), col("next_id").as("cluster_id"))
     }
     edges.unpersist(blocking = false)

@@ -100,6 +100,12 @@ object Graph {
     // (1-d)/n in units, truncated — the teleport mass per node
     val baseU = ((dDen - dNum) * RankUnit) / (dDen * n)
     var ranks = nodes.withColumn("rank_u", lit(RankUnit / n))
+    // superstep i's checkpoint blocks are dead the moment superstep
+    // i+1's checkpoint materializes — unpersist them explicitly
+    // instead of waiting for a GC the big bench heap may never run
+    // (the LAST checkpoint stays: the returned frame's lineage ends
+    // at it and a localCheckpoint cannot recompute)
+    var prevCkpt: DataFrame = null
     try {
       for (_ <- 1 to iters) {
         // dangling mass this step: one scalar over node-count rows;
@@ -128,6 +134,9 @@ object Graph {
         // (measured 2x on this loop); eager pins each step to one
         // materialization of node-count rows
         ranks = ranks.localCheckpoint(eager = true)
+        if (prevCkpt != null)
+          org.apache.spark.sql.GraftBenchShim.unpersistLocalCheckpoint(prevCkpt)
+        prevCkpt = ranks
       }
       ranks = ranks
         .withColumn("rank", col("rank_u") / lit(1e12))
@@ -207,7 +216,13 @@ object Graph {
           .join(visited, Seq("node"), "left_anti")
           .withColumn("dist", lit(d))
           .localCheckpoint(eager = true)
-        visited = visited.unionByName(next).localCheckpoint(eager = true)
+        val newVisited = visited.unionByName(next).localCheckpoint(eager = true)
+        // hop d-1's visited and frontier checkpoints are dead now —
+        // free them without waiting for a GC (the pagerank lesson)
+        org.apache.spark.sql.GraftBenchShim.unpersistLocalCheckpoint(visited)
+        if (frontier ne visited)
+          org.apache.spark.sql.GraftBenchShim.unpersistLocalCheckpoint(frontier)
+        visited = newVisited
         frontier = next
         frontierN = next.count()
       }

@@ -75,6 +75,7 @@ object TextAnalysis {
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         learned += ((step, a, b, top(0).getLong(2)))
+        val prev = state
         state = state.withColumn("syms",
           aggregate(col("syms"), array().cast("array<string>"),
             (acc, x) => when(
@@ -83,6 +84,9 @@ object TextAnalysis {
                 array(concat_ws("", element_at(acc, -1), x))))
               .otherwise(concat(acc, array(x)))))
           .localCheckpoint(eager = true)
+        // step i-1's checkpoint is dead once step i's materializes —
+        // free it without waiting for a GC (the pagerank lesson)
+        org.apache.spark.sql.GraftBenchShim.unpersistLocalCheckpoint(prev)
       }
     }
     learned.toSeq.toDF("step", "left", "right", "score")

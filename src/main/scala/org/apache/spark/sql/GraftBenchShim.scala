@@ -29,4 +29,21 @@ object GraftBenchShim {
     else classic.Dataset.ofRows(
       df.sparkSession.asInstanceOf[classic.SparkSession], stripped)
   }
+
+  /** Free the storage blocks behind a `localCheckpoint`ed frame.
+    * `Dataset.unpersist` only clears CacheManager entries, but a
+    * local checkpoint's blocks live on the INTERNAL checkpointed RDD
+    * inside the LogicalRDD leaf — without this, every superstep's
+    * dead checkpoint waits for a full GC the big bench heap may
+    * never run (graph_pagerank at sf100 leaked ~160 MB x iterations
+    * of rank blocks this way, on top of the shuffle-file class the
+    * periodic-GC cleaner interval handles). No-op for frames that
+    * are not local checkpoints.
+    */
+  def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false): Unit
+      case _ => ()
+    }
 }

@@ -51,4 +51,70 @@ class PrefixSumSpec extends SparkSpec {
     assert(r.getAs[Long]("n1") === counts("A"))
     assert(r.getAs[Long]("n2") === counts("N"))
   }
+
+  test("RankSelect.groupedCumDist matches the per-group window reference") {
+    // 3 uneven groups with heavy value ties, scrambled input
+    val rows = (1L to 2000L).map(k => (s"g${k % 3}", k * 7 % 83))
+    val df = rows.toDF("g", "v").repartition(16)
+    val wg = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wg))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val gotRows = RankSelect.groupedCumDist(df, "g", "v").collect()
+    val got = gotRows
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("cnt"),
+        r.getAs[Long]("cum"))).toSet
+    assert(got === want, "per-group cumulative diverges from the window")
+    // prev/cum form a partition of 1..n per group
+    val sizes = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    gotRows.foreach { r =>
+      assert(r.getAs[Long]("prev") === r.getAs[Long]("cum") - r.getAs[Long]("cnt"))
+      assert(r.getAs[Long]("n") === sizes(r.getString(0)))
+    }
+  }
+
+  test("ch_quantile_disc / ch_equidepth: no WindowExec, equal to the window recompute") {
+    // Plan property: both rank rows now run on the distributed
+    // cumulative distribution (RankSelect) — the 5-key partitionBy
+    // window was a parallelism ceiling the sf100 rung measured
+    // (~14.5x/decade: five tasks sorting 30M rows each).
+    for (q <- Seq("ch_quantile_disc", "ch_equidepth")) {
+      val plan = graft.SparkEntry.registry(q).fn(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$q must rank-select over the distribution, not window:\n$plan")
+    }
+    val orders = graft.Tables.orders(spark, sf)
+    // the ORIGINAL window formulations, inline, as references
+    val wq = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wn = Window.partitionBy("o_orderpriority")
+    def pick(p: Double) =
+      max(when(col("rn") === ceil(col("n") * p),
+        graft.Dec.d(col("o_totalprice")))).cast("double")
+    val wantQd = orders
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(wq))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy("o_orderpriority")
+      .agg(pick(0.25).as("p25"), pick(0.5).as("p50"),
+        pick(0.9).as("p90"), max(col("n")).as("n"))
+      .orderBy("o_orderpriority").collect().toSeq
+    val gotQd = graft.SparkEntry.registry("ch_quantile_disc")
+      .fn(spark, sf).collect().toSeq
+    assert(gotQd === wantQd, "quantile_disc diverges from window recompute")
+    val wantEq = orders
+      .withColumn("tile", ntile(4).over(wq))
+      .groupBy("o_orderpriority", "tile")
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy("o_orderpriority", "tile").collect().toSeq
+    val gotEq = graft.SparkEntry.registry("ch_equidepth")
+      .fn(spark, sf).collect().toSeq
+    assert(gotEq === wantEq, "equidepth diverges from window recompute")
+  }
 }
