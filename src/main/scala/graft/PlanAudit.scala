@@ -183,6 +183,12 @@ object PlanAudit {
         IcebergLite.readLatest(s, root)
       }),
     // ---- round-13 additions ----
+    ("ch_quantile_disc (rank-select)",
+      "Exact per-group discrete quantiles WITHOUT the per-group sort: the 5-key partitionBy window sorted every group in ONE task (the sf100 rung's measured parallelism ceiling — ~14.5x/decade with 315 idle partitions); now the plan is groupBy(group, value) partial/final aggregate, the RankSelect range-partitioned prefix sum (two mapPartitions passes over ONE range shuffle, bounded numPartitions-row driver collect), a #groups-row broadcast of the group offsets, and a when()-filtered final aggregate picking the value whose (prev, cum] interval contains ceil(n*p). NO WindowExec anywhere. At 100 TB: parallelism is partition-count, not group-count; per-task state is O(1).",
+      reg("ch_quantile_disc")),
+    ("ch_equidepth (rank-select)",
+      "ntile's equi-depth buckets WITHOUT the per-row ntile sort: each tile is a FIXED rank interval [s, e] (pure arithmetic on the group count), its n is the interval width, and lo/hi are the values AT ranks s and e — selected from the same distributed cumulative distribution as ch_quantile_disc via a 20-row broadcast bounds join. NO WindowExec; the orderkey tiebreak never changes a selected VALUE, only which row carries a boundary rank, so output is byte-identical to the window form (PrefixSumSpec pins it).",
+      reg("ch_equidepth")),
     ("ch_mann_whitney",
       "The rank-sum test WITHOUT per-group row buffers (CH sorts both samples in memory): one scan reduces lineitem to the distinct-VALUE count table (partial/final hash aggregate), the pooled tie-averaged ranks come from the range-partitioned prefix-sum pass over values (state O(distinct values), the ks_test device), and the closing U/z arithmetic is a 1-row reduction. At 100 TB: rows never buffer, never re-shuffle; everything after the first aggregate is value-domain-sized.",
       reg("ch_mann_whitney")),

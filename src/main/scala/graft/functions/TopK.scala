@@ -123,4 +123,48 @@ object TopK {
     udaf(new Agg(k),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, java.lang.Long)]())(
       score, id)
+
+  /** Bottom-k selection by (STRING key ASC, id ASC) in O(k) mergeable
+    * state — the [[Agg]] device for orderings a double cannot encode
+    * (ch_grouparray_sample's first-k-by-md5-hash membership: the full
+    * 32-hex key decides ties, so truncating it into a double mantissa
+    * would change the sample). State is a k-bounded sorted Seq —
+    * selection happens in the scan stage's partials, so the
+    * partitionBy-window + per-group sort this replaces (one task per
+    * group key) never materializes.
+    */
+  final class MinKByKey(k: Int)
+      extends Aggregator[(String, java.lang.Long), Seq[(String, Long)], Seq[Long]] {
+    private val ord =
+      Ordering.Tuple2(Ordering.String, Ordering.Long)
+
+    def zero: Seq[(String, Long)] = Nil
+
+    def reduce(buf: Seq[(String, Long)],
+        in: (String, java.lang.Long)): Seq[(String, Long)] = {
+      if (in == null || in._1 == null || in._2 == null) return buf
+      val e = (in._1, in._2.longValue)
+      // common case: full buffer and the candidate orders after the
+      // current k-th — one comparison, no allocation
+      if (buf.size >= k && ord.lteq(buf.last, e)) buf
+      else ((buf :+ e).sorted(ord)).take(k)
+    }
+
+    def merge(a: Seq[(String, Long)], b: Seq[(String, Long)]): Seq[(String, Long)] =
+      (a ++ b).sorted(ord).take(k)
+
+    def finish(r: Seq[(String, Long)]): Seq[Long] = r.map(_._2)
+
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** `minKByKey(k)(key, id)` — ids of the k smallest (key, id) pairs,
+    * ascending. */
+  def minKByKey(k: Int, key: Column, id: Column): Column =
+    udaf(new MinKByKey(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(String, java.lang.Long)]())(
+      key, id)
 }

@@ -846,15 +846,27 @@ object ClickHouse {
     // deterministic order, filtered — the window sorts only within
     // each nation's partition, and rn <= 3 prunes before any
     // downstream work.
+    // Top-3 per nation as a bounded-heap SELECTION aggregate
+    // (graft.functions.TopK, the r13 sf100 device): the 25-key
+    // partitionBy window sorted each nation's rows in ONE task — a
+    // #groups-core ceiling on any cluster; the selection consumes
+    // rows in the scan stage (map-side O(k) partials), and the
+    // 25x3-row result broadcast-joins back for the payload.
     "ch_limit_by" -> Q(
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("c_nationkey")
-          .orderBy(col("c_acctbal").desc, col("c_custkey"))
-        Tables.customer(s, dir)
+        val cust = Tables.customer(s, dir)
           .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
+        val top = cust.groupBy("c_nationkey")
+          .agg(graft.functions.TopK(3, col("c_acctbal"), col("c_custkey"))
+            .as("ids"))
+          .select(col("c_nationkey"),
+            posexplode(col("ids")).as(Seq("pos", "c_custkey")))
+          .select(col("c_nationkey"), col("c_custkey"),
+            (col("pos") + 1).cast("integer").as("rn"))
+        cust.select(col("c_custkey"), col("c_acctbal"))
+          .join(broadcast(top), Seq("c_custkey"))
+          .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+            col("rn"))
           .orderBy("c_nationkey", "rn")
       },
       Some("""
@@ -1106,20 +1118,24 @@ object ClickHouse {
     // layouts, unlike rand()), so the result is oracle-exact. One
     // window + one filter; the collected array is bounded at N per
     // group regardless of group size.
+    // Membership ("first 5 in keyed-hash order") is a bounded
+    // SELECTION — graft.functions.TopK.minKByKey keeps the 5
+    // smallest (hk, user_id) pairs in O(k) mergeable state, so the
+    // per-event-type sort the partitionBy window needed (one task
+    // per type over ~users x types rows) never happens; the full
+    // 32-hex key decides ties exactly as the window's order did.
     "ch_grouparray_sample" -> Q(
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val users = Tables.events(s, dir)
           .select(col("event_type"), col("user_id")).distinct()
           .withColumn("hk",
             md5(concat(col("event_type"), lit(":"), col("user_id"))))
-        val w = Window.partitionBy("event_type").orderBy("hk", "user_id")
-        users.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 5)
-          .groupBy("event_type")
-          .agg(concat_ws(",",
-            transform(array_sort(collect_list(struct(col("rn"), col("user_id")))),
-              x => x("user_id"))).as("sampled_users"))
+        users.groupBy("event_type")
+          .agg(graft.functions.TopK.minKByKey(5, col("hk"), col("user_id"))
+            .as("ids"))
+          .select(col("event_type"),
+            array_join(transform(col("ids"), x => x.cast("string")), ",")
+              .as("sampled_users"))
           .orderBy("event_type")
       },
       Some("""

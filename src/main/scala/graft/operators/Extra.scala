@@ -87,17 +87,25 @@ object Extra {
     // The rank window family (rank / dense_rank / ntile / percent_rank
     // / cume_dist; the fractional ones are exact IEEE divisions of the
     // same integers in both engines).
+    // Computed WITHOUT the 25-key partitionBy window (the r13 sf100
+    // ceiling class — see q_window_ntile): over the TIE-FREE order
+    // (retailprice, partkey) rank == dense_rank == in-group row
+    // number, and the whole family is arithmetic on (rank, n) from
+    // RankSelect.groupedRank. Same integers, same IEEE divisions;
+    // oracle unchanged.
     "q_window_ranks" -> Q(
       (s, dir) => {
-        val w = Window.partitionBy(col("p_brand"))
-          .orderBy(col("p_retailprice").asc, col("p_partkey").asc)
-        Tables.part(s, dir)
-          .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
-            rank().over(w).as("rnk"),
-            dense_rank().over(w).as("drnk"),
-            ntile(4).over(w).as("quartile"),
-            percent_rank().over(w).as("prnk"),
-            cume_dist().over(w).as("cdist"))
+        val r = graft.plans.RankSelect.groupedRank(
+          Tables.part(s, dir)
+            .select(col("p_partkey"), col("p_brand"), col("p_retailprice")),
+          "p_brand", Seq("p_retailprice", "p_partkey"))
+        r.select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+            col("cum").cast("integer").as("rnk"),
+            col("cum").cast("integer").as("drnk"),
+            graft.plans.RankSelect.ntileExpr("cum", "n", 4).as("quartile"),
+            when(col("n") > 1, (col("cum") - 1).cast("double") /
+              (col("n") - 1).cast("double")).otherwise(lit(0.0)).as("prnk"),
+            (col("cum").cast("double") / col("n").cast("double")).as("cdist"))
           .orderBy("p_partkey")
       },
       Some("""
@@ -282,16 +290,25 @@ object Extra {
     // rank — and therefore every quotient — is deterministic; the
     // quotients are single IEEE divisions of identical integer
     // operands in both engines.
+    // Computed WITHOUT the 25-key partitionBy window (one task per
+    // nation — the r13 sf100 ceiling class): the order (acctbal,
+    // custkey) is tie-free, so ntile / percent_rank / cume_dist are
+    // pure arithmetic on (in-group rank, group size) from
+    // RankSelect.groupedRank's distributed prefix sum. The closing
+    // divisions divide the same integers the window functions would,
+    // so values are IEEE-identical and the oracle is unchanged.
     "q_window_ntile" -> Q(
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("c_nationkey")
-          .orderBy(col("c_acctbal"), col("c_custkey"))
-        Tables.customer(s, dir)
-          .select(col("c_custkey"), col("c_nationkey"),
-            ntile(4).over(w).as("quartile"),
-            percent_rank().over(w).as("pct_rank"),
-            cume_dist().over(w).as("cume"))
+        val r = graft.plans.RankSelect.groupedRank(
+          Tables.customer(s, dir)
+            .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal")),
+          "c_nationkey", Seq("c_acctbal", "c_custkey"))
+        r.select(col("c_custkey"), col("c_nationkey"),
+            graft.plans.RankSelect.ntileExpr("cum", "n", 4).as("quartile"),
+            when(col("n") > 1, (col("cum") - 1).cast("double") /
+              (col("n") - 1).cast("double")).otherwise(lit(0.0))
+              .as("pct_rank"),
+            (col("cum").cast("double") / col("n").cast("double")).as("cume"))
           .orderBy("c_custkey")
       },
       Some("""

@@ -90,6 +90,14 @@ object Graph {
           Seq("node"), "left_anti").persist(lvl)
       else null
     val n = nodes.count()
+    // e exists only to derive the loop invariants — materialize them
+    // and DROP it before the first superstep: at the sf100 rung the
+    // raw and degree-joined edge lists each ran ~26 GB, and keeping
+    // both resident through the loop doubled the storage footprint
+    // past the host's disk (the third disk-full this rung taught)
+    eDeg.count(): Unit
+    if (dangling != null) dangling.count(): Unit
+    e.unpersist(blocking = false)
     // SIZE-GATE the per-superstep broadcasts once, on the measured
     // node count: below the threshold ranks/contribs ship as
     // broadcasts (edge index never moves); above it both joins run

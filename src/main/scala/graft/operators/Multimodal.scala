@@ -257,16 +257,21 @@ object Multimodal {
     // window arithmetic over the running byte offset — one shuffle
     // keyed by source, each source packs independently (= in
     // parallel across a cluster), byte-deterministic output layout.
+    // Running byte offsets WITHOUT the per-source window (a handful
+    // of source values over a corpus-sized table = one task per
+    // source, the r13 sf100 ceiling class): start_off is the
+    // per-group EXCLUSIVE prefix of n_chars from
+    // RankSelect.groupedCumSum's distributed range-partitioned
+    // prefix sum. Same integers; oracle unchanged.
     "mm_shard_pack" -> Q(
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("source").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        Tables.documents(s, dir)
-          .select(col("doc_id"), col("source"), col("n_chars"))
-          .withColumn("start_off",
-            coalesce(sum(col("n_chars")).over(w), lit(0L)))
-          .withColumn("shard_id", expr("start_off div 4096"))
+        val r = graft.plans.RankSelect.groupedCumSum(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("source"), col("n_chars")),
+          "source", Seq("doc_id"), "n_chars")
+        r.select(col("doc_id"), col("source"), col("n_chars"),
+            (col("cum") - col("n_chars")).as("start_off"),
+            expr("(cum - n_chars) div 4096").as("shard_id"))
           .orderBy("source", "doc_id")
       },
       Some("""

@@ -241,15 +241,26 @@ object Relational {
         GROUP BY c_custkey, c_name ORDER BY c_custkey""")),
 
     // ------------------------------------------------------------------
+    // Top-3 orders per market segment as a bounded-heap SELECTION
+    // aggregate (graft.functions.TopK): the 5-key partitionBy window
+    // sorted each segment's orders in ONE task — a #groups-core
+    // ceiling on any cluster. Selection consumes the joined stream
+    // in its own stage (map-side O(k) partials); the 5x3-row result
+    // broadcast-joins back to orders for the payload.
     "q_window_topn" -> Q(
       (s, dir) => {
         val c = Tables.customer(s, dir)
         val o = Tables.orders(s, dir)
-        val w = Window.partitionBy(col("c_mktsegment"))
-          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-        o.join(c, col("o_custkey") === col("c_custkey"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
+        val top = o.join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(graft.functions.TopK(3, col("o_totalprice"), col("o_orderkey"))
+            .as("ids"))
+          .select(col("c_mktsegment"),
+            posexplode(col("ids")).as(Seq("pos", "o_orderkey")))
+          .select(col("c_mktsegment"), col("o_orderkey"),
+            (col("pos") + 1).cast("integer").as("rn"))
+        o.select(col("o_orderkey"), col("o_totalprice"))
+          .join(broadcast(top), Seq("o_orderkey"))
           .select("c_mktsegment", "o_orderkey", "o_totalprice", "rn")
           .orderBy("c_mktsegment", "rn")
       },

@@ -117,4 +117,51 @@ class PrefixSumSpec extends SparkSpec {
       .fn(spark, sf).collect().toSeq
     assert(gotEq === wantEq, "equidepth diverges from window recompute")
   }
+
+  test("rank window family / shard pack: no WindowExec, equal to window recomputes") {
+    for (q <- Seq("q_window_ntile", "q_window_ranks", "mm_shard_pack")) {
+      val plan = graft.SparkEntry.registry(q).fn(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$q must use RankSelect, not a #groups-task window:\n$plan")
+    }
+    // q_window_ntile: original 25-key window formulation
+    val wNt = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    val wantNt = graft.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_nationkey"),
+        ntile(4).over(wNt).as("quartile"),
+        percent_rank().over(wNt).as("pct_rank"),
+        cume_dist().over(wNt).as("cume"))
+      .orderBy("c_custkey").collect().toSeq
+    val gotNt = graft.SparkEntry.registry("q_window_ntile")
+      .fn(spark, sf).collect().toSeq
+    assert(gotNt === wantNt, "q_window_ntile diverges from window recompute")
+    // q_window_ranks: original formulation
+    val wRk = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").asc, col("p_partkey").asc)
+    val wantRk = graft.Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+        rank().over(wRk).as("rnk"),
+        dense_rank().over(wRk).as("drnk"),
+        ntile(4).over(wRk).as("quartile"),
+        percent_rank().over(wRk).as("prnk"),
+        cume_dist().over(wRk).as("cdist"))
+      .orderBy("p_partkey").collect().toSeq
+    val gotRk = graft.SparkEntry.registry("q_window_ranks")
+      .fn(spark, sf).collect().toSeq
+    assert(gotRk === wantRk, "q_window_ranks diverges from window recompute")
+    // mm_shard_pack: original running-offset window
+    val wSp = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wantSp = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("start_off",
+        coalesce(sum(col("n_chars")).over(wSp), lit(0L)))
+      .withColumn("shard_id", expr("start_off div 4096"))
+      .orderBy("source", "doc_id").collect().toSeq
+    val gotSp = graft.SparkEntry.registry("mm_shard_pack")
+      .fn(spark, sf).collect().toSeq
+    assert(gotSp === wantSp, "mm_shard_pack diverges from window recompute")
+  }
 }

@@ -25,6 +25,7 @@ set -ex
 cd "$(dirname "$0")/.."
 G=target/gendata
 OUT=/tmp/ladder_r13
+rm -f "$OUT"/fix_*.json # a killed run's partial JSON must never survive
 export SPARK_GRAFT_COLD=1
 export SPARK_GRAFT_REQUIRE_QUIET=1
 export SPARK_GRAFT_SHUFFLE_PARTITIONS=320
