@@ -71,37 +71,37 @@ object Graph {
       dNum: Int = 17, dDen: Int = 20,
       redistributeDangling: Boolean = false): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // degree is LOOP-INVARIANT: join it onto the edges once, outside
-    // the supersteps — the resident (src, dst, deg) edge index is
-    // what every iteration reads (10 joins saved over the naive loop)
-    val e = edges.persist(lvl)
-    val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+    // ONE edge-sized resident: the src-partitioned plain edge list.
+    // Degree is loop-invariant but NODES-sized, so it lives on its
+    // own small table and attaches to the RANKS side each superstep —
+    // the earlier design persisted a (src, dst, deg) edge index
+    // BESIDE the raw list it derived from, and at the sf100 rung the
+    // two ~26 GB residents (plus build shuffles) overflowed the
+    // host's disk three times. Every loop invariant below derives
+    // FROM eSrc's cached, already-src-partitioned blocks: the degree
+    // aggregate and the src-distinct plan with no new exchange.
+    val eSrc = edges.repartition(col("src")).persist(lvl)
+    val degTable = eSrc.groupBy("src").agg(count(lit(1)).as("deg"))
       .persist(lvl)
     val nodes = (if (redistributeDangling)
-        e.select(col("src").as("node"))
-          .unionByName(e.select(col("dst").as("node"))).distinct()
-      else e.select(col("src").as("node")).distinct()).persist(lvl)
+        eSrc.select(col("src").as("node"))
+          .unionByName(eSrc.select(col("dst").as("node"))).distinct()
+      else eSrc.select(col("src").as("node")).distinct()).persist(lvl)
     // loop-invariant dangling set: nodes with no out-edge (empty when
     // the caller guarantees none — the anti join is then planned away
     // at node-count cost once, not per step)
     val dangling =
       if (redistributeDangling)
-        nodes.join(e.select(col("src").as("node")).distinct(),
+        nodes.join(eSrc.select(col("src").as("node")).distinct(),
           Seq("node"), "left_anti").persist(lvl)
       else null
     val n = nodes.count()
-    // e exists only to derive the loop invariants — materialize them
-    // and DROP it before the first superstep: at the sf100 rung the
-    // raw and degree-joined edge lists each ran ~26 GB, and keeping
-    // both resident through the loop doubled the storage footprint
-    // past the host's disk (the third disk-full this rung taught)
-    eDeg.count(): Unit
+    degTable.count(): Unit
     if (dangling != null) dangling.count(): Unit
-    e.unpersist(blocking = false)
     // SIZE-GATE the per-superstep broadcasts once, on the measured
     // node count: below the threshold ranks/contribs ship as
     // broadcasts (edge index never moves); above it both joins run
-    // shuffle-hash over node-count rows — eDeg and nodes are
+    // shuffle-hash over node-count rows — eSrc and nodes are
     // persisted already hash-partitioned on their join keys, so the
     // only data moved per superstep is still O(nodes), never O(edges)
     val bcast = ranksBroadcastable(edges.sparkSession, n)
@@ -126,9 +126,13 @@ object Graph {
         // ranks is node-count rows — the contribution join must never
         // shuffle the (much larger) edge index; the only per-superstep
         // shuffle over edges is the dst-keyed contribution aggregation
-        // (map-side partial sum first). See contributionJoin for the
-        // two regimes.
-        val contribs = contributionJoin(eDeg, ranks, bcast)
+        // (map-side partial sum first). Degree attaches to the RANKS
+        // side here (a nodes-sized join against the src-partitioned
+        // degTable), so the edge index carries no deg payload. See
+        // contributionJoin for the two regimes.
+        val ranksDeg = ranks.join(
+          degTable.withColumnRenamed("src", "node"), Seq("node"))
+        val contribs = contributionJoin(eSrc, ranksDeg, bcast)
         ranks = nodes.join(
             if (bcast) broadcast(contribs) else contribs.hint("shuffle_hash"),
             col("node") === col("dst"), "left")
@@ -152,8 +156,8 @@ object Graph {
       ranks.count(): Unit // materialize before unpersists
       ranks
     } finally {
-      eDeg.unpersist(blocking = false)
-      e.unpersist(blocking = false)
+      eSrc.unpersist(blocking = false)
+      degTable.unpersist(blocking = false)
       if (dangling != null) dangling.unpersist(blocking = false)
       nodes.unpersist(blocking = false): Unit
     }
@@ -166,11 +170,12 @@ object Graph {
     * superstep shape this exposes.
     */
   def pageRankSuperstepPlan(s: SparkSession, dir: String): DataFrame = {
-    val e = tradeEdges(s, dir)
-    val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-    val nodes = e.select(col("src").as("node")).distinct()
+    val eSrc = tradeEdges(s, dir).repartition(col("src"))
+    val degTable = eSrc.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = eSrc.select(col("src").as("node")).distinct()
     val ranks = nodes.withColumn("rank_u", lit(RankUnit / 1000))
-    contributionJoin(eDeg, ranks,
+      .join(degTable.withColumnRenamed("src", "node"), Seq("node"))
+    contributionJoin(eSrc, ranks,
       broadcastRanks = ranksBroadcastable(s, 1000L))
   }
 
