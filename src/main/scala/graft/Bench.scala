@@ -93,6 +93,12 @@ object Bench {
       // 30 min — longer than a whole rung) makes cleanup timely; a
       // multi-node cluster wants the default back, it has the disk.
       .config("spark.cleaner.periodicGC.interval", "1min")
+      // The srp broadcast-verify path collects the packed corpus
+      // under its own heap-derived budget (Ann.srpVerifyBudget, which
+      // also respects this ceiling); the 1g default result-size cap
+      // predates drivers sized like this harness's and would push the
+      // query onto the shuffle path a single host's disk cannot hold.
+      .config("spark.driver.maxResultSize", "8g")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -589,11 +589,21 @@ object Ann {
     * live once in the driver (collect) and once per executor
     * (broadcast; the same heap in local mode). Overridable via
     * `spark.graft.srp.verifyBroadcastBytes` (0 forces the shuffle
-    * path — AnnSpec uses it to pin the two paths equal).
+    * path — AnnSpec uses it to pin the two paths equal). Either way
+    * the budget is CAPPED at spark.driver.maxResultSize (when set >0):
+    * the path starts with a corpus collect, and a budget the session's
+    * own result-size ceiling forbids would fail mid-query instead of
+    * degrading to the shuffle path (the srp sf100 re-measure hit
+    * exactly this at the 1g default).
     */
-  private def srpVerifyBudget(s: SparkSession): Long =
-    s.conf.getOption("spark.graft.srp.verifyBroadcastBytes").map(_.toLong)
+  private def srpVerifyBudget(s: SparkSession): Long = {
+    val req = s.conf.getOption("spark.graft.srp.verifyBroadcastBytes")
+      .map(_.toLong)
       .getOrElse(math.min(6L << 30, Runtime.getRuntime.maxMemory / 6))
+    val mrs = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      s.conf.get("spark.driver.maxResultSize", "1g"))
+    if (mrs > 0) math.min(req, mrs) else req
+  }
 
   /** The CANDIDATE stage of [[embeddingSrpPairs]] — everything up to
     * (but not including) the exact-dot verification: banded signature
