@@ -41,7 +41,11 @@ ADJUDICATED = {
         "partials consume candidates inside the join stage, so "
         "nothing candidate-sized is sorted, shuffled, or spilled; "
         "AnnSpec pins TopK == window equality. All three rungs are "
-        "solo fresh-JVM re-measures of the fixed path"),
+        "solo fresh-JVM re-measures of the fixed path. Its decade "
+        "ratio is the DESIGNED exponent, not a defect: the cell-keyed "
+        "self-kNN join does n*nprobe*n/cells work with cells ~ "
+        "sqrt(n), i.e. n^1.5 — 10^1.5 ~ 31.6x per decade by "
+        "construction (plus KMeans training growth)"),
     "dedup_embedding_srp": (
         {1: "fix_srp_sf1", 10: "fix_srp_sf10", 100: "fix_srp_sf100"},
         "rung failure (sf100; reproduced solo): the (band, s) window "
@@ -98,6 +102,26 @@ ADJUDICATED = {
         "re-measures of the new plan"),
 }
 
+# rows whose super-linear decade ratio is the operator's DESIGNED
+# complexity exponent, not a surfaced defect — noted in-artifact so
+# the superlinear list reads as adjudicated, not unexplained
+DESIGN_NOTES = {
+    "dedup_embedding_srp": (
+        "designed n x bands growth: auto-banding holds the recall "
+        "contract under the 64/n false-positive budget, so rows-per-"
+        "band grows with log n and bands grow 57 (200k rows) -> 118 "
+        "(2M) — signature volume n*b grows ~20.7x per decade by "
+        "construction while candidates/row stay flat "
+        "(EMB_SCALE_r12.json pins 0.0048-0.0050 pairs/row across the "
+        "ladder)"),
+    "dedup_semantic": (
+        "designed n^1.5: SemDeDup confines pairwise work to trained "
+        "cells sized cells ~ sqrt(n), so per-decade cost is 10^1.5 ~ "
+        "31.6x by construction (plus KMeans training growth); the "
+        "alternative — global pairwise — is n^2. Cross-cell recall "
+        "is pinned in DedupSpec"),
+}
+
 def load(path):
     with open(path) as f:
         d = json.load(f)
@@ -138,6 +162,8 @@ for q in queries:
          "ratio_10_100": r2, "verdict": verdict}
     if note:
         e["adjudication"] = note
+    if q in DESIGN_NOTES:
+        e["design_note"] = DESIGN_NOTES[q]
     entries[q] = e
 
 doc = {
