@@ -47,19 +47,32 @@ object UniqUpTo {
     def reduce(buf: Array[Byte], boxed: java.lang.Long): Array[Byte] = {
       if (boxed == null) return buf
       val x = boxed.longValue
-      val xs = unpack(buf)
-      if (xs.length >= cap) buf // saturated: answer already N+1
+      val n = buf.length / 8
+      if (n >= cap) return buf // saturated: answer already N+1
+      // r13: binary-search the packed big-endian longs IN PLACE — the
+      // former unpack-per-row allocated (and copied) the whole buffer
+      // for every input row; the common row (key already present /
+      // group saturated) now touches no heap at all, and allocation
+      // is confined to true insertions (<= cap per group lifetime).
+      val bb = java.nio.ByteBuffer.wrap(buf)
+      var lo = 0
+      var hi = n - 1
+      var at = n
+      var found = false
+      while (lo <= hi && !found) {
+        val mid = (lo + hi) >>> 1
+        val v = bb.getLong(mid * 8)
+        if (v == x) found = true
+        else if (v < x) lo = mid + 1
+        else { at = mid; hi = mid - 1 }
+      }
+      if (found) buf
       else {
-        val i = java.util.Arrays.binarySearch(xs, x)
-        if (i >= 0) buf
-        else {
-          val at = -i - 1
-          val next = new Array[Long](xs.length + 1)
-          System.arraycopy(xs, 0, next, 0, at)
-          next(at) = x
-          System.arraycopy(xs, at, next, at + 1, xs.length - at)
-          pack(next)
-        }
+        val next = new Array[Byte](buf.length + 8)
+        System.arraycopy(buf, 0, next, 0, at * 8)
+        java.nio.ByteBuffer.wrap(next).putLong(at * 8, x)
+        System.arraycopy(buf, at * 8, next, at * 8 + 8, buf.length - at * 8)
+        next
       }
     }
 

@@ -249,7 +249,7 @@ object Advanced {
           .distinct()
         fact.join(broadcast(months), "ship_month")
           .groupBy("ship_month")
-          .agg(psum(d(col("l_extendedprice")) * oneMinus(col("l_discount")))
+          .agg(psumRev(col("l_extendedprice"), col("l_discount"))
             .as("revenue"),
             count(lit(1)).as("n_lines"))
           .orderBy("ship_month")
@@ -681,7 +681,7 @@ object Advanced {
           .join(Tables.orders(s, dir).hint("SHUFFLE_HASH"),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_orderstatus")
-          .agg(psum(d(col("l_extendedprice")) * oneMinus(col("l_discount")))
+          .agg(psumRev(col("l_extendedprice"), col("l_discount"))
             .as("revenue"),
             count(lit(1)).as("n_lines"))
           .orderBy("o_orderstatus")
@@ -705,7 +705,7 @@ object Advanced {
       (s, dir) => {
         val m = Tables.lineitem(s, dir)
           .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
-          .agg(psum(d(col("l_extendedprice")) * oneMinus(col("l_discount")))
+          .agg(psumRev(col("l_extendedprice"), col("l_discount"))
             .as("revenue"))
         m.join(broadcast(m.agg(max(col("revenue")).as("max_rev"))),
             col("revenue") === col("max_rev"))
@@ -737,7 +737,7 @@ object Advanced {
         val src = Tables.orders(s, dir)
           .filter(year(col("o_orderdate")) === 1995)
           .groupBy(col("o_custkey"))
-          .agg(psum(d(col("o_totalprice"))).as("spend"))
+          .agg(psumLong(2, cents(col("o_totalprice"))).as("spend"))
         val matchedOrKept = Tables.customer(s, dir)
           .select(col("c_custkey"), col("c_acctbal"))
           .join(src, col("c_custkey") === col("o_custkey"), "left")

@@ -408,13 +408,13 @@ object ClickHouse {
     // 2^53 (see Dec.DOut) so the decimal->double casts are exact.
     "ch_linreg" -> Q(
       (s, dir) => {
-        val x = d(col("l_quantity"))
-        val y = d(col("l_discount")) * 100
+        val xc = cents(col("l_quantity"))          // scale-2 long of x
+        val yc = cents(col("l_discount")) * 100    // scale-2 long of y = 100*discount
         Tables.lineitem(s, dir)
           .groupBy("l_returnflag")
           .agg(count(lit(1)).cast("double").as("n"),
-            psum(x).as("sx"), psum(y).as("sy"),
-            psum(x * y).as("sxy"), psum(x * x).as("sxx"))
+            psumLong(2, xc).as("sx"), psumLong(2, yc).as("sy"),
+            psumLong(4, xc * yc).as("sxy"), psumLong(4, xc * xc).as("sxx"))
           .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
             ((col("n") * col("sxy") - col("sx") * col("sy")) /
               (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),

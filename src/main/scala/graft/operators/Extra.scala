@@ -458,7 +458,7 @@ object Extra {
           .join(hot, col("l_orderkey") === col("o_orderkey"), "left_semi")
           .groupBy("l_orderkey")
           .agg(count(lit(1)).as("n_lines"),
-            psum(d(col("l_extendedprice")) * oneMinus(col("l_discount")))
+            psumRev(col("l_extendedprice"), col("l_discount"))
               .as("revenue"))
           .orderBy("l_orderkey")
       },

@@ -30,10 +30,10 @@ object Relational {
           .agg(
             dsum(col("l_quantity")).as("sum_qty"),
             dsum(col("l_extendedprice")).as("sum_base_price"),
-            psum(d(col("l_extendedprice")) * oneMinus(col("l_discount")))
+            psumRev(col("l_extendedprice"), col("l_discount"))
               .as("sum_disc_price"),
-            psum(d(col("l_extendedprice")) * oneMinus(col("l_discount"))
-              * onePlus(col("l_tax"))).as("sum_charge"),
+            psumLong(6, revL(col("l_extendedprice"), col("l_discount"))
+              * centsOnePlus(col("l_tax"))).as("sum_charge"),
             davg(col("l_quantity")).as("avg_qty"),
             davg(col("l_extendedprice")).as("avg_price"),
             davg(col("l_discount")).as("avg_disc"),
@@ -64,7 +64,7 @@ object Relational {
         l.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .groupBy("l_orderkey", "o_orderdate")
-          .agg(psum(d(col("l_extendedprice")) * oneMinus(col("l_discount")))
+          .agg(psumRev(col("l_extendedprice"), col("l_discount"))
             .as("revenue"))
           .orderBy(col("revenue").desc, col("l_orderkey").asc)
           .limit(10)
@@ -99,7 +99,7 @@ object Relational {
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy("n_name")
-          .agg(psum(d(col("l_extendedprice")) * oneMinus(col("l_discount")))
+          .agg(psumRev(col("l_extendedprice"), col("l_discount"))
             .as("revenue"))
           .orderBy(col("revenue").desc)
       },
@@ -122,7 +122,7 @@ object Relational {
             col("l_shipdate") < ts("1997-01-01") &&
             col("l_discount").between(0.03, 0.05) &&
             col("l_quantity") < 24)
-          .agg(psum(d(col("l_extendedprice")) * d(col("l_discount")))
+          .agg(psumLong(4, cents(col("l_extendedprice")) * cents(col("l_discount")))
             .as("revenue"),
             count(lit(1)).as("n_items"))
       },
@@ -150,7 +150,7 @@ object Relational {
           .join(o, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("n_name").as("nation"),
             year(col("o_orderdate")).as("o_year"))
-          .agg(psum(d(col("l_extendedprice")) * oneMinus(col("l_discount")))
+          .agg(psumRev(col("l_extendedprice"), col("l_discount"))
             .as("amount"))
           .orderBy(col("nation"), col("o_year").desc)
       },
@@ -175,7 +175,7 @@ object Relational {
           .join(c, col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-          .agg(psum(d(col("l_extendedprice")) * oneMinus(col("l_discount")))
+          .agg(psumRev(col("l_extendedprice"), col("l_discount"))
             .as("revenue"))
           .orderBy(col("revenue").desc, col("c_custkey").asc)
           .limit(20)

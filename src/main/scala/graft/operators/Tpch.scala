@@ -117,10 +117,10 @@ object Tpch {
         val base = Tables.lineitem(s, dir)
           .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
         val perPart = base.groupBy("l_partkey")
-          .agg(psum(d(col("l_extendedprice")) * d(col("l_quantity")))
+          .agg(psumLong(4, cents(col("l_extendedprice")) * cents(col("l_quantity")))
             .as("value"))
         val total = base.agg(
-          psum(d(col("l_extendedprice")) * d(col("l_quantity"))).as("tot"),
+          psumLong(4, cents(col("l_extendedprice")) * cents(col("l_quantity"))).as("tot"),
           countDistinct(col("l_partkey")).as("npart"))
         perPart.crossJoin(broadcast(total))
           .filter(col("value") > lit(2.0) * col("tot") / col("npart"))
@@ -283,7 +283,7 @@ object Tpch {
           .filter(col("supp_nation") =!= col("cust_nation"))
           .groupBy(col("supp_nation"), col("cust_nation"),
             year(col("l_shipdate")).as("l_year"))
-          .agg(psum(d(col("l_extendedprice")) * oneMinus(col("l_discount")))
+          .agg(psumRev(col("l_extendedprice"), col("l_discount"))
             .as("revenue"))
           .orderBy("supp_nation", "cust_nation", "l_year")
       },
@@ -308,7 +308,7 @@ object Tpch {
     // division.
     "q08_market_share" -> Q(
       (s, dir) => {
-        val vol = d(col("l_extendedprice")) * oneMinus(col("l_discount"))
+        val volL = revL(col("l_extendedprice"), col("l_discount"))
         val euroNations = Tables.nation(s, dir)
           .join(Tables.region(s, dir).filter(col("r_name") === "EUROPE"),
             col("n_regionkey") === col("r_regionkey"))
@@ -329,8 +329,8 @@ object Tpch {
             col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
           .groupBy(year(col("o_orderdate")).as("o_year"))
-          .agg((psum(when(col("supp_nation") === "NATION_3", vol)) /
-            psum(vol)).as("mkt_share"))
+          .agg((psumLong(4, when(col("supp_nation") === "NATION_3", volL)) /
+            psumLong(4, volL)).as("mkt_share"))
           .orderBy("o_year")
       },
       Some(s"""
@@ -411,14 +411,14 @@ object Tpch {
     // aggregate over a single broadcast join, one output row.
     "q14_promo_revenue" -> Q(
       (s, dir) => {
-        val vol = d(col("l_extendedprice")) * oneMinus(col("l_discount"))
+        val volL = revL(col("l_extendedprice"), col("l_discount"))
         Tables.lineitem(s, dir)
           .filter(col("l_shipdate") >= ts("1997-03-01") &&
             col("l_shipdate") < ts("1997-04-01"))
           .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_type")),
             col("l_partkey") === col("p_partkey"))
-          .agg((lit(100.0) * psum(when(col("p_type") === "PROMO", vol)) /
-            psum(vol)).as("promo_revenue"))
+          .agg((lit(100.0) * psumLong(4, when(col("p_type") === "PROMO", volL)) /
+            psumLong(4, volL)).as("promo_revenue"))
       },
       Some(s"""
         SELECT CAST(100.0 AS DOUBLE)
@@ -441,7 +441,7 @@ object Tpch {
           .filter(col("l_shipdate") >= ts("1997-01-01") &&
             col("l_shipdate") < ts("1997-04-01"))
           .groupBy("l_suppkey")
-          .agg(psum(d(col("l_extendedprice")) * oneMinus(col("l_discount")))
+          .agg(psumRev(col("l_extendedprice"), col("l_discount"))
             .as("total_revenue"))
         val mx = rev.agg(max(col("total_revenue")).as("mr"))
         rev.join(broadcast(mx), col("total_revenue") === col("mr"))
@@ -538,7 +538,7 @@ object Tpch {
         Tables.lineitem(s, dir)
           .join(broadcast(Tables.part(s, dir)),
             col("l_partkey") === col("p_partkey") && residual)
-          .agg(psum(d(col("l_extendedprice")) * oneMinus(col("l_discount")))
+          .agg(psumRev(col("l_extendedprice"), col("l_discount"))
             .as("revenue"))
       },
       Some(s"""
