@@ -342,19 +342,31 @@ object Advanced {
     // orientation keeps the oracle mirror trivial here.)
     "graph_triangles" -> Q(
       (s, dir) => {
+        // r13: Spark INLINES multiply-referenced CTEs — the former
+        // single statement replanned the `so` self-join + `e` edge
+        // aggregation under every reference (24 parquet scans / 88
+        // aggregates in one physical plan, zero ReusedExchange).
+        // Materializing the distinct pair set and the thresholded edge
+        // list eagerly (localCheckpoint, computed inside the timed fn)
+        // makes every downstream reference a cached-table read: the
+        // wedge join + closing-edge join now read `e` three times from
+        // one materialization instead of rebuilding it from lineitem.
         Tables.lineitem(s, dir).createOrReplaceTempView("tri_li")
+        s.sql("""SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+                 FROM tri_li""")
+          .localCheckpoint(eager = true).createOrReplaceTempView("tri_so")
         s.sql("""
-          WITH so AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
-                      FROM tri_li),
-          e AS (SELECT a.sk AS u, b.sk AS v
-                FROM so a JOIN so b ON a.ok = b.ok AND a.sk < b.sk
-                GROUP BY a.sk, b.sk HAVING count(*) >= 8),
-          vtx AS (SELECT count(DISTINCT x) AS n_vertices
-                  FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)),
-          m AS (SELECT count(*) AS n_edges FROM e),
+          SELECT a.sk AS u, b.sk AS v
+          FROM tri_so a JOIN tri_so b ON a.ok = b.ok AND a.sk < b.sk
+          GROUP BY a.sk, b.sk HAVING count(*) >= 8""")
+          .localCheckpoint(eager = true).createOrReplaceTempView("tri_e")
+        s.sql("""
+          WITH vtx AS (SELECT count(DISTINCT x) AS n_vertices
+                  FROM (SELECT u AS x FROM tri_e UNION ALL SELECT v AS x FROM tri_e)),
+          m AS (SELECT count(*) AS n_edges FROM tri_e),
           t AS (SELECT count(*) AS n_triangles
-                FROM e e1 JOIN e e2 ON e1.v = e2.u
-                          JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v)
+                FROM tri_e e1 JOIN tri_e e2 ON e1.v = e2.u
+                          JOIN tri_e e3 ON e1.u = e3.u AND e2.v = e3.v)
           SELECT n_vertices, n_edges, n_triangles FROM vtx, m, t""")
       },
       Some("""

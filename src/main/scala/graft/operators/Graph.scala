@@ -83,20 +83,28 @@ object Graph {
     val eSrc = edges.repartition(col("src")).persist(lvl)
     val degTable = eSrc.groupBy("src").agg(count(lit(1)).as("deg"))
       .persist(lvl)
+    // r13: the node table CARRIES deg for the whole loop. Without
+    // danglings the src-distinct set IS degTable's key set, so `nodes`
+    // is a free projection of the already-persisted degree table (the
+    // former separate distinct cost one more setup shuffle + persist +
+    // count); and keeping deg on the checkpointed ranks rows removes
+    // the per-superstep ranks-deg join (one join + one broadcast build
+    // per superstep at any scale — deg is loop-invariant per node).
     val nodes = (if (redistributeDangling)
         eSrc.select(col("src").as("node"))
           .unionByName(eSrc.select(col("dst").as("node"))).distinct()
-      else eSrc.select(col("src").as("node")).distinct()).persist(lvl)
+          .join(degTable.withColumnRenamed("src", "node"), Seq("node"), "left")
+      else degTable.select(col("src").as("node"), col("deg"))).persist(lvl)
     // loop-invariant dangling set: nodes with no out-edge (empty when
     // the caller guarantees none — the anti join is then planned away
     // at node-count cost once, not per step)
     val dangling =
       if (redistributeDangling)
-        nodes.join(eSrc.select(col("src").as("node")).distinct(),
+        nodes.select("node").join(
+          eSrc.select(col("src").as("node")).distinct(),
           Seq("node"), "left_anti").persist(lvl)
       else null
     val n = nodes.count()
-    degTable.count(): Unit
     if (dangling != null) dangling.count(): Unit
     // SIZE-GATE the per-superstep broadcasts once, on the measured
     // node count: below the threshold ranks/contribs ship as
@@ -126,17 +134,14 @@ object Graph {
         // ranks is node-count rows — the contribution join must never
         // shuffle the (much larger) edge index; the only per-superstep
         // shuffle over edges is the dst-keyed contribution aggregation
-        // (map-side partial sum first). Degree attaches to the RANKS
-        // side here (a nodes-sized join against the src-partitioned
-        // degTable), so the edge index carries no deg payload. See
-        // contributionJoin for the two regimes.
-        val ranksDeg = ranks.join(
-          degTable.withColumnRenamed("src", "node"), Seq("node"))
-        val contribs = contributionJoin(eSrc, ranksDeg, bcast)
+        // (map-side partial sum first). Degree rides ON the ranks rows
+        // (loop-invariant, attached once at setup), so no per-superstep
+        // deg join exists. See contributionJoin for the two regimes.
+        val contribs = contributionJoin(eSrc, ranks, bcast)
         ranks = nodes.join(
             if (bcast) broadcast(contribs) else contribs.hint("shuffle_hash"),
             col("node") === col("dst"), "left")
-          .select(col("node"),
+          .select(col("node"), col("deg"),
             (lit(baseU) + expr(
               s"($dNum * (coalesce(mass_in, CAST(0 AS BIGINT)) + " +
                 s"CAST($danglingShareU AS BIGINT))) div $dDen"))
@@ -151,6 +156,7 @@ object Graph {
         prevCkpt = ranks
       }
       ranks = ranks
+        .select(col("node"), col("rank_u")) // deg was loop plumbing
         .withColumn("rank", col("rank_u") / lit(1e12))
         .persist(lvl)
       ranks.count(): Unit // materialize before unpersists
@@ -229,13 +235,13 @@ object Graph {
           .join(visited, Seq("node"), "left_anti")
           .withColumn("dist", lit(d))
           .localCheckpoint(eager = true)
-        val newVisited = visited.unionByName(next).localCheckpoint(eager = true)
-        // hop d-1's visited and frontier checkpoints are dead now —
-        // free them without waiting for a GC (the pagerank lesson)
-        org.apache.spark.sql.GraftBenchShim.unpersistLocalCheckpoint(visited)
-        if (frontier ne visited)
-          org.apache.spark.sql.GraftBenchShim.unpersistLocalCheckpoint(frontier)
-        visited = newVisited
+        // r13: `visited` stays a LAZY union of the per-hop checkpointed
+        // layers — union is a no-shuffle concatenation, every leaf is
+        // already materialized, so re-checkpointing the whole visited
+        // set each hop (node-count rows re-materialized per step, plus
+        // an unpersist) bought nothing. Layer checkpoints stay alive
+        // until the loop ends; the returned frame reads the same union.
+        visited = visited.unionByName(next)
         frontier = next
         frontierN = next.count()
       }

@@ -704,21 +704,34 @@ object Sources {
         "o_orderstatus" -> col("o_orderstatus"),
         "o_totalprice" -> col("o_totalprice").cast(DecimalType(12, 2)),
         "o_orderdate" -> col("o_orderdate").cast("date"))
+      // r13: the NDV sketch is now hll_sketch_agg (DataSketches HLL,
+      // lgK=14 -> ~0.8% rsd, comfortably inside the 5% certificate)
+      // instead of approx_count_distinct(rsd=0.01). The built-in HLL++
+      // declares its 2^14-register state as ~1640 LONG aggregation
+      // attributes PER COLUMN: five of them made an 8210-attribute
+      // buffer, a 529 KB physical plan, and either an interpreted
+      // SortAggregate (with string min/max present) or a pathological
+      // wide-row HashAggregate (measured 4.4 s) — planning cost alone
+      // was seconds. The sketch aggregate carries ONE opaque binary
+      // buffer per column and, being a TypedImperativeAggregate,
+      // plans the whole profile as ObjectHashAggregate — where string
+      // min/max buffers are also fine, so the profile stays ONE scan.
+      // Sketch inputs must be integral/string: decimal/date columns
+      // enter through injective images (exact cents; days-since-epoch),
+      // which preserve the NDV being estimated.
       def approxRow(s: SparkSession, dir: String): DataFrame = {
-        // Same string-min/max hoist as dq_profile (r13): keeps the
-        // 20-function HLL aggregate on the fixed-width HashAggregate
-        // path instead of the interpreted SortAggregate fallback.
-        val aggs = profCols.flatMap { case (n, c) =>
-          (if (n == "o_orderstatus") Seq.empty[Column] else Seq(
-            min(c).cast("string").as(s"${n}_min"),
-            max(c).cast("string").as(s"${n}_max"))) ++ Seq(
-          approx_count_distinct(c, 0.01).as(s"${n}_ndv"),
+        def sketchIn(n: String, c: Column): Column = n match {
+          case "o_totalprice" => graft.Dec.cents(col("o_totalprice"))
+          case "o_orderdate" => unix_date(c)
+          case _ => c
+        }
+        val aggs = profCols.flatMap { case (n, c) => Seq(
+          min(c).cast("string").as(s"${n}_min"),
+          max(c).cast("string").as(s"${n}_max"),
+          hll_sketch_estimate(hll_sketch_agg(sketchIn(n, c), lit(14)))
+            .as(s"${n}_ndv"),
           count_if(c.isNull).as(s"${n}_nulls")) }
-        val statusMinMax = Tables.orders(s, dir).agg(
-          min(col("o_orderstatus")).cast("string").as("o_orderstatus_min"),
-          max(col("o_orderstatus")).cast("string").as("o_orderstatus_max"))
         Tables.orders(s, dir).agg(aggs.head, aggs.tail: _*)
-          .crossJoin(broadcast(statusMinMax))
       }
       val pureProfile: (SparkSession, String) => DataFrame = (s, dir) => {
         val stacked = profCols.map { case (n, _) =>

@@ -116,29 +116,29 @@ class SinkSpec extends SparkSpec {
       .getOrElse(fail("dq_profile_approx must register a bench shape"))
       .apply(spark, sf).queryExecution.executedPlan.toString
     assert(!benchPlan.contains("Expand"))
-    // r13: the two string min/max are hoisted into their own narrow
-    // single-column scan (broadcast back as one row) so the wide
-    // 20-function aggregate keeps a fixed-width buffer and plans as
-    // HashAggregate — min/max over a STRING buffer would otherwise
-    // demote the WHOLE aggregate to the interpreted SortAggregate
-    // fallback (measured 2x at sf0.1). Contract: exactly two scans
-    // (wide profile + narrow status min/max), and no SortAggregate.
+    // r13: the NDV sketch is hll_sketch_agg — ONE opaque binary buffer
+    // per column (a TypedImperativeAggregate), so the whole profile
+    // plans as a single-scan ObjectHashAggregate where string min/max
+    // buffers are also fine. The former approx_count_distinct(0.01)
+    // exposed 1640 LONG buffer attributes PER COLUMN and demoted the
+    // aggregate to interpreted SortAggregate (or a pathological
+    // wide-row HashAggregate) with a 529 KB plan.
     val scans = "Scan parquet".r.findAllIn(benchPlan).size
-    assert(scans == 2, s"bench shape: wide + narrow status scan, saw $scans")
-    // SortAggregate may appear ONLY on the narrow status-min/max branch
-    // (string min/max buffers are variable-width by nature); the wide
-    // profile aggregate must stay HashAggregate.
-    def sortAggConfined(plan: String): Boolean = plan.linesIterator
-      .filter(_.contains("SortAggregate"))
-      .forall(l => l.contains("o_orderstatus") && !l.contains("count"))
-    assert(sortAggConfined(benchPlan),
-      s"string min/max hoist must keep the wide profile on HashAggregate:\n$benchPlan")
+    assert(scans == 1, s"bench shape should scan orders once, saw $scans")
+    assert(benchPlan.contains("ObjectHashAggregate"),
+      s"sketch profile must plan as ObjectHashAggregate:\n$benchPlan")
+    assert(!benchPlan.contains("SortAggregate"),
+      s"sketch profile must not fall back to SortAggregate:\n$benchPlan")
     val exactPlan = graft.SparkEntry.registry("dq_profile").fn(spark, sf)
       .queryExecution.executedPlan.toString
     assert(exactPlan.contains("Expand"),
       "expected the exact twin to carry the Expand this variant removes")
-    assert(sortAggConfined(exactPlan),
-      "exact twin's Expand path must also stay on HashAggregate (r13 hoist)")
+    // exact twin (r13): string min/max hoisted to a narrow scan so the
+    // Expand path stays on HashAggregate; SortAggregate may appear
+    // ONLY on that narrow status-min/max branch.
+    assert(exactPlan.linesIterator.filter(_.contains("SortAggregate"))
+      .forall(l => l.contains("o_orderstatus") && !l.contains("count")),
+      "exact twin's Expand path must stay on HashAggregate (r13 hoist)")
     val rows = approxDf.collect()
     val exact = graft.SparkEntry.registry("dq_profile").fn(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2), r.getLong(4))).toMap
