@@ -123,6 +123,24 @@ object Dec {
       / math.pow(10, scale).toLong).cast("double")
   }
 
+  /** [[psumLong]] with the closing value ROUNDED to integer (scale-0
+    * HALF_UP) before the double cast — the long twin of the isum
+    * device `sum(decimal).cast(DECIMAL(38,0)).cast(double)` used by
+    * the moment/weighted-average operators.
+    */
+  def isumLong(scale: Int, prod: Column): Column = {
+    require(scale <= 6, "isumLong: closing division is exact to scale 6")
+    val m = 1000000L
+    val hi = (prod.cast("double") / m).cast("long")
+    val lo = prod - hi * m
+    ((sum(hi).cast(DecimalType(38, 0)) * m + sum(lo).cast(DecimalType(38, 0)))
+      / math.pow(10, scale).toLong)
+      .cast(DecimalType(38, 0)).cast("double")
+  }
+
+  /** Exact long view of an INTEGER-valued double column (quantity). */
+  def asLong(c: Column): Column = floor(c + lit(0.5d)).cast("long")
+
   /** Revenue row product a*(1-b) as an exact scale-4 long. */
   def revL(a: Column, b: Column): Column = cents(a) * centsOneMinus(b)
 

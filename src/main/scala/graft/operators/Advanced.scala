@@ -129,16 +129,18 @@ object Advanced {
     // on exact operands with the identical IEEE tree in both engines.
     "ch_ttest" -> Q(
       (s, dir) => {
-        val p = d(col("l_extendedprice"))
+        // r13: squared-price sums on exact long cents via the hi/lo
+        // split (Dec.isumLong) — bit-identical, no per-row BigDecimal.
+        val pc = cents(col("l_extendedprice"))
         val hi = col("l_discount") > 0.05
         val m = Tables.lineitem(s, dir)
           .groupBy("l_returnflag")
           .agg(sum(when(hi, 1L).otherwise(0L)).as("n1"),
             dsum(when(hi, col("l_extendedprice"))).as("s1"),
-            isum(when(hi, p * p)).as("ss1"),
+            isumLong(4, when(hi, pc * pc)).as("ss1"),
             sum(when(hi, 0L).otherwise(1L)).as("n2"),
             dsum(when(!hi, col("l_extendedprice"))).as("s2"),
-            isum(when(!hi, p * p)).as("ss2"))
+            isumLong(4, when(!hi, pc * pc)).as("ss2"))
         val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
         val v1 = (col("ss1") - col("s1") * col("s1") / n1) / (n1 - 1.0)
         val v2 = (col("ss2") - col("s2") * col("s2") / n2) / (n2 - 1.0)

@@ -77,9 +77,14 @@ object Incremental {
     "sink_delete_mutation" -> Q(
       (s, dir) => {
         val out = tmp(dir, "delmut")
-        Tables.orders(s, dir)
-          .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
-          .write.mode("overwrite").partitionBy("o_month").parquet(out)
+        // r13: seed through the range-partitioned writer — the plain
+        // partitionBy write planned ONE scan task that wrote all ~80
+        // month files serially (measured as a single 1.6 s job, the
+        // whole query's dominant cost); ranging by (month, custkey)
+        // writes the same layout in parallel.
+        graft.sources.Sink.writePartitionedSorted(Tables.orders(s, dir), out,
+          "o_month" -> date_format(col("o_orderdate"), "yyyy-MM"),
+          Seq("o_custkey"))
         // delete: one bad load window (predicate on DATA, not partition)
         Sink.deleteWhere(s, out, "o_month",
           col("o_orderdate") >= lit("1997-06-10").cast("timestamp") &&
@@ -110,9 +115,10 @@ object Incremental {
     "sink_update_mutation" -> Q(
       (s, dir) => {
         val out = tmp(dir, "updmut")
-        Tables.orders(s, dir)
-          .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
-          .write.mode("overwrite").partitionBy("o_month").parquet(out)
+        // r13: parallel range-partitioned seed (see sink_delete_mutation)
+        graft.sources.Sink.writePartitionedSorted(Tables.orders(s, dir), out,
+          "o_month" -> date_format(col("o_orderdate"), "yyyy-MM"),
+          Seq("o_custkey"))
         val pred = col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
           col("o_orderdate") < lit("1997-08-01").cast("timestamp") &&
           col("o_orderstatus") === "O"

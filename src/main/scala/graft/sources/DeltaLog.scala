@@ -933,7 +933,14 @@ object DeltaLog {
       catch { case _: Exception => None } // stats are optional metadata
     if (rels.size <= 16) {
       val conf = spark.sessionState.newHadoopConf()
-      rels.map(r => r -> one(conf, r)).toMap
+      // r13: footer reads are independent IOs — a few parallel driver
+      // threads cut the small-commit stats wall to max(footer) instead
+      // of sum(footer) (the large-commit path below is already a job).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.sequence(rels.map(r => Future(r -> one(conf, r)))),
+        scala.concurrent.duration.Duration.Inf).toMap
     } else {
       // Hadoop Configuration is not serializable: ship its entries and
       // rebuild per task (keeps filesystem config/credentials intact
