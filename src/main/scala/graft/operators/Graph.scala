@@ -69,7 +69,8 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int = 10,
       dNum: Int = 17, dDen: Int = 20,
-      redistributeDangling: Boolean = false): DataFrame = {
+      redistributeDangling: Boolean = false,
+      edgeParts: Option[Int] = None): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // ONE edge-sized resident: the src-partitioned plain edge list.
     // Degree is loop-invariant but NODES-sized, so it lives on its
@@ -80,7 +81,16 @@ object Graph {
     // host's disk three times. Every loop invariant below derives
     // FROM eSrc's cached, already-src-partitioned blocks: the degree
     // aggregate and the src-distinct plan with no new exchange.
-    val eSrc = edges.repartition(col("src")).persist(lvl)
+    // r13 (guide §2: scale-adaptive partitioning): the edge-index
+    // partition count defaults to spark.sql.shuffle.partitions, but a
+    // caller that knows the input size passes edgeParts derived from
+    // it — every superstep stage schedules that many tasks, and a
+    // constant 32 on a megabyte-scale graph spends more wall-clock on
+    // task scheduling than on edges (6 supersteps x 2 stages x 32
+    // near-empty tasks).
+    val eSrc = edgeParts
+      .map(p => edges.repartition(p, col("src")))
+      .getOrElse(edges.repartition(col("src"))).persist(lvl)
     val degTable = eSrc.groupBy("src").agg(count(lit(1)).as("deg"))
       .persist(lvl)
     // r13: the node table CARRIES deg for the whole loop. Without
@@ -185,6 +195,22 @@ object Graph {
       broadcastRanks = ranksBroadcastable(s, 1000L))
   }
 
+  /** Scale-adaptive edge-index partition count (guide §2): sized from
+    * the corpus's lineitem parquet bytes (~8 MB of source per
+    * partition — the symmetrized pair index inflates ~2-3x in memory),
+    * so superstep task counts grow with the data instead of pinning to
+    * the session constant. Falls back to 0 (= session default) if the
+    * file size is unreadable.
+    */
+  private[graft] def edgePartsFor(s: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
+    val bytes =
+      try p.getFileSystem(s.sessionState.newHadoopConf())
+        .getContentSummary(p).getLength
+      catch { case _: Throwable => 0L }
+    math.min(math.max(1L, bytes / (8L << 20)), 1 << 20).toInt
+  }
+
   /** Customer<->supplier trading graph: an edge per distinct
     * (customer, supplier) pair that traded, symmetrized (so no node
     * dangles and the chain is irreducible). Supplier ids are offset
@@ -208,11 +234,15 @@ object Graph {
     * and the driver holds no graph state. Lineage is cut per step
     * (localCheckpoint) exactly as in [[pageRank]].
     */
-  def shortestPaths(edges: DataFrame, sources: DataFrame, maxDepth: Int)
-      : DataFrame = {
+  def shortestPaths(edges: DataFrame, sources: DataFrame, maxDepth: Int,
+      edgeParts: Option[Int] = None): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val s = edges.sparkSession
-    val e = edges.persist(lvl)
+    // r13: same scale-adaptive edge partitioning as pageRank — the raw
+    // tradeEdges union carries 2x the session partition count, so every
+    // hop's expansion join scheduled ~64 near-empty tasks at bench SFs.
+    val e = edgeParts.map(p => edges.repartition(p, col("src")))
+      .getOrElse(edges).persist(lvl)
     var visited = sources.select(col("node"), lit(0).as("dist"))
       .localCheckpoint(eager = true)
     var frontier = visited
@@ -261,7 +291,8 @@ object Graph {
     // hand-computed graph, mass conservation, and determinism.
     "graph_pagerank" -> Q(
       (s, dir) => {
-        pageRank(tradeEdges(s, dir), iters = 6)
+        pageRank(tradeEdges(s, dir), iters = 6,
+          edgeParts = Some(edgePartsFor(s, dir)))
           .select(col("node"), col("rank_u"), col("rank"))
           .orderBy(col("rank_u").desc, col("node"))
           .limit(20)
@@ -334,7 +365,8 @@ object Graph {
         val edges = tradeEdges(s, dir)
         val sources = edges.select(col("src").as("node"))
           .filter(col("node") <= 20).distinct()
-        shortestPaths(edges, sources, maxDepth = 3)
+        shortestPaths(edges, sources, maxDepth = 3,
+          edgeParts = Some(edgePartsFor(s, dir)))
           .groupBy("dist")
           .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"))
           .orderBy("dist")
