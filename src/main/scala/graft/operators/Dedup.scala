@@ -734,9 +734,14 @@ object Dedup {
     // a shingle. DuckDB brute-forces the same cross pairs.
     "dedup_incremental" -> Q(
       (s, dir) => {
+        // r13: the shingle table feeds BOTH branches below (history
+        // and probe filters) — without materialization the compute-
+        // bound normText+shingling stage runs twice per pass; one
+        // eager checkpoint halves it (the triangles device).
         val sh = docShingles(s, dir)
           .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
             "doc_id")
+          .localCheckpoint(true)
         val isNew = col("source").isin("src18", "src19")
         val hist = sh.filter(!isNew)
           .select(col("doc_id").as("id_hist"), col("n_sh").as("nh"),
