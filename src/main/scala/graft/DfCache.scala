@@ -64,3 +64,28 @@ object DfCache {
     cache.clear()
   }
 }
+
+/** Per-query slots for eager localCheckpoints created INSIDE a query
+  * function (graph_triangles' edge list, ch_rank_corr's cell table,
+  * shortestPaths' frontier layers). Their blocks must outlive the
+  * function (the returned frame reads them), so they cannot be
+  * unpersisted on exit — but in a resident session repeated
+  * invocations would otherwise accumulate dead checkpoint RDDs for
+  * the life of the JVM (r13 advice). `swap` frees the PREVIOUS
+  * invocation's blocks (safe: its result was materialized before the
+  * query was re-entered) and registers the new frame.
+  */
+object CkptSlot {
+  private val slots =
+    new ConcurrentHashMap[String, DataFrame]()
+
+  def swap(key: String, df: DataFrame): DataFrame = {
+    val appId =
+      org.apache.spark.sql.SparkSession.active.sparkContext.applicationId
+    val prev = slots.put(s"$appId:$key", df)
+    if (prev != null)
+      try org.apache.spark.sql.GraftBenchShim.unpersistLocalCheckpoint(prev)
+      catch { case scala.util.control.NonFatal(_) => () }
+    df
+  }
+}

@@ -71,19 +71,36 @@ object Dec {
     * precision exceeds Spark's compact-long decimal range, so every
     * row paid a JavaBigDecimal add (~4x a long sum, measured 0.74 s
     * vs 0.19 s on one sf0.1 aggregation). Summing exact integer
-    * cents in a LONG and dividing once at the end yields the
+    * units in LONGs and dividing once at the end yields the
     * bit-identical double: the integer sum is exact, the closing
     * decimal division is exact (scale 6 >= 2), and the final cast is
     * the same correctly-rounded decimal->double both engines perform.
-    * Headroom: |group sum| < 2^63 cents ~= 9.2e16 money units per
-    * group — the same overflow CLASS as the old decimal(22,4) buffer
-    * (1e18 units), both far beyond any shipped or projected SF.
     * Inputs are scale-4 units ([[u4]]) because dsum is also applied
     * to derived 3-4dp values (repriced columns), mirroring the old
     * decimal(12,4) input rounding exactly.
+    *
+    * r14 scale hardening (verdict #1): a single long sum of u4 units
+    * wraps at 9.2e18 units ~= $9.2e14 per group — INSIDE the ~100 TB
+    * target (TPC-H sf1e5 q01 groups sum ~8e19 units), and a non-ANSI
+    * sum(long) wraps silently. The [[psumLong]] hi/lo split applies
+    * unchanged: per row hi = u div 1e6 (exact-double divide +
+    * truncate; the identity holds even if hi were off one), lo =
+    * u - hi*1e6, and sum(u) = sum(hi)*1e6 + sum(lo) EXACTLY with both
+    * running sums in-range out to ~1e12 rows per group (u4 row values
+    * are < 2^53 by the u4 recovery precondition, so hi < 9e9 and
+    * |lo| < 2e6). Recombined in decimal, divided once, same closing
+    * cast. Same cost class: two long sums instead of one.
+    * DsumOverflowSpec drives a group past 2^63 units and asserts the
+    * exact sum.
     */
-  def dsum(c: Column): Column =
-    (sum(u4(c)).cast(DecimalType(38, 0)) / 10000).cast("double")
+  def dsum(c: Column): Column = {
+    val m = 1000000L
+    val u = u4(c)
+    val hi = (u.cast("double") / m).cast("long")
+    val lo = u - hi * m
+    ((sum(hi).cast(DecimalType(38, 0)) * m + sum(lo).cast(DecimalType(38, 0)))
+      / 10000).cast("double")
+  }
 
   /** Exact sum of a decimal product expression, surfaced as double
     * via a scale-6 rounding both engines convert exactly. */

@@ -67,22 +67,26 @@ object SampleQuantile {
     */
   private def sortRecords(a: Array[Long], lo0: Int, hi0: Int): Unit = {
     var lo = lo0; var hi = hi0 // inclusive record indices
-    if (hi <= lo) return
-    // median-of-3 pivot on record hashes
-    val mid = (lo + hi) >>> 1
-    val pm = a(2 * mid); val pv = a(2 * mid + 1)
-    var i = lo; var j = hi
-    while (i <= j) {
-      while (a(2 * i) < pm || (a(2 * i) == pm && a(2 * i + 1) < pv)) i += 1
-      while (a(2 * j) > pm || (a(2 * j) == pm && a(2 * j + 1) > pv)) j -= 1
-      if (i <= j) {
-        val th = a(2 * i); val tv = a(2 * i + 1)
-        a(2 * i) = a(2 * j); a(2 * i + 1) = a(2 * j + 1)
-        a(2 * j) = th; a(2 * j + 1) = tv
-        i += 1; j -= 1
+    // middle-element pivot; recursion goes to the SMALLER partition
+    // and the larger is handled by the loop, so stack depth is
+    // O(log n) even on pathological hash patterns
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      val pm = a(2 * mid); val pv = a(2 * mid + 1)
+      var i = lo; var j = hi
+      while (i <= j) {
+        while (a(2 * i) < pm || (a(2 * i) == pm && a(2 * i + 1) < pv)) i += 1
+        while (a(2 * j) > pm || (a(2 * j) == pm && a(2 * j + 1) > pv)) j -= 1
+        if (i <= j) {
+          val th = a(2 * i); val tv = a(2 * i + 1)
+          a(2 * i) = a(2 * j); a(2 * i + 1) = a(2 * j + 1)
+          a(2 * j) = th; a(2 * j + 1) = tv
+          i += 1; j -= 1
+        }
       }
+      if (j - lo < hi - i) { sortRecords(a, lo, j); lo = i }
+      else { sortRecords(a, i, hi); hi = j }
     }
-    sortRecords(a, lo0, j); sortRecords(a, i, hi0)
   }
 
   /** Normalized (sorted, deduped, ≤k records, no header, no slack)

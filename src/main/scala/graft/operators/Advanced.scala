@@ -354,14 +354,19 @@ object Advanced {
         // wedge join + closing-edge join now read `e` three times from
         // one materialization instead of rebuilding it from lineitem.
         Tables.lineitem(s, dir).createOrReplaceTempView("tri_li")
-        s.sql("""SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        // r14 (advice): swap through CkptSlot so a resident session
+        // frees the PREVIOUS invocation's checkpoint blocks instead
+        // of accumulating them for the life of the JVM.
+        graft.CkptSlot.swap("tri_so",
+          s.sql("""SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
                  FROM tri_li""")
-          .localCheckpoint(eager = true).createOrReplaceTempView("tri_so")
-        s.sql("""
+            .localCheckpoint(eager = true)).createOrReplaceTempView("tri_so")
+        graft.CkptSlot.swap("tri_e",
+          s.sql("""
           SELECT a.sk AS u, b.sk AS v
           FROM tri_so a JOIN tri_so b ON a.ok = b.ok AND a.sk < b.sk
           GROUP BY a.sk, b.sk HAVING count(*) >= 8""")
-          .localCheckpoint(eager = true).createOrReplaceTempView("tri_e")
+            .localCheckpoint(eager = true)).createOrReplaceTempView("tri_e")
         s.sql("""
           WITH vtx AS (SELECT count(DISTINCT x) AS n_vertices
                   FROM (SELECT u AS x FROM tri_e UNION ALL SELECT v AS x FROM tri_e)),
@@ -1045,8 +1050,9 @@ object Advanced {
         // output bit is unchanged. The former plan scanned lineitem
         // three times (both rank dims + the moment pass); the cell
         // table is checkpointed once and feeds all three.
-        val jd = li.groupBy("g", "x", "y").agg(count(lit(1)).as("c"))
-          .localCheckpoint(true)
+        val jd = graft.CkptSlot.swap("rank_corr_jd",
+          li.groupBy("g", "x", "y").agg(count(lit(1)).as("c"))
+            .localCheckpoint(true))
         def rankDim(vcol: String, rname: String) = {
           val w = Window.partitionBy("g").orderBy(vcol)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -734,19 +734,31 @@ object Dedup {
     // a shingle. DuckDB brute-forces the same cross pairs.
     "dedup_incremental" -> Q(
       (s, dir) => {
-        // r13: the shingle table feeds BOTH branches below (history
-        // and probe filters) — without materialization the compute-
-        // bound normText+shingling stage runs twice per pass; one
-        // eager checkpoint halves it (the triangles device).
-        val sh = docShingles(s, dir)
-          .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
-            "doc_id")
-          .localCheckpoint(true)
+        // r14 (verdict #1b): r13's eager checkpoint of the full shingle
+        // table was a driver-measured 0.64x regression (materializing
+        // every doc's shingle array cost more than the duplicated
+        // compute it saved), and the r12 shape shingled the WHOLE
+        // corpus once per branch. Both are dominated by pushing the
+        // source split BELOW the shingler: each branch filters source
+        // at the parquet scan (PushedFilters: In(source, ...)) and
+        // shingles only its own documents — one full normText+shingle
+        // pass total, split across the branches, no join to re-attach
+        // source and no materialization. The branch sum equals one
+        // corpus pass at any SF.
+        graft.functions.GraftFunctions.register(s)
         val isNew = col("source").isin("src18", "src19")
-        val hist = sh.filter(!isNew)
+        def shingled(pred: org.apache.spark.sql.Column) =
+          Tables.documents(s, dir)
+            .filter(pred)
+            .repartition(s.sparkContext.defaultParallelism)
+            .withColumn("norm", normText(col("text")))
+            .selectExpr("doc_id", "graft_shingles(norm, 3) AS shingles")
+            .withColumn("n_sh", size(col("shingles")))
+            .filter(col("n_sh") > 0)
+        val hist = shingled(!isNew)
           .select(col("doc_id").as("id_hist"), col("n_sh").as("nh"),
             explode(col("shingles")).as("sh"))
-        val probe = sh.filter(isNew)
+        val probe = shingled(isNew)
           .select(col("doc_id").as("id_new"), col("n_sh").as("nn"),
             explode(col("shingles")).as("sh"))
         probe.join(hist, Seq("sh"))

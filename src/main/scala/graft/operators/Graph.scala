@@ -199,31 +199,49 @@ object Graph {
     * the corpus's lineitem parquet bytes (~8 MB of source per
     * partition — the symmetrized pair index inflates ~2-3x in memory),
     * so superstep task counts grow with the data instead of pinning to
-    * the session constant. Falls back to 0 (= session default) if the
-    * file size is unreadable.
+    * the session constant. r14 (verdict #2): the count is FLOORED at
+    * the session's default parallelism — the r13 floor of 1 ran every
+    * superstep's edge side as a single task at bench SFs (lineitem
+    * 10.8 MB => 1 partition), a driver-measured 2x regression on
+    * graph_shortest_path and an 8-core-beats-32 inversion on all
+    * three graph loops. Upward scale-adaptivity is unchanged (the
+    * floor only binds when bytes/8MB < cores). Returns None (callers
+    * fall back to the session-default repartition) if the file size
+    * is unreadable.
     */
-  private[graft] def edgePartsFor(s: SparkSession, dir: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
-    val bytes =
-      try p.getFileSystem(s.sessionState.newHadoopConf())
+  private[graft] def edgePartsFor(s: SparkSession, dir: String): Option[Int] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
+      val bytes = p.getFileSystem(s.sessionState.newHadoopConf())
         .getContentSummary(p).getLength
-      catch { case _: Throwable => 0L }
-    math.min(math.max(1L, bytes / (8L << 20)), 1 << 20).toInt
-  }
+      val floor = s.sparkContext.defaultParallelism.toLong
+      Some(math.min(math.max(floor, bytes / (8L << 20)), 1L << 20).toInt)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Customer<->supplier trading graph: an edge per distinct
     * (customer, supplier) pair that traded, symmetrized (so no node
     * dangles and the chain is irreducible). Supplier ids are offset
     * into their own namespace.
+    *
+    * r14 (guide §2.4 remove shuffles/passes): symmetrization is an
+    * EXPLODE of each pair into its two directions, not a union of the
+    * pair subtree with its flipped self — Spark re-inlines multiply-
+    * referenced subtrees, so the union form computed the
+    * orders-join-lineitem + distinct ONCE PER BRANCH (2x the
+    * dominant setup cost in every consumer; graph_degrees paid it
+    * twice more via its own reference). Same output multiset: each
+    * distinct pair emits exactly (src,dst) and (dst,src).
     */
   def tradeEdges(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.orders(s, dir)
+    Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("src"),
-        (col("l_suppkey") + 10000000L).as("dst"))
+      .select(col("o_custkey").as("c"),
+        (col("l_suppkey") + 10000000L).as("p"))
       .distinct()
-    base.unionByName(
-      base.select(col("dst").as("src"), col("src").as("dst")))
+      .select(explode(array(
+        struct(col("c").as("src"), col("p").as("dst")),
+        struct(col("p").as("src"), col("c").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
   }
 
   /** Multi-source BFS: hop distance from `sources` to every node
@@ -275,7 +293,10 @@ object Graph {
         frontier = next
         frontierN = next.count()
       }
-      visited
+      // r14 (advice): the layer checkpoints must outlive this call
+      // (the returned union reads them) — register the result so the
+      // NEXT invocation frees them instead of leaking per call.
+      graft.CkptSlot.swap("shortest_paths_visited", visited)
     } finally e.unpersist(blocking = false): Unit
   }
 
@@ -292,7 +313,7 @@ object Graph {
     "graph_pagerank" -> Q(
       (s, dir) => {
         pageRank(tradeEdges(s, dir), iters = 6,
-          edgeParts = Some(edgePartsFor(s, dir)))
+          edgeParts = edgePartsFor(s, dir))
           .select(col("node"), col("rank_u"), col("rank"))
           .orderBy(col("rank_u").desc, col("node"))
           .limit(20)
@@ -363,10 +384,19 @@ object Graph {
     "graph_shortest_path" -> Q(
       (s, dir) => {
         val edges = tradeEdges(s, dir)
-        val sources = edges.select(col("src").as("node"))
-          .filter(col("node") <= 20).distinct()
+        // r14: sources == "custkeys <= 20 with at least one traded
+        // pair" — derived straight from orders (PushedFilters:
+        // o_custkey <= 20) + a lineitem semi join, instead of
+        // filtering the FULL symmetrized edge build (which re-ran the
+        // orders-lineitem join + distinct just to pick 20 nodes;
+        // supplier ids live at +1e7 so src <= 20 never matches them).
+        val sources = Tables.orders(s, dir)
+          .filter(col("o_custkey") <= 20)
+          .join(Tables.lineitem(s, dir),
+            col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .select(col("o_custkey").as("node")).distinct()
         shortestPaths(edges, sources, maxDepth = 3,
-          edgeParts = Some(edgePartsFor(s, dir)))
+          edgeParts = edgePartsFor(s, dir))
           .groupBy("dist")
           .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"))
           .orderBy("dist")

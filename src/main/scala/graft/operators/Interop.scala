@@ -26,19 +26,39 @@ object Interop {
     * driver INSIDE the timed query; one atomic rename moves it out of
     * the way and a daemon thread deletes the trash off the clock. The
     * new table never sees the old files (the root is gone the moment
-    * rename returns).
+    * rename returns). r14 (advice): leaked `.trash-*` siblings (a JVM
+    * that exited before its daemon delete finished) are swept on the
+    * NEXT rm() of the same root, so trash is self-healing instead of
+    * accumulating across runs; catches are NonFatal only.
     */
   private def rm(s: SparkSession, root: String): Unit = {
+    import scala.util.control.NonFatal
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    if (fs.exists(p)) {
-      val trash = new org.apache.hadoop.fs.Path(
-        root + ".trash-" + java.util.UUID.randomUUID().toString.take(8))
-      if (fs.rename(p, trash)) {
-        val t = new Thread(() => { try fs.delete(trash, true) catch { case _: Throwable => () }; () })
-        t.setDaemon(true)
-        t.start()
-      } else fs.delete(p, true): Unit // rename refused: fall back inline
+    val stale =
+      try {
+        val parent = p.getParent
+        if (parent != null && fs.exists(parent))
+          fs.listStatus(parent).toSeq.map(_.getPath)
+            .filter(_.getName.startsWith(p.getName + ".trash-"))
+        else Seq.empty
+      } catch { case NonFatal(_) => Seq.empty }
+    val live = fs.exists(p)
+    val renamed =
+      if (live) {
+        val trash = new org.apache.hadoop.fs.Path(
+          root + ".trash-" + java.util.UUID.randomUUID().toString.take(8))
+        if (fs.rename(p, trash)) Some(trash)
+        else { fs.delete(p, true); None } // rename refused: fall back inline
+      } else None
+    val toDelete = stale ++ renamed
+    if (toDelete.nonEmpty) {
+      val t = new Thread(() => {
+        toDelete.foreach(d => try fs.delete(d, true)
+          catch { case NonFatal(_) => () })
+      })
+      t.setDaemon(true)
+      t.start()
     }
   }
 

@@ -89,6 +89,10 @@ object TextAnalysis {
         org.apache.spark.sql.GraftBenchShim.unpersistLocalCheckpoint(prev)
       }
     }
+    // the merge table is already collected on the driver — the final
+    // state checkpoint has no further reader, free it now (r14 advice:
+    // the leak class CkptSlot handles for frames that ARE returned)
+    org.apache.spark.sql.GraftBenchShim.unpersistLocalCheckpoint(state)
     learned.toSeq.toDF("step", "left", "right", "score")
   }
 
