@@ -10,8 +10,32 @@ import org.apache.spark.sql.functions._
   * `df.explain("formatted")` → PushedFilters / ReadSchema).
   */
 object Tables {
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** r14 (long-tail fixed floor; guide §6 file listing): every
+    * `spark.read.parquet` re-resolves the relation — a fresh
+    * InMemoryFileIndex listing plus a driver-side footer read for the
+    * schema — and the registry calls these loaders ~2-3 times per
+    * query, ~2000 times per bench pass (PhaseProbe measured ~33 s of
+    * the sub-second tail's 93 s inside the registry fn calls, with
+    * Catalyst planning < 1 s). Memoizing the ANALYZED DataFrame per
+    * (session, dir, table) makes every later call reuse the resolved
+    * relation and its file index. This is metadata reuse within one
+    * process — each query still computes from the parquet bytes; no
+    * result or intermediate is cached (DataFrames are immutable plans,
+    * not data).
+    */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val k = s"${spark.sparkContext.applicationId}:$sfDir:$name"
+    val hit = memo.get(k)
+    if (hit != null) hit
+    else {
+      val built = spark.read.parquet(s"$sfDir/$name.parquet")
+      val prev = memo.putIfAbsent(k, built)
+      if (prev == null) built else prev
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
