@@ -214,11 +214,14 @@ object PlanAudit {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val out = args.drop(1).headOption.getOrElse("PLAN_AUDIT_r9.md")
+    val out = args.drop(1).headOption.getOrElse("PLAN_AUDIT_r14.md")
+    // derive the round tag from the output name so the header can't go
+    // stale again (r13 verdict: a regenerated audit still said round 9)
+    val round = "r(\\d+)".r.findFirstIn(out).getOrElse("HEAD")
     val spark = Session.local(4)
     spark.sparkContext.setLogLevel("ERROR")
     val sb = new StringBuilder
-    sb.append("# Plan audit — scale-critical operators (round 9)\n\n")
+    sb.append(s"# Plan audit — scale-critical operators ($round)\n\n")
     sb.append("Generated by `runMain graft.PlanAudit` at sf=" + sfDir +
       ". Each section states the property the plan must exhibit for the\n" +
       "operator to hold up at 100 TB, followed by the actual\n" +

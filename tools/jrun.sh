@@ -29,5 +29,5 @@ exec java \
   -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -XX:ReservedCodeCacheSize=512m \
-  -cp "${GRAFT_CLASSES:-target/scala-2.13/classes}:/opt/spark/jars/*" \
+  -cp "${GRAFT_CLASSES:-target/scala-2.13/classes:target/scala-2.13/test-classes}:/opt/spark/jars/*" \
   "$@"
